@@ -1,0 +1,316 @@
+"""Gaussian diffusion processes: training loss, DDPM and DDIM samplers.
+
+TPU-native re-design of the reference's diffusion layer:
+
+* ``EODiffusion`` (reference ``diffusion/model.py:12-150``): cosine-beta DDPM
+  with epsilon-prediction MSE training, ancestral sampling with optional
+  x0-clipping, and RePaint-"sum" masked conditioning (``model.py:58-60``).
+* ``DDIMSampler`` (reference ``diffusion/ddim.py:11-207``): strided
+  deterministic/eta-stochastic sampling with mask-inpainting and
+  classifier-free guidance.
+
+The key structural difference from the reference: the reverse trajectories
+are ``jax.lax.scan`` loops *inside one jitted program* -- the entire
+T-step (or S-step) trajectory stays in HBM with zero host round-trips,
+instead of the reference's Python-loop-per-step (``model.py:54``,
+``ddim.py:141``). RNG is a scan-carried, split-per-step JAX key.
+
+All tensors are NHWC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eo_diffusion_tpu.core.schedules import (
+    DDIMSchedule,
+    DiffusionSchedule,
+    make_ddim_schedule,
+    make_schedule,
+)
+
+__all__ = ["GaussianDiffusion", "DiffusionOutput"]
+
+# A denoiser: (x_t [N,H,W,C], t [N], cond, y) -> eps_pred [N,H,W,C].
+DenoiseFn = Callable[..., jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionOutput:
+    """Sampling result: final x plus (optionally) logged intermediates."""
+
+    x: jax.Array
+    intermediates: Optional[jax.Array] = None  # [K, N, H, W, C]
+
+
+def _bcast(table: jax.Array, t: jax.Array) -> jax.Array:
+    """Gather per-sample schedule coefficients and broadcast to NHWC."""
+    return table[t][:, None, None, None]
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianDiffusion:
+    """Pure-function diffusion process around a denoiser ``model_fn``.
+
+    ``model_fn(x, t, cond, y) -> eps`` is typically
+    ``lambda x, t, cond, y: unet.apply(params, x, t, cond=cond, y=y)``; the
+    object itself carries only static schedule tables so it can be closed
+    over by ``jax.jit``.
+    """
+
+    schedule: DiffusionSchedule
+    image_size: int
+    in_channels: int
+    cond_type: Optional[str] = None  # None | "sum" (RePaint composite)
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        timesteps: int = 1000,
+        image_size: int = 64,
+        in_channels: int = 3,
+        cond_type: Optional[str] = None,
+        schedule: str = "cosine_eo",
+    ) -> "GaussianDiffusion":
+        return cls(
+            schedule=make_schedule(timesteps, schedule),
+            image_size=image_size,
+            in_channels=in_channels,
+            cond_type=cond_type,
+        )
+
+    @property
+    def timesteps(self) -> int:
+        return self.schedule.timesteps
+
+    # -- forward process ---------------------------------------------------
+
+    def q_sample(self, x0: jax.Array, t: jax.Array, noise: jax.Array) -> jax.Array:
+        """q(x_t | x_0) sample (reference ``_forward_diffusion``, model.py:94-98)."""
+        sched = self.schedule
+        return (
+            _bcast(jnp.asarray(sched.sqrt_alphas_cumprod), t) * x0
+            + _bcast(jnp.asarray(sched.sqrt_one_minus_alphas_cumprod), t) * noise
+        )
+
+    def train_loss(
+        self,
+        model_fn: DenoiseFn,
+        rng: jax.Array,
+        x0: jax.Array,
+        cond: Optional[jax.Array] = None,
+        y: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Epsilon-prediction MSE (reference model.py:38-44 + train.py:86,117).
+
+        Samples t ~ U[0, T) and noise ~ N(0, I) per batch element, q-samples,
+        and returns mean squared error between predicted and true noise.
+        """
+        t_rng, n_rng = jax.random.split(rng)
+        n = x0.shape[0]
+        t = jax.random.randint(t_rng, (n,), 0, self.timesteps)
+        noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
+        x_t = self.q_sample(x0, t, noise)
+        pred = model_fn(x_t, t, cond, y)
+        return jnp.mean((pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+
+    # -- reverse process (DDPM) --------------------------------------------
+
+    def _reverse_step(
+        self,
+        model_fn: DenoiseFn,
+        x_t: jax.Array,
+        t: jax.Array,
+        noise: jax.Array,
+        cond: Optional[jax.Array],
+        y: Optional[jax.Array],
+        clip: bool,
+    ) -> jax.Array:
+        """One ancestral reverse step.
+
+        ``clip=False``: posterior mean from predicted noise (reference
+        ``_reverse_diffusion``, model.py:101-122). ``clip=True``: predict x0,
+        clamp to [-1, 1], use the q-posterior mean (reference
+        ``_reverse_diffusion_with_clip``, model.py:125-150). The t==0 branch
+        (std=0, acp_prev=1) is expressed with ``jnp.where`` so the whole loop
+        stays inside one compiled scan.
+        """
+        sched = self.schedule
+        pred = model_fn(x_t, t, cond, y).astype(jnp.float32)
+        x_t = x_t.astype(jnp.float32)
+
+        alpha_t = _bcast(jnp.asarray(sched.alphas), t)
+        acp_t = _bcast(jnp.asarray(sched.alphas_cumprod), t)
+        acp_prev = _bcast(jnp.asarray(sched.alphas_cumprod_prev), t)
+        beta_t = _bcast(jnp.asarray(sched.betas), t)
+
+        t_pos = (t > 0)[:, None, None, None]
+
+        if clip:
+            x0_pred = (
+                _bcast(jnp.asarray(sched.sqrt_recip_alphas_cumprod), t) * x_t
+                - _bcast(jnp.asarray(sched.sqrt_recipm1_alphas_cumprod), t) * pred
+            )
+            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+            # q-posterior mean; at t==0 acp_prev==1 makes this collapse to the
+            # reference's t==0 expression (model.py:147) exactly.
+            mean = (
+                beta_t * jnp.sqrt(acp_prev) / (1.0 - acp_t) * x0_pred
+                + (1.0 - acp_prev) * jnp.sqrt(alpha_t) / (1.0 - acp_t) * x_t
+            )
+        else:
+            somacp = _bcast(jnp.asarray(sched.sqrt_one_minus_alphas_cumprod), t)
+            mean = (1.0 / jnp.sqrt(alpha_t)) * (
+                x_t - ((1.0 - alpha_t) / somacp) * pred
+            )
+
+        std = jnp.sqrt(beta_t * (1.0 - acp_prev) / (1.0 - acp_t))
+        std = jnp.where(t_pos, std, 0.0)
+        return mean + std * noise.astype(jnp.float32)
+
+    def ddpm_sample(
+        self,
+        model_fn: DenoiseFn,
+        rng: jax.Array,
+        n_samples: int,
+        cond: Optional[jax.Array] = None,
+        y: Optional[jax.Array] = None,
+        clip: bool = True,
+        log_every: Optional[int] = None,
+        dtype=jnp.float32,
+    ) -> DiffusionOutput:
+        """Ancestral DDPM sampling (reference ``EODiffusion.sampling``, model.py:47-75).
+
+        RePaint-"sum" conditioning: when ``cond_type == "sum"`` the cond tensor
+        is (gt | mask) channel-concat; at *every* reverse step the known
+        region is re-noised to level t and composited in before denoising
+        (reference model.py:58-60). Matching the reference, the same per-step
+        noise drives both the gt re-noising and the reverse-step stochasticity.
+
+        The T-step loop is a single ``lax.scan``; with ``log_every=k`` every
+        k-th intermediate x_t is stacked into the output (device-side; no
+        host sync per step -- unlike the reference's save_image calls).
+        """
+        shape = (n_samples, self.image_size, self.image_size, self.in_channels)
+        init_rng, scan_rng = jax.random.split(rng)
+        x_T = jax.random.normal(init_rng, shape, dtype)
+
+        gt = mask = None
+        if cond is not None and self.cond_type == "sum":
+            # cond = (gt RGB | mask) channel-concat (reference model.py:50-52)
+            gt, mask = cond[..., :3], cond[..., 3:4]
+            cond = None
+
+        ts = jnp.arange(self.timesteps - 1, -1, -1)
+
+        def step(carry, t_scalar):
+            x_t, key = carry
+            key, nk = jax.random.split(key)
+            noise = jax.random.normal(nk, shape, dtype)
+            t = jnp.full((n_samples,), t_scalar, jnp.int32)
+
+            if gt is not None:
+                gt_noised = self.q_sample(gt, t, noise)
+                x_t = mask * gt_noised + (1.0 - mask) * x_t
+
+            x_t = self._reverse_step(model_fn, x_t, t, noise, cond, y, clip).astype(dtype)
+            out = x_t if log_every else None
+            return (x_t, key), out
+
+        if log_every:
+            (x, _), inter = jax.lax.scan(step, (x_T, scan_rng), ts)
+            return DiffusionOutput(x=x, intermediates=inter[::log_every])
+        (x, _), _ = jax.lax.scan(step, (x_T, scan_rng), ts)
+        return DiffusionOutput(x=x)
+
+    # -- reverse process (DDIM) --------------------------------------------
+
+    def ddim_sample(
+        self,
+        model_fn: DenoiseFn,
+        rng: jax.Array,
+        n_samples: int,
+        num_steps: int = 250,
+        eta: float = 0.0,
+        method: str = "uniform",
+        cond: Optional[jax.Array] = None,
+        y: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        x0: Optional[jax.Array] = None,
+        x_T: Optional[jax.Array] = None,
+        temperature: float = 1.0,
+        guidance_scale: float = 1.0,
+        uncond: Optional[jax.Array] = None,
+        dtype=jnp.float32,
+    ) -> DiffusionOutput:
+        """DDIM sampling (reference ``DDIMSampler``, ddim.py:57-207).
+
+        * eta=0 gives the deterministic DDIM ODE; eta=1 recovers ancestral
+          DDPM variance on the subsequence (Song et al. 2010.02502 eq. 16).
+        * ``mask``/``x0``: RePaint-style inpainting -- before each step the
+          known region of x0 is re-noised to the current level and composited
+          (reference ddim.py:145-148; the reference's missing-noise-arg bug,
+          SURVEY.md §2.4, is fixed here by actually drawing noise).
+        * ``guidance_scale``/``uncond``: classifier-free guidance by
+          batch-doubling (reference ddim.py:177-181).
+
+        The S-step loop is one ``lax.scan``.
+        """
+        dd: DDIMSchedule = make_ddim_schedule(self.schedule, num_steps, eta, method)
+        shape = (n_samples, self.image_size, self.image_size, self.in_channels)
+
+        init_rng, scan_rng = jax.random.split(rng)
+        img = x_T if x_T is not None else jax.random.normal(init_rng, shape, dtype)
+
+        steps = jnp.asarray(dd.timesteps)          # ascending DDPM t per DDIM index
+        alphas = jnp.asarray(dd.alphas)
+        alphas_prev = jnp.asarray(dd.alphas_prev)
+        sigmas = jnp.asarray(dd.sigmas)
+        sqrt_oma = jnp.asarray(dd.sqrt_one_minus_alphas)
+
+        use_cfg = uncond is not None and guidance_scale != 1.0
+
+        def step(carry, idx):
+            x, key = carry
+            key, nk, mk = jax.random.split(key, 3)
+            t_scalar = steps[idx]
+            t = jnp.full((n_samples,), t_scalar, jnp.int32)
+
+            if mask is not None:
+                assert x0 is not None, "DDIM inpainting requires x0"
+                img_orig = self.q_sample(x0, t, jax.random.normal(mk, shape, dtype))
+                x = img_orig * mask + (1.0 - mask) * x
+
+            if use_cfg:
+                x_in = jnp.concatenate([x, x], axis=0)
+                t_in = jnp.concatenate([t, t], axis=0)
+                c_in = jnp.concatenate([uncond, cond], axis=0)
+                e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in, y), 2, axis=0)
+                e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+            else:
+                e_t = model_fn(x, t, cond, y)
+            e_t = e_t.astype(jnp.float32)
+            xf = x.astype(jnp.float32)
+
+            a_t = alphas[idx]
+            a_prev = alphas_prev[idx]
+            sigma_t = sigmas[idx]
+            sqrt_oma_t = sqrt_oma[idx]
+
+            # reference ddim.py:198-206
+            pred_x0 = (xf - sqrt_oma_t * e_t) / jnp.sqrt(a_t)
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
+            noise = sigma_t * jax.random.normal(nk, shape, jnp.float32) * temperature
+            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+            return (x_prev.astype(dtype), key), None
+
+        # iterate DDIM indices in descending order (reference ddim.py:135,142)
+        idxs = jnp.arange(dd.num_steps - 1, -1, -1)
+        (x, _), _ = jax.lax.scan(step, (img, scan_rng), idxs)
+        return DiffusionOutput(x=x)

@@ -1,0 +1,504 @@
+"""TPU-native OpenAI-style UNet denoiser (Flax linen, NHWC).
+
+Re-design of the reference production backbone ``backbones/unet_openai.py``
+(UNetModel, lines 522-780) for TPU:
+
+* NHWC layout, bf16-friendly compute with float32 GroupNorm/softmax.
+* The architecture is derived from a static :class:`UNetPlan` built by
+  :func:`build_unet_plan`, mirroring the constructor logic of the reference
+  (``unet_openai.py:607-744``) block-for-block so converted torch checkpoints
+  map 1:1 (dead ``nout/act/conv_out`` head params, ``unet_openai.py:744``,
+  are intentionally not recreated).
+* Conditioning parity: channel-concat `cond` before the first conv
+  (``unet_openai.py:754-756``) and class embedding added to the timestep
+  embedding (``unet_openai.py:604-605, 764-766``).
+* Attention supports both reference head-split orders
+  (``QKVAttentionLegacy``/``QKVAttention``, ``unet_openai.py:456-519``) and
+  can route through the fused Pallas kernel (``eo_diffusion_tpu.ops``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from eo_diffusion_tpu.nn.primitives import (
+    Conv,
+    Dense,
+    GroupNorm32,
+    ZeroConv,
+    ZeroDense,
+    avg_pool_2d,
+    nearest_upsample_2d,
+    timestep_embedding,
+)
+
+__all__ = [
+    "UNetConfig",
+    "UNet",
+    "build_unet_plan",
+    "UNetPlan",
+    "LayerSpec",
+    "unet_eo_train",
+    "unet_clouds",
+    "unet_big",
+    "unet_std",
+    "unet_small",
+]
+
+
+# ---------------------------------------------------------------------------
+# Config + plan
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Mirrors the reference ``UNetModel.__init__`` surface (unet_openai.py:553-575)."""
+
+    image_size: int
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Tuple[int, ...] = ()
+    time_emb_factor: int = 4
+    dropout: float = 0.0
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    use_checkpoint: bool = False
+    num_heads: int = 1
+    num_head_channels: int = -1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    use_new_attention_order: bool = False
+    dtype: Any = jnp.float32  # compute/activation dtype (params stay float32)
+
+    def __post_init__(self):
+        object.__setattr__(self, "attention_resolutions", tuple(self.attention_resolutions))
+        object.__setattr__(self, "channel_mult", tuple(self.channel_mult))
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.model_channels * self.time_emb_factor
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    """One layer inside a (TimestepEmbedSequential-equivalent) block."""
+
+    kind: str  # "conv" | "res" | "attn" | "down" | "up"
+    in_ch: int
+    out_ch: int
+    num_heads: int = 0
+    up: bool = False
+    down: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetPlan:
+    """Static layer plan, shared by the model and the checkpoint converter."""
+
+    input_blocks: Tuple[Tuple[LayerSpec, ...], ...]
+    middle_block: Tuple[LayerSpec, ...]
+    output_blocks: Tuple[Tuple[LayerSpec, ...], ...]
+    out_ch: int  # channels entering the output head
+
+
+def _attn_heads(cfg: UNetConfig, ch: int, upsample: bool) -> int:
+    if cfg.num_head_channels == -1:
+        heads = cfg.num_heads_upsample if (upsample and cfg.num_heads_upsample != -1) else cfg.num_heads
+    else:
+        assert ch % cfg.num_head_channels == 0, (ch, cfg.num_head_channels)
+        heads = ch // cfg.num_head_channels
+    assert ch % heads == 0, (ch, heads)
+    return heads
+
+
+def build_unet_plan(cfg: UNetConfig) -> UNetPlan:
+    """Replicates the block construction of reference ``unet_openai.py:607-744``."""
+    ch = input_ch = int(cfg.channel_mult[0] * cfg.model_channels)
+    input_blocks = [ ( LayerSpec("conv", cfg.in_channels, ch), ) ]
+    input_block_chans = [ch]
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            layers = [LayerSpec("res", ch, int(mult * cfg.model_channels))]
+            ch = int(mult * cfg.model_channels)
+            if ds in cfg.attention_resolutions:
+                layers.append(LayerSpec("attn", ch, ch, num_heads=_attn_heads(cfg, ch, False)))
+            input_blocks.append(tuple(layers))
+            input_block_chans.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            out_ch = ch
+            if cfg.resblock_updown:
+                input_blocks.append((LayerSpec("res", ch, out_ch, down=True),))
+            else:
+                input_blocks.append((LayerSpec("down", ch, out_ch),))
+            ch = out_ch
+            input_block_chans.append(ch)
+            ds *= 2
+
+    middle = (
+        LayerSpec("res", ch, ch),
+        LayerSpec("attn", ch, ch, num_heads=_attn_heads(cfg, ch, False)),
+        LayerSpec("res", ch, ch),
+    )
+
+    output_blocks = []
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            ich = input_block_chans.pop()
+            layers = [LayerSpec("res", ch + ich, int(cfg.model_channels * mult))]
+            ch = int(cfg.model_channels * mult)
+            if ds in cfg.attention_resolutions:
+                layers.append(LayerSpec("attn", ch, ch, num_heads=_attn_heads(cfg, ch, True)))
+            if level and i == cfg.num_res_blocks:
+                out_ch = ch
+                if cfg.resblock_updown:
+                    layers.append(LayerSpec("res", ch, out_ch, up=True))
+                else:
+                    layers.append(LayerSpec("up", ch, out_ch))
+                ds //= 2
+            output_blocks.append(tuple(layers))
+
+    return UNetPlan(
+        input_blocks=tuple(input_blocks),
+        middle_block=middle,
+        output_blocks=tuple(output_blocks),
+        out_ch=ch,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+
+class ResBlock(nn.Module):
+    """Residual block (reference ``ResBlock``, unet_openai.py:274-385).
+
+    GroupNorm32 -> SiLU -> conv3x3, timestep-embedding add (or FiLM
+    scale-shift), GroupNorm32 -> SiLU -> dropout -> zero-init conv3x3, with a
+    learned skip projection when channels change. ``up``/``down`` variants
+    resample both branches between the first norm and conv.
+    """
+
+    out_channels: int
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    use_conv_skip: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
+        if self.up:
+            h = nearest_upsample_2d(h)
+            x = nearest_upsample_2d(x)
+        elif self.down:
+            h = avg_pool_2d(h)
+            x = avg_pool_2d(x)
+        h = Conv(self.out_channels, 3, dtype=self.dtype, name="in_conv")(h)
+
+        emb_width = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
+        emb_out = Dense(emb_width, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :].astype(h.dtype)
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = nn.silu(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = ZeroConv(self.out_channels, 3, dtype=self.dtype, name="out_conv")(h)
+        else:
+            h = h + emb_out
+            h = GroupNorm32(name="out_norm")(h)
+            h = nn.silu(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = ZeroConv(self.out_channels, 3, dtype=self.dtype, name="out_conv")(h)
+
+        if self.out_channels == in_ch:
+            skip = x
+        elif self.use_conv_skip:
+            skip = Conv(self.out_channels, 3, dtype=self.dtype, name="skip_conv")(x)
+        else:
+            skip = Conv(self.out_channels, 1, dtype=self.dtype, name="skip_conv")(x)
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention (reference ``AttentionBlock``, unet_openai.py:388-433).
+
+    Both reference head-split orders are supported so converted checkpoints
+    compute identically:
+
+    * legacy (``QKVAttentionLegacy``, 456-485): qkv channels are laid out
+      head-major then (q|k|v) within each head;
+    * new (``QKVAttention``, 488-519): (q|k|v)-major then head within each.
+
+    Softmax statistics run in float32 ("more stable with f16 than dividing
+    afterwards", unet_openai.py:478) and the double-sqrt scaling is applied to
+    q and k symmetrically.
+    """
+
+    num_heads: int = 1
+    use_new_attention_order: bool = False
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hgt, wid, c = x.shape
+        heads = self.num_heads
+        ch = c // heads
+        t = hgt * wid
+
+        xt = x.reshape(b, t, c)
+        qkv = Dense(3 * c, dtype=self.dtype, name="qkv")(GroupNorm32(name="norm")(xt))
+
+        if self.use_new_attention_order:
+            qkv = qkv.reshape(b, t, 3, heads, ch)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        else:
+            qkv = qkv.reshape(b, t, heads, 3, ch)
+            q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
+        # q, k, v: [B, T, H, ch]
+
+        if self.use_pallas:
+            from eo_diffusion_tpu.ops.attention import fused_attention
+
+            a = fused_attention(q, k, v)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.float32(ch))).astype(q.dtype)
+            w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+            w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(v.dtype)
+            a = jnp.einsum("bhts,bshc->bthc", w, v)
+
+        a = a.reshape(b, t, c)
+        out = ZeroDense(c, dtype=self.dtype, name="proj_out")(a)
+        return (xt + out).reshape(b, hgt, wid, c)
+
+
+class Upsample(nn.Module):
+    """2x nearest upsample + optional conv (reference unet_openai.py:211-242)."""
+
+    out_channels: int
+    use_conv: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out = nearest_upsample_2d(x)
+        if self.use_conv:
+            out = Conv(self.out_channels, 3, dtype=self.dtype, name="conv")(out)
+        return out
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv or avg-pool downsample (reference unet_openai.py:245-271)."""
+
+    out_channels: int
+    use_conv: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.use_conv:
+            return Conv(self.out_channels, 3, stride=2, dtype=self.dtype, name="conv")(x)
+        assert x.shape[-1] == self.out_channels
+        return avg_pool_2d(x)
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+
+def _make_layer(cfg: UNetConfig, spec: LayerSpec, name: str) -> nn.Module:
+    if spec.kind == "conv":
+        return Conv(spec.out_ch, 3, dtype=cfg.dtype, name=name)
+    if spec.kind == "res":
+        cls = ResBlock
+        if cfg.use_checkpoint:
+            cls = nn.remat(ResBlock, static_argnums=())
+        return cls(
+            out_channels=spec.out_ch,
+            dropout=cfg.dropout,
+            use_scale_shift_norm=cfg.use_scale_shift_norm,
+            up=spec.up,
+            down=spec.down,
+            dtype=cfg.dtype,
+            name=name,
+        )
+    if spec.kind == "attn":
+        return AttentionBlock(
+            num_heads=spec.num_heads,
+            use_new_attention_order=cfg.use_new_attention_order,
+            dtype=cfg.dtype,
+            name=name,
+        )
+    if spec.kind == "down":
+        return Downsample(spec.out_ch, use_conv=cfg.conv_resample, dtype=cfg.dtype, name=name)
+    if spec.kind == "up":
+        return Upsample(spec.out_ch, use_conv=cfg.conv_resample, dtype=cfg.dtype, name=name)
+    raise ValueError(spec.kind)
+
+
+class UNet(nn.Module):
+    """The full timestep-embedded UNet (reference ``UNetModel``, unet_openai.py:522-780).
+
+    ``__call__(x, t, cond=None, y=None)`` with x: [N, H, W, C] (NHWC!),
+    t: [N] int/float timesteps, cond: [N, H, W, Cc] channel-concat
+    conditioning, y: [N] int class labels.
+    """
+
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        cond: Optional[jax.Array] = None,
+        y: Optional[jax.Array] = None,
+        *,
+        train: bool = False,
+    ) -> jax.Array:
+        cfg = self.config
+        plan = build_unet_plan(cfg)
+
+        if cond is not None:
+            # channel-concat conditioning entry (reference unet_openai.py:754-756)
+            x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
+
+        assert (y is not None) == (cfg.num_classes is not None), (
+            "must specify y if and only if the model is class-conditional"
+        )
+        assert x.shape[-1] == cfg.in_channels, (x.shape, cfg.in_channels)
+
+        # timestep embedding MLP (reference unet_openai.py:597-602, 763)
+        emb = timestep_embedding(timesteps, cfg.model_channels)
+        emb = Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="time_embed_0")(emb)
+        emb = nn.silu(emb)
+        emb = Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="time_embed_2")(emb)
+
+        if cfg.num_classes is not None:
+            # class embedding added to emb (reference unet_openai.py:604-605, 764-766)
+            emb = emb + nn.Embed(
+                cfg.num_classes, cfg.time_embed_dim, param_dtype=jnp.float32, name="label_emb"
+            )(y).astype(emb.dtype)
+
+        h = x.astype(cfg.dtype)
+        hs = []
+        for bi, block in enumerate(plan.input_blocks):
+            for li, spec in enumerate(block):
+                layer = _make_layer(cfg, spec, name=f"input_{bi}_{li}")
+                h = self._apply(layer, spec, h, emb, train)
+            hs.append(h)
+
+        for li, spec in enumerate(plan.middle_block):
+            layer = _make_layer(cfg, spec, name=f"middle_{li}")
+            h = self._apply(layer, spec, h, emb, train)
+
+        for bi, block in enumerate(plan.output_blocks):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            for li, spec in enumerate(block):
+                layer = _make_layer(cfg, spec, name=f"output_{bi}_{li}")
+                h = self._apply(layer, spec, h, emb, train)
+
+        # output head (reference unet_openai.py:739-743): norm -> SiLU -> zero conv
+        h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
+        h = ZeroConv(cfg.out_channels, 3, dtype=cfg.dtype, name="out_conv")(h)
+        return h.astype(x.dtype)
+
+    @staticmethod
+    def _apply(layer, spec, h, emb, train):
+        if spec.kind == "res":
+            return layer(h, emb, train=train)
+        return layer(h)
+
+
+# ---------------------------------------------------------------------------
+# Factory presets
+# ---------------------------------------------------------------------------
+
+
+def _preset_mults(image_size: int) -> Tuple[int, ...]:
+    if image_size == 128:
+        return (1, 1, 2, 3, 4)
+    if image_size == 64:
+        return (1, 2, 3, 4)
+    if image_size in (32, 28):
+        return (1, 2, 2, 2)
+    raise ValueError(f"unsupported image size: {image_size}")
+
+
+def _preset_attn_ds(image_size: int) -> Tuple[int, ...]:
+    res = "28,14,7" if image_size == 28 else "32,16,8"
+    return tuple(image_size // int(r) for r in res.split(","))
+
+
+def unet_eo_train(image_size: int = 64, in_channels: int = 3, out_channels: int = 3,
+                  base_dim: int = 128, num_classes: Optional[int] = None,
+                  dtype: Any = jnp.float32) -> UNetConfig:
+    """The active train.py config (reference train.py:50: base 128, mults
+    [1,2,3,4], no attention, 1 res-block, 1 head)."""
+    return UNetConfig(
+        image_size=image_size, in_channels=in_channels, model_channels=base_dim,
+        out_channels=out_channels, num_res_blocks=1, attention_resolutions=(),
+        channel_mult=(1, 2, 3, 4), num_heads=1, num_classes=num_classes, dtype=dtype,
+    )
+
+
+def unet_clouds(image_size: int = 64, in_channels: int = 3, out_channels: int = 3,
+                num_classes: Optional[int] = None, dtype: Any = jnp.float32) -> UNetConfig:
+    """The published clouds checkpoint config (reference configs/Configs.txt:20-23,
+    notebook cell 7): base 128, mults [1,2,3,4], attention at ds 4/8,
+    2 res-blocks, 8 heads."""
+    return UNetConfig(
+        image_size=image_size, in_channels=in_channels, model_channels=128,
+        out_channels=out_channels, num_res_blocks=2, attention_resolutions=(4, 8),
+        channel_mult=(1, 2, 3, 4), num_heads=8, num_classes=num_classes, dtype=dtype,
+    )
+
+
+def _preset(image_size: int, base_width: int, num_res_blocks: int, head_ch: int,
+            time_emb_factor: int = 4, in_channels: int = 3, out_channels: int = 3,
+            num_classes: Optional[int] = None, dtype: Any = jnp.float32) -> UNetConfig:
+    return UNetConfig(
+        image_size=image_size, in_channels=in_channels, model_channels=base_width,
+        out_channels=out_channels, num_res_blocks=num_res_blocks,
+        attention_resolutions=_preset_attn_ds(image_size), dropout=0.1,
+        channel_mult=_preset_mults(image_size), num_classes=num_classes,
+        num_heads=4, num_head_channels=head_ch, time_emb_factor=time_emb_factor,
+        use_scale_shift_norm=True, resblock_updown=True,
+        use_new_attention_order=True, dtype=dtype,
+    )
+
+
+def unet_big(image_size: int, **kw) -> UNetConfig:
+    """Reference ``UNetBig`` preset (unet_openai.py:783-827)."""
+    return _preset(image_size, base_width=kw.pop("base_width", 192), num_res_blocks=3, head_ch=64, **kw)
+
+
+def unet_std(image_size: int, **kw) -> UNetConfig:
+    """Reference ``UNet`` preset (unet_openai.py:830-874)."""
+    return _preset(image_size, base_width=kw.pop("base_width", 64), num_res_blocks=3, head_ch=64, **kw)
+
+
+def unet_small(image_size: int, **kw) -> UNetConfig:
+    """Reference ``UNetSmall`` preset (unet_openai.py:877-922)."""
+    return _preset(image_size, base_width=kw.pop("base_width", 32), num_res_blocks=2,
+                   head_ch=32, time_emb_factor=2, **kw)

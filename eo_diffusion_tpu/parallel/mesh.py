@@ -1,0 +1,89 @@
+"""Device mesh + sharding layout for SPMD training/sampling.
+
+The reference has no active distributed path (SURVEY.md §2.3); this module is
+the new, TPU-idiomatic design: a 1-D/2-D ``jax.sharding.Mesh`` with
+
+* ``data`` axis -- batch (data-parallel); gradients are reduced by the XLA
+  ``psum`` that jit inserts for sharded-batch reductions over ICI.
+* ``model`` axis -- optional parameter/tensor sharding hook (FSDP-style
+  sharding of params and Adam moments along their largest dimension).
+
+Everything is expressed with ``NamedSharding`` + ``jax.jit`` in/out shardings;
+no hand-written collectives are needed for the DP path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "fsdp_param_specs",
+    "shard_batch",
+]
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    With ``model=1`` (default) this is pure data-parallelism; the mesh shape
+    is chosen so data*model covers all requested devices. ICI adjacency is
+    preserved by keeping the device order XLA provides.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-leading sharding: dim 0 split over the 'data' axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def fsdp_param_specs(params, mesh: Mesh, min_size: int = 2**16, axis: str = "model"):
+    """FSDP-style PartitionSpecs: shard each large param along its largest
+    divisible dimension over ``axis``; small params stay replicated.
+
+    Optional (off by default): at the reference model scale (<100M params)
+    replication is faster; this hook exists for larger UNets / multi-host.
+    """
+    size = mesh.shape[axis]
+
+    def spec_for(p):
+        if size == 1 or p.size < min_size:
+            return P()
+        dims = list(p.shape)
+        order = sorted(range(len(dims)), key=lambda i: -dims[i])
+        for i in order:
+            if dims[i] % size == 0:
+                parts = [None] * len(dims)
+                parts[i] = axis
+                return P(*parts)
+        return P()
+
+    return jax.tree.map(spec_for, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host-side numpy batch onto the mesh, split along dim 0."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

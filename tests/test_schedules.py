@@ -1,0 +1,165 @@
+"""Golden tests for schedule math against the reference equations.
+
+The reference formulas (diffusion/model.py:87-92, diffusion/util.py:38-91)
+are re-derived here independently in numpy/torch and compared against
+eo_diffusion_tpu.core.schedules.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+
+from eo_diffusion_tpu.core import schedules as S
+
+
+class TestCosineBetas:
+    def test_matches_reference_formula_float32(self):
+        # Reference computes in torch float32 (diffusion/model.py:87-92).
+        T = 1000
+        steps = torch.linspace(0, T, steps=T + 1, dtype=torch.float32)
+        f_t = torch.cos(((steps / T + 0.008) / (1.0 + 0.008)) * math.pi * 0.5) ** 2
+        ref = torch.clip(1.0 - f_t[1:] / f_t[:T], 0.0, 0.999).numpy()
+
+        ours = S.cosine_betas(T)
+        np.testing.assert_allclose(ours, ref, rtol=0, atol=2e-6)
+
+    def test_monotone_alphas_cumprod(self):
+        sched = S.make_schedule(1000)
+        acp = sched.alphas_cumprod
+        assert np.all(np.diff(acp) < 0)
+        assert acp[0] > 0.99
+        assert acp[-1] < 1e-4
+
+    @pytest.mark.parametrize("T", [10, 100, 1000])
+    def test_beta_bounds(self, T):
+        betas = S.cosine_betas(T)
+        assert np.all(betas >= 0.0)
+        assert np.all(betas <= 0.999)
+        assert betas.dtype == np.float32
+
+
+class TestCompVisSchedules:
+    def test_linear_matches_reference(self):
+        # diffusion/util.py:39-42 computes in float64.
+        T = 1000
+        ref = (
+            torch.linspace(1e-4**0.5, 2e-2**0.5, T, dtype=torch.float64) ** 2
+        ).numpy()
+        np.testing.assert_allclose(S.make_beta_schedule("linear", T), ref, rtol=1e-12)
+
+    def test_cosine_matches_reference(self):
+        T = 1000
+        s = 8e-3
+        ts = torch.arange(T + 1, dtype=torch.float64) / T + s
+        alphas = ts / (1 + s) * np.pi / 2
+        alphas = torch.cos(alphas).pow(2)
+        alphas = alphas / alphas[0]
+        betas = 1 - alphas[1:] / alphas[:-1]
+        ref = np.clip(betas.numpy(), 0, 0.999)
+        np.testing.assert_allclose(S.make_beta_schedule("cosine", T), ref, rtol=1e-12)
+
+    def test_sqrt_variants(self):
+        T = 100
+        np.testing.assert_allclose(
+            S.make_beta_schedule("sqrt_linear", T),
+            np.linspace(1e-4, 2e-2, T),
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            S.make_beta_schedule("sqrt", T),
+            np.linspace(1e-4, 2e-2, T) ** 0.5,
+            rtol=1e-12,
+        )
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            S.make_beta_schedule("nope", 10)
+
+
+class TestDDIMTimesteps:
+    def test_uniform_default_config(self):
+        # T=1000, S=250 -> c=4 -> steps 1,5,...,997 (util.py:63-77)
+        steps = S.make_ddim_timesteps("uniform", 250, 1000)
+        assert steps.shape == (250,)
+        assert steps[0] == 1
+        assert steps[-1] == 997
+        assert np.all(np.diff(steps) == 4)
+
+    def test_quad(self):
+        steps = S.make_ddim_timesteps("quad", 50, 1000)
+        ref = ((np.linspace(0, np.sqrt(1000 * 0.8), 50)) ** 2).astype(int) + 1
+        np.testing.assert_array_equal(steps, ref)
+
+    def test_off_by_one_guard(self):
+        # ddim.py:27 -- when T/S < 2 the +1 shift would index out of range.
+        sched = S.make_schedule(1000)
+        dd = S.make_ddim_schedule(sched, 600)
+        assert dd.timesteps.max() < 1000
+        assert dd.timesteps.min() >= 0
+
+    def test_no_guard_when_sparse(self):
+        sched = S.make_schedule(1000)
+        dd = S.make_ddim_schedule(sched, 250)
+        assert dd.timesteps[0] == 1  # +1 shift retained
+
+
+class TestDDIMParameters:
+    def test_sigma_zero_at_eta_zero(self):
+        sched = S.make_schedule(1000)
+        dd = S.make_ddim_schedule(sched, 50, eta=0.0)
+        np.testing.assert_array_equal(dd.sigmas, np.zeros(50, np.float32))
+
+    def test_sigma_formula_eta_one(self):
+        # util.py:86: sigma = eta*sqrt((1-a_prev)/(1-a) * (1 - a/a_prev))
+        sched = S.make_schedule(1000)
+        dd = S.make_ddim_schedule(sched, 50, eta=1.0)
+        acp = sched.alphas_cumprod.astype(np.float64)
+        a = acp[dd.timesteps]
+        a_prev = np.concatenate([[acp[0]], acp[dd.timesteps[:-1]]])
+        ref = np.sqrt((1 - a_prev) / (1 - a) * (1 - a / a_prev))
+        np.testing.assert_allclose(dd.sigmas, ref, rtol=1e-5)
+
+    def test_alphas_prev_shifted(self):
+        sched = S.make_schedule(1000)
+        dd = S.make_ddim_schedule(sched, 50)
+        acp = sched.alphas_cumprod
+        np.testing.assert_allclose(dd.alphas_prev[1:], acp[dd.timesteps[:-1]], rtol=1e-6)
+        np.testing.assert_allclose(dd.alphas_prev[0], acp[0], rtol=1e-6)
+
+    def test_eta_between(self):
+        sched = S.make_schedule(1000)
+        d0 = S.make_ddim_schedule(sched, 50, eta=0.0)
+        d5 = S.make_ddim_schedule(sched, 50, eta=0.5)
+        d1 = S.make_ddim_schedule(sched, 50, eta=1.0)
+        np.testing.assert_allclose(d5.sigmas, 0.5 * d1.sigmas, rtol=1e-6)
+        assert np.all(d5.sigmas[1:] > d0.sigmas[1:])
+
+
+class TestBetasForAlphaBar:
+    def test_cosine_alpha_bar(self):
+        # guided-diffusion's standard usage of betas_for_alpha_bar
+        ab = lambda t: math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+        betas = S.betas_for_alpha_bar(100, ab)
+        assert betas.shape == (100,)
+        assert np.all(betas > 0) and np.all(betas <= 0.999)
+
+
+class TestDiffusionScheduleProperties:
+    def test_identities(self):
+        sched = S.make_schedule(1000)
+        np.testing.assert_allclose(
+            sched.sqrt_alphas_cumprod**2 + sched.sqrt_one_minus_alphas_cumprod**2,
+            np.ones(1000, np.float32),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            sched.sqrt_recip_alphas_cumprod,
+            1.0 / sched.sqrt_alphas_cumprod,
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(sched.alphas_cumprod_prev[0], 1.0)
+        np.testing.assert_allclose(
+            sched.alphas_cumprod_prev[1:], sched.alphas_cumprod[:-1]
+        )
