@@ -1,0 +1,80 @@
+"""Headline benchmark: DDIM-50 sampling throughput at 256x256 on one TPU chip.
+
+Metric (BASELINE.md / BASELINE.json north star): sampled images/sec/chip for
+the flagship clouds-config UNet (reference configs/Configs.txt:20-23 -- 88M
+params, base 128, mults [1,2,3,4], attention at ds 4/8) running the full
+50-step DDIM reverse trajectory as a single jitted ``lax.scan``, bf16
+activations.
+
+``vs_baseline`` compares against an estimated reference throughput on its own
+hardware (README.md:44-50: Quadro RTX 4000-class GPU, PyTorch 1.13): the
+reference publishes no throughput numbers (SURVEY.md §6), so we estimate
+dense-fp16 tensor peak ~28 TFLOPs at a generous 20% MFU for the eager
+per-step torch loop => ~5.6 TF/s effective. One 256x256 DDIM-50 sample costs
+50 * ~1.1 TFLOPs => ~9.8s/image => ~0.102 img/s. (The driver's north star is
+5x that on a v5e-8 pod slice == 0.064 img/s/chip.)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+RTX4000_EST_IMG_PER_SEC = 0.102  # see module docstring
+
+IMAGE_SIZE = 256
+BATCH = 8
+DDIM_STEPS = 50
+WARMUP = 1
+ITERS = 3
+
+
+def main():
+    from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+    from eo_diffusion_tpu.models.unet import UNet, unet_clouds
+
+    cfg = unet_clouds(IMAGE_SIZE, dtype=jnp.bfloat16)
+    model = UNet(cfg)
+    diffusion = GaussianDiffusion.create(
+        timesteps=1000, image_size=IMAGE_SIZE, in_channels=3
+    )
+
+    x0 = jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
+
+    def sample(params, rng):
+        model_fn = lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y)
+        out = diffusion.ddim_sample(
+            model_fn, rng, BATCH, num_steps=DDIM_STEPS, dtype=jnp.bfloat16
+        )
+        # scalar fetch forces full device execution (axon's block_until_ready
+        # does not reliably block through the tunnel)
+        return jnp.float32(jnp.sum(out.x))
+
+    f = jax.jit(sample)
+    for _ in range(WARMUP):
+        float(f(params, jax.random.PRNGKey(0)))
+
+    t0 = time.time()
+    for i in range(ITERS):
+        float(f(params, jax.random.PRNGKey(i)))
+    dt = (time.time() - t0) / ITERS
+
+    img_per_sec = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"sampled images/sec/chip (256x256, DDIM-{DDIM_STEPS}, clouds UNet bf16)",
+                "value": round(img_per_sec, 4),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_sec / RTX4000_EST_IMG_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
