@@ -1,0 +1,217 @@
+"""Inference/eval CLI with the reference's flag surface.
+
+``python -m eo_diffusion_tpu.cli.inference --preset clouds64-attn
+--ckpt logs/run/best --sampler ddim --sampler_steps 250 --metrics --save``
+
+Flags mirror reference ``inference.py:23-47`` (--batch_size --sampler_steps
+--outdir --ckpt --model_base_dim --timesteps --no_clip --cpu --metrics
+--save --random_label --num_classes --cond_type --sampler --samples_fid
+--n_iter) plus preset/dataset selection and --eta.
+
+Behavioral parity notes (and deliberate divergences, SURVEY.md §2.4):
+* cond build follows inference.py:101-109: mask inversion for
+  ``cond_type=sum``, optional random-rectangle mask (``--random_label``),
+  (image|mask) channel-concat;
+* sample rescaling uses the dataset's explicit ``data_range`` instead of
+  the reference's ``image.min()>=0`` heuristic (inference.py:128);
+* SSIM/PSNR accumulate per batch (inference.py:136-138) via the jnp metrics;
+* per-class ``samples_fid/`` export for FID (inference.py:144-147);
+* the reference's unconditional ``breakpoint()`` (inference.py:130) and its
+  broken DDIM-inpaint plumbing are NOT reproduced -- DDIM masking works here
+  (fixed x0/noise plumbing in diffusion/gaussian.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="EO diffusion inference (TPU-native)")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--sampler_steps", type=int, default=250)
+    parser.add_argument("--outdir", type=str, default="results/run")
+    parser.add_argument("--ckpt", type=str, default="")
+    parser.add_argument("--model_base_dim", type=int, default=None)
+    parser.add_argument("--timesteps", type=int, default=None)
+    parser.add_argument("--no_clip", action="store_true")
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--metrics", action="store_true")
+    parser.add_argument("--save", action="store_true")
+    parser.add_argument("--random_label", action="store_true")
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--num_classes", type=int, default=0)
+    parser.add_argument("--cond_type", type=str, default=None)
+    parser.add_argument("--sampler", type=str, default="ddpm", choices=["ddpm", "ddim"])
+    parser.add_argument("--samples_fid", action="store_true")
+    parser.add_argument("--n_iter", type=int, default=None)
+    parser.add_argument("--eta", type=float, default=0.0)
+    parser.add_argument("--preset", type=str, default="inria64")
+    parser.add_argument("--dataset", type=str, default=None)
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--image_size", type=int, default=None)
+    parser.add_argument("--no_bf16", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    return parser.parse_args(argv)
+
+
+def main(args):
+    import jax.numpy as jnp
+
+    from eo_diffusion_tpu.cli.presets import get_preset
+    from eo_diffusion_tpu.data.factories import DATASET_FACTORIES
+    from eo_diffusion_tpu.data.transforms import random_rect_mask
+    from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+    from eo_diffusion_tpu.models.unet import UNet
+    from eo_diffusion_tpu.train.checkpoint import restore_checkpoint
+    from eo_diffusion_tpu.train.trainer import TrainState
+    from eo_diffusion_tpu.utils import metrics as M
+    from eo_diffusion_tpu.utils.images import rescale_to_unit, save_image_grid
+
+    preset = get_preset(args.preset)
+    dataset = args.dataset or preset.dataset
+    image_size = args.image_size or preset.image_size
+    timesteps = args.timesteps or preset.timesteps
+    if args.model_base_dim:
+        preset.base_dim = args.model_base_dim
+    cond_type = args.cond_type or preset.cond_type
+    num_classes = args.num_classes if args.num_classes > 0 else None
+
+    factory = DATASET_FACTORIES[dataset]
+    fkw = dict(batch_size=args.batch_size, test=True)
+    if args.data_root:
+        fkw["root"] = args.data_root
+    if dataset == "synthetic":
+        fkw["image_size"] = image_size
+        fkw["channels"] = preset.in_channels
+        fkw.pop("test")
+    _, test_loader = factory(**fkw)
+    data_range = test_loader.dataset.data_range
+
+    cond_channels = 4 if cond_type == "concat" else 0
+    ucfg = preset.unet_config(num_classes=num_classes, bf16=not args.no_bf16,
+                              cond_channels=cond_channels)
+    model = UNet(ucfg)
+    diffusion = GaussianDiffusion.create(
+        timesteps=timesteps, image_size=image_size,
+        in_channels=preset.in_channels, cond_type=cond_type,
+    )
+
+    x0 = jnp.zeros((1, image_size, image_size, preset.in_channels))
+    init_kw = {"cond": jnp.zeros((1, image_size, image_size, 4))} if cond_channels else {}
+    if num_classes:
+        init_kw["y"] = jnp.zeros((1,), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
+                                 jnp.zeros((1,), jnp.int32), **init_kw)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"Diffusion with {n_params/1e6} M params")
+
+    ema_params = params
+    if args.ckpt:
+        print("loading checkpoint...")
+        if os.path.isdir(args.ckpt):
+            from eo_diffusion_tpu.train.checkpoint import restore_params
+
+            params, ema_params = restore_params(args.ckpt, params)
+        else:
+            from eo_diffusion_tpu.tools.convert_ckpt import load_torch_checkpoint
+
+            params = ema_params = load_torch_checkpoint(args.ckpt, ucfg)
+        print("loaded!")
+
+    model_fn = lambda x, t, c, y: model.apply(ema_params, x, t, cond=c, y=y)
+    classes = list({"austin": 0, "chicago": 1, "kitsap": 2, "tyrol": 3, "vienna": 4})
+
+    dir_samples = os.path.join(args.outdir, "samples")
+    dir_fid = os.path.join(args.outdir, "samples_fid")
+    os.makedirs(dir_samples, exist_ok=True)
+    os.makedirs(dir_fid, exist_ok=True)
+    offset = len(os.listdir(dir_samples)) if cond_type is None else len(os.listdir(dir_samples)) // 3
+
+    print("start inference")
+    rng = jax.random.PRNGKey(args.seed)
+    mask_rng = np.random.default_rng(args.seed)
+    ssim_sum, psnr_sum, n = 0.0, 0.0, 0
+    for j, batch in enumerate(test_loader):
+        print(f"data {j}")
+        image = np.asarray(batch["image"], np.float32)
+        bsz = image.shape[0]
+        mask = np.asarray(batch.get("segmentation"), np.float32) if cond_type is not None and "segmentation" in batch else None
+        if cond_type == "sum" and mask is not None:
+            mask = 1.0 - mask  # invert: known region = non-cloud (inference.py:101)
+        if args.random_label and cond_type == "sum":
+            mask = np.stack(
+                [random_rect_mask((image_size, image_size), 10, 10, 40, 40, mask_rng)
+                 for _ in range(bsz)]
+            )
+        cond = None
+        if cond_type == "sum" and mask is not None:
+            cond = np.concatenate([image, mask], axis=-1)
+        elif cond_type == "concat" and mask is not None:
+            cond = np.concatenate([image, mask], axis=-1)
+
+        y = np.full((bsz,), min(j % (num_classes - 1), num_classes - 1)) if num_classes else None
+        catg = classes[int(y[0])] if y is not None else "sample"
+
+        rng, srng = jax.random.split(rng)
+        if args.sampler == "ddpm":
+            out = diffusion.ddpm_sample(
+                model_fn, srng, bsz,
+                cond=jnp.asarray(cond) if cond is not None else None,
+                y=jnp.asarray(y) if y is not None else None,
+                clip=not args.no_clip,
+            )
+            samples = np.asarray(out.x, np.float32)
+        else:
+            mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
+            out = diffusion.ddim_sample(
+                model_fn, srng, bsz, num_steps=args.sampler_steps, eta=args.eta,
+                cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
+                y=jnp.asarray(y) if y is not None else None,
+                mask=mask_j,
+                x0=jnp.asarray(image) if mask_j is not None else None,
+            )
+            samples = np.asarray(out.x, np.float32)
+
+        samples01 = rescale_to_unit(samples, data_range)
+        idx = j + offset
+        if cond is not None:
+            # visualize cond as dimmed-out masked image (inference.py:134)
+            cond_vis = image * np.clip(mask + 0.7, 0, 1)
+            gt01 = rescale_to_unit(image, data_range)
+            cond01 = rescale_to_unit(cond_vis, data_range)
+            if args.metrics:
+                s = float(M.ssim(jnp.asarray(samples01), jnp.asarray(gt01)))
+                p = float(M.psnr(jnp.asarray(samples01), jnp.asarray(gt01)))
+                ssim_sum, psnr_sum = ssim_sum + s, psnr_sum + p
+            if args.save:
+                nrow = int(math.sqrt(bsz)) or 1
+                save_image_grid(gt01, os.path.join(dir_samples, f"sample_{idx}_gt.png"), nrow=nrow)
+                save_image_grid(cond01, os.path.join(dir_samples, f"sample_{idx}_cond.png"), nrow=nrow)
+        if args.samples_fid:
+            for i in range(samples01.shape[0]):
+                save_image_grid(samples01[i], os.path.join(dir_fid, f"{catg}_{idx}-{i}.png"))
+        if args.save:
+            save_image_grid(samples01, os.path.join(dir_samples, f"sample_{idx}.png"),
+                            nrow=int(math.sqrt(bsz)) or 1)
+        n += 1
+        if args.metrics and n:
+            print("metrics: ", ssim_sum / n, psnr_sum / n)
+            with open(os.path.join(args.outdir, "metrics.txt"), "w") as f:
+                f.write(f"ssim: {ssim_sum / n}\n")
+                f.write(f"psnr: {psnr_sum / n}\n")
+                f.write(f"length: {n}\n")
+        if args.n_iter is not None and j >= args.n_iter:
+            break
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    if args.cpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    main(args)

@@ -1,0 +1,76 @@
+"""Named experiment presets (the config registry SURVEY.md §5 calls for).
+
+The reference selects architectures by editing source lines
+(train.py:50-52, inference.py:60-62; known-good recipes in
+configs/Configs.txt). Here each recipe is a named preset selectable with
+``--preset``; every field can still be overridden by the reference's CLI
+flags (``--model_base_dim``, ``--timesteps``, ...).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from eo_diffusion_tpu.models.unet import UNetConfig
+
+__all__ = ["Preset", "PRESETS", "get_preset"]
+
+
+@dataclasses.dataclass
+class Preset:
+    name: str
+    dataset: str
+    image_size: int
+    in_channels: int
+    base_dim: int
+    dim_mults: Tuple[int, ...]
+    attention_resolutions: Tuple[int, ...]
+    num_res_blocks: int
+    num_heads: int
+    cond_type: Optional[str] = None
+    num_classes: int = 0
+    timesteps: int = 1000
+    batch_size: int = 128
+
+    def unet_config(self, num_classes: Optional[int] = None, bf16: bool = True,
+                    cond_channels: int = 0) -> UNetConfig:
+        return UNetConfig(
+            image_size=self.image_size,
+            in_channels=self.in_channels + cond_channels,
+            model_channels=self.base_dim,
+            out_channels=self.in_channels,
+            num_res_blocks=self.num_res_blocks,
+            attention_resolutions=self.attention_resolutions,
+            channel_mult=self.dim_mults,
+            num_heads=self.num_heads,
+            num_classes=num_classes if num_classes else (self.num_classes or None),
+            dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        )
+
+
+PRESETS = {
+    # train.py:50 active default (base 128, no attention, 1 res-block)
+    "eurosat64": Preset("eurosat64", "eurosat", 64, 3, 128, (1, 2, 3, 4), (), 1, 1),
+    # configs/Configs.txt:20-23 / notebook cell 7: the published clouds recipe
+    "clouds64-attn": Preset("clouds64-attn", "clouds", 64, 3, 128, (1, 2, 3, 4), (4, 8), 2, 8,
+                            cond_type="sum"),
+    # inference.py:60 variant (mults 1,2,4,8)
+    "inria64": Preset("inria64", "inria", 64, 3, 128, (1, 2, 4, 8), (), 1, 1),
+    "oscd64": Preset("oscd64", "oscd", 64, 3, 128, (1, 2, 3, 4), (4, 8), 2, 8),
+    # BASELINE.json CPU-runnable MNIST config
+    "mnist": Preset("mnist", "mnist", 28, 1, 32, (1, 2, 2), (), 1, 1,
+                    timesteps=1000, batch_size=128),
+    "synthetic64": Preset("synthetic64", "synthetic", 64, 3, 64, (1, 2, 3, 4), (4, 8), 1, 4),
+    # tiny smoke config for CI / CPU runs
+    "tiny": Preset("tiny", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
+                   timesteps=50, batch_size=16),
+}
+
+
+def get_preset(name: str) -> Preset:
+    if name not in PRESETS:
+        raise ValueError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return dataclasses.replace(PRESETS[name])

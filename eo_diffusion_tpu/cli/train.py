@@ -1,0 +1,207 @@
+"""Training CLI with the reference's flag surface.
+
+``python -m eo_diffusion_tpu.cli.train --preset clouds64-attn --epochs 100``
+
+Flags mirror reference ``train.py:22-42`` (--lr --batch_size --epochs --dir
+--ckpt --n_samples --model_base_dim --timesteps --model_ema_steps
+--model_ema_decay --log_freq --no_clip --cpu --wandb --num_classes) plus the
+preset/dataset selectors that replace the reference's edit-the-source config
+flow (README.md:85-104).
+
+Behavioral parity notes:
+* periodic EMA sampling to PNG grids (train.py:148-154) and best-loss +
+  periodic checkpointing (train.py:133-155) -- with the reference's
+  stale-`ckpt` best-loss bug (SURVEY.md §2.4) fixed: we save the *current*
+  state when the loss improves;
+* class-conditional training works (the reference's was broken by the
+  unbound `target` at train.py:112).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train EO diffusion (TPU-native)")
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--dir", type=str, default="results/run", help="sample output directory")
+    parser.add_argument("--ckpt", type=str, default="", help="checkpoint path to resume from")
+    parser.add_argument("--n_samples", type=int, default=16)
+    parser.add_argument("--model_base_dim", type=int, default=None)
+    parser.add_argument("--timesteps", type=int, default=None)
+    parser.add_argument("--model_ema_steps", type=int, default=10)
+    parser.add_argument("--model_ema_decay", type=float, default=0.995)
+    parser.add_argument("--log_freq", type=int, default=10)
+    parser.add_argument("--no_clip", action="store_true")
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--num_classes", type=int, default=0)
+    parser.add_argument("--cond_type", type=str, default=None)
+    # new: config registry instead of edit-the-source
+    parser.add_argument("--preset", type=str, default="eurosat64")
+    parser.add_argument("--dataset", type=str, default=None, help="override preset dataset")
+    parser.add_argument("--data_root", type=str, default=None)
+    parser.add_argument("--image_size", type=int, default=None)
+    parser.add_argument("--steps_per_epoch", type=int, default=None,
+                        help="cap steps per epoch (smoke runs)")
+    parser.add_argument("--no_bf16", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--sample_every", type=int, default=1000)
+    parser.add_argument("--save_every", type=int, default=1000)
+    return parser.parse_args(argv)
+
+
+def main(args):
+    from eo_diffusion_tpu.cli.presets import get_preset
+    from eo_diffusion_tpu.data.factories import DATASET_FACTORIES
+    from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+    from eo_diffusion_tpu.models.unet import UNet
+    from eo_diffusion_tpu.train.checkpoint import best_dir, restore_checkpoint, save_checkpoint
+    from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
+    from eo_diffusion_tpu.utils.images import save_image_grid
+
+    preset = get_preset(args.preset)
+    dataset = args.dataset or preset.dataset
+    image_size = args.image_size or preset.image_size
+    timesteps = args.timesteps or preset.timesteps
+    if args.model_base_dim:
+        preset.base_dim = args.model_base_dim
+    cond_type = args.cond_type or preset.cond_type
+    num_classes = args.num_classes if args.num_classes > 0 else None
+
+    factory = DATASET_FACTORIES[dataset]
+    fkw = dict(batch_size=args.batch_size)
+    if args.data_root:
+        fkw["root"] = args.data_root
+    if dataset == "synthetic":
+        fkw["image_size"] = image_size
+        fkw["channels"] = preset.in_channels
+    train_loader, test_loader = factory(**fkw)
+    steps_per_epoch = len(train_loader)
+    if args.steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
+    data_range = train_loader.dataset.data_range
+
+    # "sum" (RePaint) conditions at sampling time only (model.py:52): the
+    # UNet stays unconditional. "concat" feeds (image|mask) channels in.
+    cond_channels = 4 if cond_type == "concat" else 0
+    ucfg = preset.unet_config(num_classes=num_classes, bf16=not args.no_bf16,
+                              cond_channels=cond_channels)
+    model = UNet(ucfg)
+    diffusion = GaussianDiffusion.create(
+        timesteps=timesteps, image_size=image_size,
+        in_channels=preset.in_channels, cond_type=cond_type,
+    )
+
+    tcfg = TrainerConfig(
+        lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
+        timesteps=timesteps, model_ema_steps=args.model_ema_steps,
+        model_ema_decay=args.model_ema_decay, log_freq=args.log_freq,
+        n_samples=args.n_samples, no_clip=args.no_clip,
+        num_classes=args.num_classes, cond_type=cond_type,
+        ckpt_dir=os.path.join("logs", os.path.split(args.dir)[1]),
+        sample_dir=args.dir, seed=args.seed,
+    )
+    trainer = Trainer(tcfg, model, diffusion, steps_per_epoch)
+
+    first = next(iter(train_loader))
+    batch0 = _to_model_batch(first, cond_type)
+    state = trainer.init(jax.random.PRNGKey(args.seed), batch0)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    print(f"Diffusion with {n_params/1e6} M params")
+
+    if args.ckpt:
+        print("Loading checkpoint...")
+        state = restore_checkpoint(args.ckpt, state)
+        print("loaded!")
+
+    run = None
+    if args.wandb:
+        try:
+            import wandb
+
+            run = wandb.init(project="EO-minimal-diffusion")
+        except Exception as e:  # offline env: degrade to prints
+            print(f"wandb unavailable ({e}); logging to stdout only")
+
+    os.makedirs(args.dir, exist_ok=True)
+    os.makedirs(tcfg.ckpt_dir, exist_ok=True)
+
+    best_loss = 0.9  # same initial bar as the reference (train.py:100)
+    global_steps = 0
+    y_test = np.full((args.n_samples,), 1) if args.num_classes > 0 else None
+    t_start = time.time()
+    for epoch in range(args.epochs):
+        for j, batch in enumerate(train_loader):
+            if j >= steps_per_epoch:
+                break
+            mb = _to_model_batch(batch, cond_type)
+            state, metrics = trainer.step(state, mb)
+            global_steps += 1
+            loss = float(metrics["loss"])
+            lr = trainer.current_lr(global_steps - 1)
+            if j % args.log_freq == 0:
+                print(
+                    "Epoch[{}/{}],Step[{}/{}],loss:{:.5f},lr:{:.5f}".format(
+                        epoch + 1, args.epochs, j, steps_per_epoch, loss, lr
+                    )
+                )
+            if run is not None:
+                run.log({"loss": loss, "lr": lr})
+
+            if loss < best_loss:
+                best_loss = loss
+                save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), name="best")
+
+            if global_steps % args.sample_every == 0:
+                cond = mb.get("cond")
+                cond = cond[: args.n_samples] if cond is not None else None
+                samples = trainer.sample(
+                    state, jax.random.PRNGKey(global_steps),
+                    n=args.n_samples, cond=cond,
+                    y=None if y_test is None else np.asarray(y_test),
+                )
+                img_path = os.path.join(args.dir, f"steps_{global_steps:08d}.png")
+                save_image_grid(np.asarray(samples), img_path,
+                                nrow=int(math.sqrt(args.n_samples)), data_range=data_range)
+                print(f"saving in {img_path}, epoch {epoch}")
+                if cond is not None:
+                    save_image_grid(np.asarray(cond[..., :3]),
+                                    os.path.join(args.dir, f"steps_{global_steps:08d}_cond.png"),
+                                    nrow=int(math.sqrt(args.n_samples)), data_range=data_range)
+            if global_steps % args.save_every == 0:
+                save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step=global_steps)
+
+    save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step=global_steps)
+    dt = time.time() - t_start
+    print(f"done: {global_steps} steps in {dt:.1f}s ({global_steps/max(dt,1e-9):.2f} steps/s)")
+    if run is not None:
+        run.finish()
+
+
+def _to_model_batch(batch, cond_type):
+    """Build the model batch dict; for cond_type=sum the cond is
+    (image | 1-mask) channel-concat like inference.py:101,109."""
+    out = {"image": batch["image"]}
+    if cond_type == "sum" and "segmentation" in batch:
+        inv_mask = 1.0 - batch["segmentation"]
+        out["cond"] = np.concatenate([batch["image"], inv_mask], axis=-1)
+    if "class" in batch:
+        out["label"] = batch["class"]
+    return out
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    if args.cpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    main(args)

@@ -1,0 +1,532 @@
+"""EO dataset classes (host-side, numpy, NHWC).
+
+Re-designs of the reference dataset zoo (``data_utils/data_load.py``) with
+the same on-disk layouts and filtering semantics, but:
+
+* NHWC float32 numpy output (TPU layout) instead of CHW torch tensors;
+* an explicit ``data_range`` property per dataset instead of the reference's
+  runtime ``image.min()>=0`` branching (train.py:150, inference.py:128 --
+  see SURVEY.md §7 "hard parts");
+* lazy, windowed patch addressing wherever the reference eagerly loads
+  full 5000^2 tiles into RAM (``data_load.py:257-258``), so the input
+  pipeline can stream to a pod slice;
+* a synthetic EO generator for data-free benches/tests.
+
+Every ``__getitem__`` returns a dict with "image" [H,W,C] and optionally
+"segmentation" [H,W,1] / "class" int -- the same batch vocabulary the
+reference uses (``data_load.py:308-310``).
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from eo_diffusion_tpu.data.patches import (
+    grid_patches,
+    num_windows,
+    subsample_patches,
+    window_index,
+)
+
+__all__ = [
+    "Dataset",
+    "SyntheticEO",
+    "MNISTDataset",
+    "CIFAR10Dataset",
+    "InriaDataset",
+    "CloudMaskDataset",
+    "OSCDDataset",
+    "SARWakeDataset",
+    "EuroSATDataset",
+    "get_metadata",
+    "train_val_split",
+    "Subset",
+]
+
+
+class Dataset:
+    """Minimal map-style dataset protocol."""
+
+    #: value range of "image" entries: (0, 1) or (-1, 1)
+    data_range: Tuple[float, float] = (0.0, 1.0)
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        raise NotImplementedError
+
+
+class Subset(Dataset):
+    def __init__(self, dataset: Dataset, indices: Sequence[int]):
+        self.dataset, self.indices = dataset, list(indices)
+        self.data_range = dataset.data_range
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+
+def train_val_split(dataset: Dataset, val_fraction: float = 0.15, seed: int = 4097):
+    """Deterministic random train/val split (replaces the reference's
+    ``torch.random_split(generator=manual_seed(4097))``, data.py:74)."""
+    n = len(dataset)
+    perm = np.random.default_rng(seed).permutation(n)
+    n_val = int(round(val_fraction * n))
+    return Subset(dataset, perm[n_val:]), Subset(dataset, perm[:n_val])
+
+
+def _open_image(path: str, mode: str = "RGB") -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert(mode), np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# Synthetic EO data (no reference equivalent; enables data-free operation)
+# ---------------------------------------------------------------------------
+
+
+class SyntheticEO(Dataset):
+    """Procedural EO-like imagery: smooth 'terrain' + blobby 'cloud' masks.
+
+    Deterministic per index. Stands in for any of the real datasets in
+    tests, benchmarks and the CLIs (``--dataset synthetic``).
+    """
+
+    def __init__(self, size: int = 64, length: int = 1024, channels: int = 3,
+                 num_classes: int = 5, with_mask: bool = True, seed: int = 0,
+                 data_range: Tuple[float, float] = (0.0, 1.0)):
+        self.size, self.length, self.channels = size, length, channels
+        self.num_classes, self.with_mask, self.seed = num_classes, with_mask, seed
+        self.data_range = data_range
+
+    def __len__(self):
+        return self.length
+
+    def _field(self, rng, scale: float) -> np.ndarray:
+        """Smooth random field via low-res noise + bilinear upsample."""
+        low = max(int(self.size / scale), 2)
+        coarse = rng.normal(size=(low, low)).astype(np.float32)
+        ry = np.linspace(0, low - 1, self.size)
+        y0 = np.floor(ry).astype(int)
+        y1 = np.minimum(y0 + 1, low - 1)
+        wy = (ry - y0).astype(np.float32)
+        rows = coarse[y0] * (1 - wy[:, None]) + coarse[y1] * wy[:, None]
+        cols = rows[:, y0] * (1 - wy[None, :]) + rows[:, y1] * wy[None, :]
+        return cols
+
+    def __getitem__(self, i):
+        rng = np.random.default_rng(self.seed * 1_000_003 + i)
+        base = self._field(rng, 8.0)
+        img = np.stack(
+            [base * rng.uniform(0.3, 1.0) + 0.15 * self._field(rng, 4.0)
+             for _ in range(self.channels)],
+            axis=-1,
+        )
+        img = (img - img.min()) / max(float(np.ptp(img)), 1e-6)
+        lo, hi = self.data_range
+        img = (img * (hi - lo) + lo).astype(np.float32)
+        out = {"image": img, "class": np.int32(i % self.num_classes)}
+        if self.with_mask:
+            cloud = self._field(rng, 6.0)
+            thr = np.quantile(cloud, rng.uniform(0.55, 0.8))
+            out["segmentation"] = (cloud > thr).astype(np.float32)[:, :, None]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# MNIST / CIFAR10 (reference data.py:24-62, data_load.py:384-397)
+# ---------------------------------------------------------------------------
+
+
+class MNISTDataset(Dataset):
+    """MNIST from raw IDX files; output in [-1,1] like the reference's
+    Normalize([0.5],[0.5]) preprocessing (data.py:26-28)."""
+
+    data_range = (-1.0, 1.0)
+
+    def __init__(self, root: str, train: bool = True, image_size: int = 28):
+        kind = "train" if train else "t10k"
+        self.images = self._read_idx(root, f"{kind}-images-idx3-ubyte")
+        self.labels = self._read_idx(root, f"{kind}-labels-idx1-ubyte")
+        self.image_size = image_size
+
+    @staticmethod
+    def _read_idx(root: str, name: str) -> np.ndarray:
+        path = os.path.join(root, name)
+        opener = open
+        if not os.path.exists(path):
+            path += ".gz"
+            opener = gzip.open
+        with opener(path, "rb") as f:
+            magic = struct.unpack(">HBB", f.read(4))
+            ndim = magic[2]
+            dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+            return np.frombuffer(f.read(), np.uint8).reshape(dims)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        img = self.images[i].astype(np.float32) / 255.0
+        if self.image_size != img.shape[0]:
+            from eo_diffusion_tpu.data.transforms import Resize
+
+            img = Resize(self.image_size)(img[:, :, None], None)[:, :, 0]
+        return {
+            "image": (img[:, :, None] * 2.0 - 1.0).astype(np.float32),
+            "class": np.int32(self.labels[i]),
+        }
+
+
+class CIFAR10Dataset(Dataset):
+    """CIFAR-10 from the python-pickle batches; [0,1] range like the
+    reference's ToTensor-only pipeline (data.py:44-48)."""
+
+    data_range = (0.0, 1.0)
+
+    def __init__(self, root: str, train: bool = True):
+        import pickle
+
+        files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+        xs, ys = [], []
+        base = os.path.join(root, "cifar-10-batches-py")
+        for fn in files:
+            with open(os.path.join(base, fn), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.extend(d[b"labels"])
+        self.images = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        self.labels = np.asarray(ys, np.int32)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return {
+            "image": self.images[i].astype(np.float32) / 255.0,
+            "class": self.labels[i],
+        }
+
+
+# ---------------------------------------------------------------------------
+# Inria Aerial Image Labeling (reference data_load.py:212-316)
+# ---------------------------------------------------------------------------
+
+INRIA_CLASSES = {"austin": 0, "chicago": 1, "kitsap": 2, "tyrol": 3, "vienna": 4}
+
+
+class InriaDataset(Dataset):
+    """5000x5000 aerial tiles + building-mask GTs, patchified.
+
+    Same layout/semantics as the reference (``data_load.py:212-316``): globs
+    ``train/images/*.tif`` + ``train/gt/*.tif``, optional ``length``-limited
+    uniform tile subsampling (data_load.py:236-238), city->class labels from
+    filename prefixes (data_load.py:252, 289), ``num_patches`` uniformly
+    subsampled patches per tile at stride ``(1-overlap)*size``
+    (make_patches, data_load.py:159-185).
+
+    Unlike the reference's eager full-tile materialization
+    (data_load.py:257-258), tiles are memoized lazily per worker and patches
+    are strided views -- O(tile) memory instead of O(dataset).
+    """
+
+    data_range = (0.0, 1.0)
+
+    def __init__(self, path: str, size: int = 64, patch_overlap: float = 0.5,
+                 num_patches: int = 200, length: int = 0, mask_threshold: float = 0.5):
+        self.images = sorted(glob.glob(os.path.join(path, "train/images", "*tif")))
+        self.masks = sorted(glob.glob(os.path.join(path, "train/gt", "*tif")))
+        assert len(self.images) == len(self.masks), (len(self.images), len(self.masks))
+        if length > 0 and length < len(self.images):
+            jump = len(self.images) // length
+            self.images = self.images[: length * jump : jump]
+            self.masks = self.masks[: length * jump : jump]
+        self.size = size
+        self.step = max(int((1 - patch_overlap) * size), 1)
+        self.mask_threshold = mask_threshold
+        # patches per tile (capped like data_load.py:168)
+        if self.images:
+            probe = _open_image(self.images[0])
+            grid = grid_patches(probe, size, self.step)
+            total = grid.shape[0] * grid.shape[1]
+        else:
+            total = 0
+        self.n_patches = min(num_patches, total) if total else 0
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def __len__(self):
+        return len(self.images) * self.n_patches
+
+    def _tile(self, n: int):
+        if n not in self._cache:
+            self._cache.clear()  # keep at most one tile per worker
+            img = _open_image(self.images[n], "RGB")
+            msk = _open_image(self.masks[n], "L")
+            self._cache[n] = (img, msk)
+        return self._cache[n]
+
+    def class_label(self, tile_idx: int) -> int:
+        name = os.path.basename(self.images[tile_idx])
+        for city, lbl in INRIA_CLASSES.items():
+            if name.startswith(city[:3]):
+                return lbl
+        return 0
+
+    def __getitem__(self, i):
+        tile_idx, p = divmod(i, self.n_patches)
+        img, msk = self._tile(tile_idx)
+        # uniform subsample over the flattened grid (data_load.py:182-184)
+        grid = grid_patches(img, self.size, self.step)
+        mgrid = grid_patches(msk, self.size, self.step)
+        total = grid.shape[0] * grid.shape[1]
+        jump = max(total // self.n_patches, 1)
+        flat_idx = p * jump
+        gi, gj = divmod(flat_idx, grid.shape[1])
+        patch = np.ascontiguousarray(grid[gi, gj])
+        mpatch = np.ascontiguousarray(mgrid[gi, gj])
+        mpatch = (mpatch >= self.mask_threshold).astype(np.float32)
+        return {
+            "image": patch,
+            "segmentation": mpatch,
+            "class": np.int32(self.class_label(tile_idx)),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Sentinel-2 Cloud Mask Catalogue (reference data_load.py:400-468)
+# ---------------------------------------------------------------------------
+
+
+class CloudMaskDataset(Dataset):
+    """Sentinel-2 CMC subscenes: 1022x1022 .npy tiles + mask .npy, filtered by
+    the classification-tags CSV, windowed into patches.
+
+    Filtering semantics follow data_load.py:410-419: snow/ice == 0,
+    clear_percent >= percents[0], cloud_percent >= percents[1], and the tile
+    tagged with at least one of ``classes``. Bands [3,2,1] -> RGB, clipped to
+    [0,1] (data_load.py:437-438); mask channel 1 (data_load.py:439).
+    """
+
+    data_range = (0.0, 1.0)
+
+    def __init__(self, root: str, classes: Sequence[str] = ("agricultural", "urban/developed", "hills/mountains"),
+                 percents: Sequence[float] = (50, 25, 70), size: int = 64,
+                 num_patches: int = 200, ratio: float = 0.0, length: int = 3):
+        import pandas as pd
+
+        self.img_path = os.path.join(root, "subscenes")
+        self.mask_path = os.path.join(root, "masks")
+        db = pd.read_csv(os.path.join(root, "classification_tags.csv"), index_col="index")
+        keep = (db["snow/ice"] == 0) & (db["clear_percent"] >= percents[0]) & (
+            db["cloud_percent"] >= percents[1]
+        )
+        tagged = np.zeros(len(db), bool)
+        for cls in classes:
+            tagged |= (db[cls] == 1).to_numpy()
+        db = db[keep.to_numpy() & tagged]
+        names = list(db["scene"])
+        self.names = names[:length] if 0 < length < len(names) else names
+
+        self.size = size
+        self.orig = (1022, 1022)
+        self.step = max(int((1 - ratio) * size), 1)
+        n_i, n_j = num_windows(self.orig, size, self.step)
+        self.n_j = n_j
+        self.num_patches = min(num_patches, n_i * n_j)
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def __len__(self):
+        return len(self.names) * self.num_patches
+
+    def _tile(self, n: int):
+        if n not in self._cache:
+            self._cache.clear()
+            img = np.load(os.path.join(self.img_path, self.names[n] + ".npy"))
+            msk = np.load(os.path.join(self.mask_path, self.names[n] + ".npy"))
+            img = np.clip(img[..., [3, 2, 1]], 0, 1).astype(np.float32)
+            msk = msk[..., 1:2].astype(np.float32)  # channel 1 (data_load.py:439)
+            self._cache[n] = (img, msk)
+        return self._cache[n]
+
+    def __getitem__(self, i):
+        n, p = divmod(i, self.num_patches)
+        img, msk = self._tile(n)
+        ii, jj = window_index(p, self.orig, self.size, self.step, self.n_j)
+        sl = np.s_[ii : ii + self.size, jj : jj + self.size]
+        return {
+            "image": np.ascontiguousarray(img[sl]),
+            "segmentation": np.ascontiguousarray(msk[sl]),
+        }
+
+
+# ---------------------------------------------------------------------------
+# OSCD change detection (reference data_load.py:470-501)
+# ---------------------------------------------------------------------------
+
+
+class OSCDDataset(Dataset):
+    """Onera change-detection patches: paired t1/t2 RGB rectified crops +
+    change labels, real or synthetic ("fake") directory layouts.
+
+    Filename patterns follow data_load.py:479-481: ``*imgs_2_rect-rgb*`` (t2,
+    the "image"), ``*imgs_1_rect-rgb*`` (t1), ``*lbl*`` (change mask). The
+    reference getitem returns (t2, label); ``return_pair=True`` additionally
+    yields t1 as "image2" for change-pair generation.
+    """
+
+    data_range = (0.0, 1.0)
+
+    def __init__(self, path: str, length: Optional[int] = None, return_pair: bool = False):
+        self.img_names = sorted(glob.glob(os.path.join(path, "*imgs_2_rect-rgb*")))
+        self.gt_names = sorted(glob.glob(os.path.join(path, "*imgs_1_rect-rgb*")))
+        self.label_names = sorted(glob.glob(os.path.join(path, "*lbl*")))
+        if length is not None:
+            self.img_names = self.img_names[:length]
+            self.label_names = self.label_names[:length]
+        self.return_pair = return_pair
+
+    @staticmethod
+    def fake_dirname(base: str, pw=64, ph=64, sw=32, sh=32, mnh=10, mnw=10,
+                     mxw=50, mxh=50, clip=0.3, mult=1) -> str:
+        """Synthetic-OSCD directory naming scheme (data_load.py:473-474)."""
+        name = f"OSCD_p_dataset_{pw}_{ph}_{sw}_{sh}_{mnw}_{mnh}_{mxw}_{mxh}_{clip}"
+        if mult > 1:
+            name += f"_{mult}"
+        return os.path.join(base, name)
+
+    def __len__(self):
+        return len(self.img_names)
+
+    def __getitem__(self, n):
+        img = _open_image(self.img_names[n], "RGB")
+        label = _open_image(self.label_names[n], "L")
+        out = {"image": img, "segmentation": label}
+        if self.return_pair and n < len(self.gt_names):
+            out["image2"] = _open_image(self.gt_names[n], "RGB")
+        return out
+
+
+# ---------------------------------------------------------------------------
+# SAR ship-wake tiles (reference data_load.py:503-555)
+# ---------------------------------------------------------------------------
+
+
+class SARWakeDataset(Dataset):
+    """Variable-size grayscale SAR tiles windowed into patches with per-tile
+    patch-count bookkeeping (cumulative index -> (tile, window), mirroring
+    data_load.py:515-533 including the clamped edge windows)."""
+
+    data_range = (0.0, 1.0)
+
+    def __init__(self, root: str, mode: str = "train", size: int = 64,
+                 num_patches: int = 200, ratio: float = 0.5, length: int = 1):
+        import pandas as pd
+
+        sub = "train2017" if mode == "train" else "val2017"
+        self.root = os.path.join(root, sub)
+        csv = "train_csv.csv" if mode == "train" else "val_csv.csv"
+        db = pd.read_csv(os.path.join(self.root, csv))
+        self.names = list(db["filename"][:length])
+        self.size = size
+        self.step = max(int((1 - ratio) * size), 1)
+
+        self.counts: List[int] = []
+        self.sizes: List[Tuple[int, int]] = []
+        for name in self.names:
+            from PIL import Image
+
+            with Image.open(os.path.join(self.root, name)) as im:
+                w, h = im.size
+            n_i, n_j = num_windows((h, w), size, self.step, overhang=True)
+            self.counts.append(min(num_patches, n_i * n_j))
+            self.sizes.append((h, w))
+        self.cum = np.cumsum(self.counts)
+
+    def __len__(self):
+        return int(self.cum[-1]) if len(self.cum) else 0
+
+    def __getitem__(self, i):
+        n = int(np.searchsorted(self.cum, i, side="right"))
+        p = i - (self.cum[n - 1] if n else 0)
+        tile = _open_image(os.path.join(self.root, self.names[n]), "L")
+        h, w = tile.shape[:2]
+        _, n_j = num_windows((h, w), self.size, self.step, overhang=True)
+        ii, jj = window_index(int(p), (h, w), self.size, self.step, n_j, clamp=True)
+        return {"image": np.ascontiguousarray(tile[ii : ii + self.size, jj : jj + self.size])}
+
+
+# ---------------------------------------------------------------------------
+# EuroSAT (reference data_load.py:557-586)
+# ---------------------------------------------------------------------------
+
+
+class EuroSATDataset(Dataset):
+    """EuroSAT RGB folder dataset; class label from the folder name (the
+    reference drops the label, data_load.py:584; we keep it)."""
+
+    data_range = (0.0, 1.0)
+
+    def __init__(self, root: str):
+        self.folders = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        self.files: List[str] = []
+        self.labels: List[int] = []
+        for ci, folder in enumerate(self.folders):
+            for f in sorted(glob.glob(os.path.join(root, folder, "*.jpg"))):
+                self.files.append(f)
+                self.labels.append(ci)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, n):
+        return {
+            "image": _open_image(self.files[n], "RGB"),
+            "class": np.int32(self.labels[n]),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Metadata registry (reference data.py:125-218)
+# ---------------------------------------------------------------------------
+
+_METADATA = {
+    "mnist": dict(image_size=28, num_classes=10, train_images=60000, val_images=10000, num_channels=1),
+    "mnist_m": dict(image_size=28, num_classes=10, train_images=60000, val_images=10000, num_channels=3),
+    "cifar10": dict(image_size=32, num_classes=10, train_images=50000, val_images=10000, num_channels=3),
+    "melanoma": dict(image_size=64, num_classes=2, train_images=33126, val_images=0, num_channels=3),
+    "afhq": dict(image_size=64, num_classes=3, train_images=14630, val_images=1500, num_channels=3),
+    "celeba": dict(image_size=64, num_classes=4, train_images=109036, val_images=12376, num_channels=3),
+    "cars": dict(image_size=64, num_classes=196, train_images=8144, val_images=8041, num_channels=3),
+    "flowers": dict(image_size=64, num_classes=102, train_images=2040, val_images=6149, num_channels=3),
+    "gtsrb": dict(image_size=32, num_classes=43, train_images=39252, val_images=12631, num_channels=3),
+    # EO datasets (new entries)
+    "eurosat": dict(image_size=64, num_classes=10, train_images=27000, val_images=0, num_channels=3),
+    "inria": dict(image_size=64, num_classes=5, train_images=0, val_images=0, num_channels=3),
+    "clouds": dict(image_size=64, num_classes=0, train_images=0, val_images=0, num_channels=3),
+    "oscd": dict(image_size=64, num_classes=0, train_images=0, val_images=0, num_channels=3),
+    "sarwake": dict(image_size=64, num_classes=0, train_images=0, val_images=0, num_channels=1),
+    "synthetic": dict(image_size=64, num_classes=5, train_images=1024, val_images=128, num_channels=3),
+}
+
+
+def get_metadata(name: str) -> dict:
+    """Dataset metadata registry (reference ``get_metadata``, data.py:125-218)."""
+    if name not in _METADATA:
+        raise ValueError(f"{name} dataset not supported!")
+    return dict(_METADATA[name])

@@ -1,0 +1,157 @@
+"""Host-side data loader: shuffling, batching, per-process sharding, and
+background prefetch onto the device mesh.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` usage
+(``data_utils/data.py:41-122``) with a numpy loader designed for SPMD input:
+
+* deterministic epoch shuffles from a seed (reproducible across hosts);
+* ``shard=(host_id, num_hosts)`` slices the index stream so each process
+  loads only its own rows (the JAX multi-host input recipe);
+* a background thread pipelines __getitem__/augmentation with device compute;
+* :func:`device_put_sharded_batches` double-buffers batches onto the mesh's
+  'data' axis.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from eo_diffusion_tpu.data.datasets import Dataset
+
+__all__ = ["DataLoader", "device_prefetch"]
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        shard: Tuple[int, int] = (0, 1),
+        transforms: Optional[Callable] = None,
+        transform_keys: Tuple[str, ...] = ("image", "segmentation"),
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shard = shard
+        self.transforms = transforms
+        self.transform_keys = transform_keys
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        shard_id, n_shards = self.shard
+        n = len(self.dataset) // n_shards
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + self._epoch).permutation(n)
+        else:
+            idx = np.arange(n)
+        shard_id, n_shards = self.shard
+        return idx[shard_id::n_shards]
+
+    def _make_batch(self, idxs: np.ndarray, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        items = []
+        for i in idxs:
+            item = self.dataset[int(i)]
+            if self.transforms is not None:
+                # joint geometric transform over image|mask channel-concat
+                # (reference data_load.py:295-297)
+                keys = [k for k in self.transform_keys if k in item]
+                chans = [item[k].shape[-1] for k in keys]
+                joint = np.concatenate([item[k] for k in keys], axis=-1)
+                joint = self.transforms(joint, rng)
+                pos = 0
+                item = dict(item)
+                for k, c in zip(keys, chans):
+                    item[k] = np.ascontiguousarray(joint[..., pos : pos + c])
+                    pos += c
+            items.append(item)
+        keys = items[0].keys()
+        return {k: np.stack([it[k] for it in items]) for k in keys}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        self._epoch += 1
+        nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+        rng = np.random.default_rng((self.seed, self._epoch))
+
+        if self.prefetch <= 0:
+            for b in range(nb):
+                yield self._make_batch(idx[b * self.batch_size : (b + 1) * self.batch_size], rng)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(idx[b * self.batch_size : (b + 1) * self.batch_size], rng))
+            except Exception as e:  # surface loader errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def device_prefetch(iterator, mesh=None, size: int = 2):
+    """Move batches onto the mesh ('data'-sharded) ``size`` steps ahead of
+    consumption, overlapping host->HBM transfer with device compute."""
+    import collections
+
+    import jax
+
+    sharding = None
+    if mesh is not None:
+        from eo_diffusion_tpu.parallel.mesh import data_sharding
+
+        sharding = data_sharding(mesh)
+
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -59,16 +59,19 @@ def make_train_step(
     ema_decay: float,
     ema_every: int = 10,
     class_conditional: bool = False,
-    cond_key: Optional[str] = None,
+    use_cond: bool = False,
 ):
     """Build the pure train-step fn: (state, batch, rng) -> (state, metrics).
 
     ``batch`` is a dict with "image" [N,H,W,C] and optionally "cond" /
     "label" entries (mirrors the reference's dict batches, data.py docs).
+    ``use_cond`` enables channel-concat conditioning during training (the
+    reference's cond path, unet_openai.py:754-756). RePaint-"sum"
+    conditioning is sampling-time only (model.py:52) and must NOT set this.
     """
 
     def loss_fn(params, batch, rng):
-        cond = batch.get("cond") if cond_key or "cond" in batch else None
+        cond = batch.get("cond") if use_cond else None
         y = batch.get("label") if class_conditional else None
         model_fn = lambda x, t, c, yy: apply_fn(params, x, t, cond=c, y=yy, train=True)
         return diffusion.train_loss(model_fn, rng, batch["image"], cond=cond, y=y)
@@ -169,6 +172,7 @@ class Trainer:
             ema_decay=self.ema_decay,
             ema_every=cfg.model_ema_steps,
             class_conditional=cfg.num_classes > 0,
+            use_cond=cfg.cond_type == "concat",
         )
 
         state_sharding = replicated(self.mesh)
@@ -187,7 +191,7 @@ class Trainer:
         x = jnp.asarray(sample_batch["image"][:1])
         t = jnp.zeros((1,), jnp.int32)
         kwargs = {}
-        if self.cfg.cond_type is not None and "cond" in sample_batch:
+        if self.cfg.cond_type == "concat" and "cond" in sample_batch:
             kwargs["cond"] = jnp.asarray(sample_batch["cond"][:1])
         if self.cfg.num_classes > 0:
             kwargs["y"] = jnp.zeros((1,), jnp.int32)

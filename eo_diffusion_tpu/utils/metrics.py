@@ -1,0 +1,170 @@
+"""Evaluation metrics: SSIM, PSNR, FID machinery (jit-compiled jnp).
+
+Replaces the reference's torchmetrics SSIM/PSNR calls (inference.py:7-8,
+136-138) and the torch-fidelity FID/IS harness
+(``script_utils/evaluate_metrics.py:3-17``):
+
+* :func:`ssim` -- standard Wang et al. SSIM with an 11x11 Gaussian window
+  (sigma 1.5), matching torchmetrics defaults, NHWC, batched and jittable.
+* :func:`psnr` -- peak signal-to-noise ratio over the full batch.
+* :class:`FrechetDistance` -- feature-statistics accumulator + the exact
+  Frechet distance between Gaussians. The Inception-v3 feature extractor is
+  pluggable (no pretrained weights are bundled in this environment); any
+  callable batch[N,H,W,C] -> features[N,D] works, and
+  :func:`tiny_feature_extractor` provides a deterministic random-projection
+  fallback so the full FID pipeline is exercisable offline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ssim", "psnr", "FrechetDistance", "tiny_feature_extractor", "inception_score"]
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 'valid' convolution of NHWC with a 2D kernel."""
+    k = kernel[:, :, None, None]  # HWIO with I=1, O=1
+    c = img.shape[-1]
+    k = jnp.tile(k, (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        img, k,
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def ssim(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Mean SSIM over a batch (NHWC), torchmetrics-compatible defaults."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    k1, k2 = 0.01, 0.03
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    # clamp the window to the image (keeps tiny smoke-test images finite)
+    kernel_size = min(kernel_size, pred.shape[1], pred.shape[2])
+    if kernel_size % 2 == 0:
+        kernel_size -= 1
+    kern = _gaussian_kernel(kernel_size, sigma)
+
+    mu_x = _filter2d(pred, kern)
+    mu_y = _filter2d(target, kern)
+    mu_xx, mu_yy, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sigma_x = _filter2d(pred * pred, kern) - mu_xx
+    sigma_y = _filter2d(target * target, kern) - mu_yy
+    sigma_xy = _filter2d(pred * target, kern) - mu_xy
+
+    num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
+    den = (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2)
+    return jnp.mean(num / den)
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
+    """Peak signal-to-noise ratio over the whole batch (torchmetrics default
+    reduction: one MSE over all elements)."""
+    mse = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+    return 10.0 * jnp.log10(data_range**2 / jnp.maximum(mse, 1e-12))
+
+
+def tiny_feature_extractor(dim: int = 192, seed: int = 0) -> Callable:
+    """Deterministic random-projection features (offline FID fallback).
+
+    Projects 16x16-downsampled images through a fixed random matrix + ReLU.
+    NOT comparable to Inception-FID numbers, but monotone in distribution
+    mismatch and fully offline; swap in a real Inception extractor for
+    published-comparable scores.
+    """
+    rng = np.random.default_rng(seed)
+    w = None
+
+    def extract(batch: jnp.ndarray) -> jnp.ndarray:
+        nonlocal w
+        x = jax.image.resize(batch, (batch.shape[0], 16, 16, batch.shape[-1]), "bilinear")
+        flat = x.reshape(x.shape[0], -1)
+        if w is None or w.shape[0] != flat.shape[1]:
+            w = jnp.asarray(rng.normal(0, 1 / np.sqrt(flat.shape[1]), (flat.shape[1], dim)),
+                            jnp.float32)
+        return jax.nn.relu(flat @ w)
+
+    return extract
+
+
+class FrechetDistance:
+    """Streaming Frechet distance between two feature distributions.
+
+    Usage::
+
+        fd = FrechetDistance(extractor)
+        for batch in real_loader:   fd.update_real(batch["image"])
+        for batch in samples:       fd.update_fake(batch)
+        score = fd.compute()
+    """
+
+    def __init__(self, extractor: Optional[Callable] = None):
+        self.extractor = extractor or tiny_feature_extractor()
+        self._real: list = []
+        self._fake: list = []
+
+    def update_real(self, images):
+        self._real.append(np.asarray(self.extractor(jnp.asarray(images))))
+
+    def update_fake(self, images):
+        self._fake.append(np.asarray(self.extractor(jnp.asarray(images))))
+
+    @staticmethod
+    def _stats(feats: np.ndarray):
+        mu = feats.mean(0)
+        cov = np.cov(feats, rowvar=False)
+        return mu, np.atleast_2d(cov)
+
+    @staticmethod
+    def frechet(mu1, cov1, mu2, cov2) -> float:
+        """d^2 = |mu1-mu2|^2 + Tr(C1 + C2 - 2 sqrt(C1 C2))."""
+        import scipy.linalg
+
+        diff = mu1 - mu2
+        covmean, _ = scipy.linalg.sqrtm(cov1 @ cov2, disp=False)
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+        return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * np.trace(covmean))
+
+    def compute(self) -> float:
+        real = np.concatenate(self._real)
+        fake = np.concatenate(self._fake)
+        return self.frechet(*self._stats(real), *self._stats(fake))
+
+
+def inception_score(probs: np.ndarray, splits: int = 10) -> tuple:
+    """IS = exp(E_x KL(p(y|x) || p(y))) over class-probability rows.
+
+    The classifier is pluggable like the FID extractor (reference uses
+    torch-fidelity's InceptionV3, evaluate_metrics.py:7-15).
+    """
+    scores = []
+    n = len(probs)
+    for k in range(splits):
+        part = probs[k * n // splits : (k + 1) * n // splits]
+        if len(part) == 0:
+            continue
+        py = part.mean(0, keepdims=True)
+        kl = (part * (np.log(part + 1e-12) - np.log(py + 1e-12))).sum(1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores)), float(np.std(scores))

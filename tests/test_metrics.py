@@ -1,0 +1,102 @@
+"""Metric tests: SSIM/PSNR properties, FID machinery, image grid utils."""
+
+import numpy as np
+import pytest
+
+from eo_diffusion_tpu.utils import metrics as M
+from eo_diffusion_tpu.utils.images import make_grid, rescale_to_unit, save_image_grid
+
+
+class TestSSIM:
+    def test_identity_is_one(self):
+        x = np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        assert float(M.ssim(x, x)) == pytest.approx(1.0, abs=1e-4)
+
+    def test_noise_lowers_ssim(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 0.2, x.shape).astype(np.float32), 0, 1)
+        s = float(M.ssim(x, y))
+        assert 0.0 < s < 0.95
+
+    def test_monotone_in_noise(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)
+        vals = []
+        for sd in (0.05, 0.1, 0.3):
+            y = np.clip(x + rng.normal(0, sd, x.shape).astype(np.float32), 0, 1)
+            vals.append(float(M.ssim(x, y)))
+        assert vals[0] > vals[1] > vals[2]
+
+    def test_small_images_finite(self):
+        x = np.random.default_rng(0).uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+        assert np.isfinite(float(M.ssim(x, x * 0.9)))
+
+
+class TestPSNR:
+    def test_formula(self):
+        x = np.zeros((1, 8, 8, 1), np.float32)
+        y = np.full_like(x, 0.1)
+        # mse = 0.01 -> psnr = -10*log10(0.01) = 20
+        assert float(M.psnr(x, y)) == pytest.approx(20.0, abs=1e-3)
+
+    def test_identical_large(self):
+        x = np.random.default_rng(0).uniform(size=(1, 8, 8, 1)).astype(np.float32)
+        assert float(M.psnr(x, x)) > 100
+
+
+class TestFID:
+    def test_zero_for_same_distribution(self):
+        rng = np.random.default_rng(0)
+        fd = M.FrechetDistance()
+        imgs = rng.uniform(0, 1, (64, 32, 32, 3)).astype(np.float32)
+        fd.update_real(imgs[:32])
+        fd.update_fake(imgs[:32])
+        assert fd.compute() == pytest.approx(0.0, abs=1e-3)
+
+    def test_larger_for_shifted_distribution(self):
+        rng = np.random.default_rng(0)
+        fd_same, fd_diff = M.FrechetDistance(), M.FrechetDistance()
+        a = rng.uniform(0, 1, (64, 32, 32, 3)).astype(np.float32)
+        b = rng.uniform(0, 1, (64, 32, 32, 3)).astype(np.float32)
+        shifted = np.clip(b * 0.3 + 0.7, 0, 1)
+        fd_same.update_real(a)
+        fd_same.update_fake(b)
+        fd_diff.update_real(a)
+        fd_diff.update_fake(shifted)
+        assert fd_diff.compute() > fd_same.compute()
+
+    def test_inception_score(self):
+        # peaked per-sample distributions + uniform marginal -> high IS
+        probs = np.eye(10, dtype=np.float64)[np.arange(100) % 10] * 0.99 + 0.001
+        probs /= probs.sum(1, keepdims=True)
+        mean, std = M.inception_score(probs, splits=5)
+        assert mean > 5.0
+        # uniform per-sample -> IS == 1
+        uni = np.full((100, 10), 0.1)
+        mean_u, _ = M.inception_score(uni, splits=5)
+        assert mean_u == pytest.approx(1.0, abs=1e-6)
+
+
+class TestImages:
+    def test_grid_layout(self):
+        imgs = np.stack([np.full((4, 4, 3), v, np.float32) for v in (0.1, 0.5, 0.9, 1.0)])
+        grid = make_grid(imgs, nrow=2, pad=0)
+        assert grid.shape == (8, 8, 3)
+        np.testing.assert_allclose(grid[0, 0], 0.1)
+        np.testing.assert_allclose(grid[7, 7], 1.0)
+
+    def test_rescale_ranges(self):
+        x = np.array([-1.0, 0.0, 1.0], np.float32).reshape(1, 1, 3)
+        np.testing.assert_allclose(rescale_to_unit(x, (-1, 1)).ravel(), [0, 0.5, 1])
+        y = np.array([0.0, 0.5, 1.5], np.float32).reshape(1, 1, 3)
+        np.testing.assert_allclose(rescale_to_unit(y, (0, 1)).ravel(), [0, 0.5, 1])
+
+    def test_save_roundtrip(self, tmp_path):
+        from PIL import Image
+
+        imgs = np.random.default_rng(0).uniform(0, 1, (4, 8, 8, 3)).astype(np.float32)
+        path = str(tmp_path / "grid.png")
+        save_image_grid(imgs, path, nrow=2)
+        with Image.open(path) as im:
+            assert im.size[0] > 16

@@ -1,0 +1,175 @@
+"""Training-stack tests: EMA math, keyframe LR schedule golden values,
+sharded train step over the virtual 8-device mesh, checkpoint roundtrip."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+from eo_diffusion_tpu.parallel.mesh import (
+    data_sharding,
+    fsdp_param_specs,
+    make_mesh,
+)
+from eo_diffusion_tpu.train.ema import adjusted_decay, ema_update, ema_update_every
+from eo_diffusion_tpu.train.lr_schedules import KeyframeSchedule, warmup_cos_exp
+from eo_diffusion_tpu.train.trainer import TrainState, Trainer, TrainerConfig, make_train_step
+
+
+class TestEMA:
+    def test_update_formula(self):
+        ema = {"w": jnp.ones((4,))}
+        p = {"w": jnp.zeros((4,))}
+        out = ema_update(ema, p, 0.9)
+        np.testing.assert_allclose(np.asarray(out["w"]), 0.9, rtol=1e-6)
+
+    def test_adjusted_decay_matches_reference(self):
+        # reference train.py:70-72 with defaults bs=128, steps=10, epochs=100
+        adjust = 128 * 10 / 100
+        alpha = min(1.0, (1 - 0.995) * adjust)
+        assert adjusted_decay(0.995, 128, 10, 100) == pytest.approx(1 - alpha)
+
+    def test_update_every_gating(self):
+        ema = {"w": jnp.ones((2,))}
+        p = {"w": jnp.zeros((2,))}
+        hit = ema_update_every(ema, p, 0.5, jnp.int32(10), 5)
+        miss = ema_update_every(ema, p, 0.5, jnp.int32(11), 5)
+        np.testing.assert_allclose(np.asarray(hit["w"]), 0.5)
+        np.testing.assert_allclose(np.asarray(miss["w"]), 1.0)
+
+
+class TestKeyframeLR:
+    def test_reference_composite_schedule(self):
+        # golden: the exact train.py:76-85 schedule
+        base_lr, spe, epochs = 1e-3, 100, 20
+        sched = warmup_cos_exp(base_lr, spe, epochs, warmup_epochs=10)
+        posmax, max_steps = 10 * spe, spe * epochs
+        assert sched(0) == pytest.approx(base_lr / 100)
+        assert sched(posmax) == pytest.approx(base_lr)
+        # cos midpoint of warmup
+        mid = posmax // 2
+        expected = base_lr / 100 + (base_lr - base_lr / 100) * (1 - (1 + math.cos(0.5 * math.pi)) / 2)
+        assert sched(mid) == pytest.approx(expected)
+        # exp tail
+        pos = posmax + 500
+        assert sched(pos) == pytest.approx(base_lr * math.exp(-3 * 500 / (max_steps - posmax)))
+
+    def test_table_matches_scalar_eval(self):
+        sched = warmup_cos_exp(1e-3, 10, 4, warmup_epochs=2)
+        tbl = sched.table(40)
+        fresh = warmup_cos_exp(1e-3, 10, 4, warmup_epochs=2)
+        for s in (0, 7, 20, 39):
+            assert tbl[s] == pytest.approx(fresh(s), rel=1e-6)
+
+    def test_optax_bridge_traceable(self):
+        sched = warmup_cos_exp(1e-3, 10, 4, warmup_epochs=2).as_optax(40)
+        val = jax.jit(sched)(jnp.int32(20))
+        assert np.isfinite(float(val))
+
+    def test_shorthand_frames(self):
+        s = KeyframeSchedule([(0, 0.1), "cos", (10, 1.0)], end=10, units="steps")
+        assert s(0) == pytest.approx(0.1)
+        assert s(10) == pytest.approx(1.0)
+
+    def test_out_of_order_raises(self):
+        with pytest.raises(ValueError):
+            KeyframeSchedule([(5, 0.1), (2, 0.2)], end=10, units="steps")
+
+    def test_percent_units(self):
+        s = KeyframeSchedule([{"position": 0, "lr": 0.0}, {"position": 1, "lr": 1.0}],
+                             end=100, units="percent")
+        assert s(50) == pytest.approx(0.5)
+
+
+TINY = UNetConfig(
+    image_size=8, in_channels=3, model_channels=32, out_channels=3,
+    num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+)
+
+
+def _setup_state():
+    model = UNet(TINY)
+    diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+    tx = optax.adamw(1e-3)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )
+    state = TrainState.create(params, tx)
+    apply_fn = lambda p, x, t, cond=None, y=None, train=False: model.apply(p, x, t, cond=cond, y=y)
+    step = make_train_step(diffusion, apply_fn, tx, ema_decay=0.9, ema_every=2)
+    return state, step
+
+
+class TestTrainStep:
+    def test_step_updates_and_metrics(self):
+        state, step = _setup_state()
+        batch = {"image": jnp.ones((8, 8, 8, 3))}
+        new_state, m = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["grad_norm"]))
+        # params changed
+        diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params)
+        assert max(jax.tree.leaves(diff)) > 0
+
+    def test_ema_gating_inside_step(self):
+        state, step = _setup_state()
+        batch = {"image": jnp.ones((4, 8, 8, 3))}
+        jstep = jax.jit(step)
+        # step 0: ema updates (0 % 2 == 0); step 1: frozen
+        s1, _ = jstep(state, batch, jax.random.PRNGKey(0))
+        ema_after_1 = jax.tree.leaves(s1.ema_params)[0].copy()
+        s2, _ = jstep(s1, batch, jax.random.PRNGKey(1))
+        ema_after_2 = jax.tree.leaves(s2.ema_params)[0]
+        np.testing.assert_array_equal(np.asarray(ema_after_1), np.asarray(ema_after_2))
+
+    def test_sharded_step_on_mesh(self):
+        mesh = make_mesh()  # 8 virtual CPU devices
+        assert mesh.shape["data"] * mesh.shape["model"] == 8
+        state, step = _setup_state()
+        bsh = data_sharding(mesh)
+        jstep = jax.jit(step, in_shardings=(None, {"image": bsh}, None))
+        batch = {"image": jax.device_put(jnp.ones((16, 8, 8, 3)), bsh)}
+        new_state, m = jstep(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_fsdp_specs_shard_large_params(self):
+        mesh = make_mesh(model=2)
+        state, _ = _setup_state()
+        specs = fsdp_param_specs(state.params, mesh, min_size=2**10)
+        leaves = jax.tree.leaves(specs, is_leaf=lambda s: hasattr(s, "__iter__") or s == ())
+        flat_params = jax.tree.leaves(state.params)
+        flat_specs = jax.tree.leaves(specs, is_leaf=lambda x: not isinstance(x, dict))
+        # at least one large param is sharded over 'model'
+        assert any("model" in str(s) for s in flat_specs)
+
+
+class TestTrainerIntegration:
+    def test_loss_decreases_tiny(self):
+        cfg = TrainerConfig(lr=2e-3, batch_size=8, epochs=1, timesteps=10,
+                            model_ema_steps=2, warmup_epochs=1)
+        model = UNet(TINY)
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+        tr = Trainer(cfg, model, diffusion, steps_per_epoch=30)
+        rng = np.random.default_rng(0)
+        mk = lambda: {"image": (rng.choice([-0.5, 0.5], (8, 1, 1, 1))
+                                * np.ones((8, 8, 8, 3))).astype(np.float32)}
+        state = tr.init(jax.random.PRNGKey(0), mk())
+        losses = []
+        for _ in range(30):
+            state, m = tr.step(state, mk())
+            losses.append(float(m["loss"]))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    def test_sample_shape(self):
+        cfg = TrainerConfig(batch_size=4, epochs=1, timesteps=10, n_samples=2)
+        model = UNet(TINY)
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+        tr = Trainer(cfg, model, diffusion, steps_per_epoch=1)
+        state = tr.init(jax.random.PRNGKey(0), {"image": np.zeros((1, 8, 8, 3), np.float32)})
+        x = tr.sample(state, jax.random.PRNGKey(1))
+        assert x.shape == (2, 8, 8, 3)
