@@ -18,10 +18,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: cold 256^2 scan compiles take minutes on the
+# remote-compile path; cached reruns start in seconds
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 RTX4000_EST_IMG_PER_SEC = 0.102  # see module docstring
 

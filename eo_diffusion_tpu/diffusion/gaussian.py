@@ -66,6 +66,13 @@ class GaussianDiffusion:
     image_size: int
     in_channels: int
     cond_type: Optional[str] = None  # None | "sum" (RePaint composite)
+    # prediction objective (lucidrains parity, denoising_diffusion_pytorch.py:445-447):
+    # "eps" (the reference's active path), "x0", or "v" (Salimans & Ho 2022)
+    objective: str = "eps"
+    # p2 loss reweighting (Choi et al. 2022; denoising_diffusion_pytorch.py:502-504):
+    # weight = (k + snr)^-gamma; gamma=0 disables
+    p2_loss_weight_k: float = 1.0
+    p2_loss_weight_gamma: float = 0.0
 
     # -- construction ------------------------------------------------------
 
@@ -77,12 +84,19 @@ class GaussianDiffusion:
         in_channels: int = 3,
         cond_type: Optional[str] = None,
         schedule: str = "cosine_eo",
+        objective: str = "eps",
+        p2_loss_weight_k: float = 1.0,
+        p2_loss_weight_gamma: float = 0.0,
     ) -> "GaussianDiffusion":
+        assert objective in ("eps", "x0", "v"), objective
         return cls(
             schedule=make_schedule(timesteps, schedule),
             image_size=image_size,
             in_channels=in_channels,
             cond_type=cond_type,
+            objective=objective,
+            p2_loss_weight_k=p2_loss_weight_k,
+            p2_loss_weight_gamma=p2_loss_weight_gamma,
         )
 
     @property
@@ -99,6 +113,50 @@ class GaussianDiffusion:
             + _bcast(jnp.asarray(sched.sqrt_one_minus_alphas_cumprod), t) * noise
         )
 
+    def _target(self, x0, t, noise):
+        """Regression target per objective.
+
+        v-parameterization (Salimans & Ho 2022, lucidrains
+        denoising_diffusion_pytorch.py:518-528): v = a*eps - s*x0 with
+        a = sqrt(acp), s = sqrt(1-acp).
+        """
+        if self.objective == "eps":
+            return noise
+        if self.objective == "x0":
+            return x0
+        sched = self.schedule
+        a = _bcast(jnp.asarray(sched.sqrt_alphas_cumprod), t)
+        s = _bcast(jnp.asarray(sched.sqrt_one_minus_alphas_cumprod), t)
+        return a * noise - s * x0
+
+    def _to_eps_x0(self, pred, x_t, t):
+        """Convert the model output to (eps, x0) for the reverse process."""
+        sched = self.schedule
+        a = _bcast(jnp.asarray(sched.sqrt_alphas_cumprod), t)
+        s = _bcast(jnp.asarray(sched.sqrt_one_minus_alphas_cumprod), t)
+        pred = pred.astype(jnp.float32)
+        x_t = x_t.astype(jnp.float32)
+        if self.objective == "eps":
+            eps = pred
+            x0 = (
+                _bcast(jnp.asarray(sched.sqrt_recip_alphas_cumprod), t) * x_t
+                - _bcast(jnp.asarray(sched.sqrt_recipm1_alphas_cumprod), t) * pred
+            )
+        elif self.objective == "x0":
+            x0 = pred
+            eps = (x_t - a * x0) / jnp.maximum(s, 1e-8)
+        else:  # "v": x0 = a*x_t - s*v ; eps = s*x_t + a*v
+            x0 = a * x_t - s * pred
+            eps = s * x_t + a * pred
+        return eps, x0
+
+    def _p2_weight(self, t):
+        if self.p2_loss_weight_gamma == 0.0:
+            return None
+        acp = jnp.asarray(self.schedule.alphas_cumprod)[t]
+        snr = acp / (1.0 - acp)
+        return (self.p2_loss_weight_k + snr) ** (-self.p2_loss_weight_gamma)
+
     def train_loss(
         self,
         model_fn: DenoiseFn,
@@ -107,10 +165,12 @@ class GaussianDiffusion:
         cond: Optional[jax.Array] = None,
         y: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """Epsilon-prediction MSE (reference model.py:38-44 + train.py:86,117).
+        """Objective-MSE training loss.
 
-        Samples t ~ U[0, T) and noise ~ N(0, I) per batch element, q-samples,
-        and returns mean squared error between predicted and true noise.
+        The reference's active path is epsilon-MSE (model.py:38-44 +
+        train.py:86,117); "x0"/"v" objectives and p2 reweighting reproduce
+        the vendored lucidrains trainer's options
+        (denoising_diffusion_pytorch.py:445-447, 502-528).
         """
         t_rng, n_rng = jax.random.split(rng)
         n = x0.shape[0]
@@ -118,7 +178,12 @@ class GaussianDiffusion:
         noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
         x_t = self.q_sample(x0, t, noise)
         pred = model_fn(x_t, t, cond, y)
-        return jnp.mean((pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+        target = self._target(x0.astype(jnp.float32), t, noise.astype(jnp.float32))
+        err = (pred.astype(jnp.float32) - target) ** 2
+        w = self._p2_weight(t)
+        if w is not None:
+            err = err * w[:, None, None, None]
+        return jnp.mean(err)
 
     # -- reverse process (DDPM) --------------------------------------------
 
@@ -143,6 +208,7 @@ class GaussianDiffusion:
         """
         sched = self.schedule
         pred = model_fn(x_t, t, cond, y).astype(jnp.float32)
+        eps, x0_pred = self._to_eps_x0(pred, x_t, t)
         x_t = x_t.astype(jnp.float32)
 
         alpha_t = _bcast(jnp.asarray(sched.alphas), t)
@@ -153,10 +219,6 @@ class GaussianDiffusion:
         t_pos = (t > 0)[:, None, None, None]
 
         if clip:
-            x0_pred = (
-                _bcast(jnp.asarray(sched.sqrt_recip_alphas_cumprod), t) * x_t
-                - _bcast(jnp.asarray(sched.sqrt_recipm1_alphas_cumprod), t) * pred
-            )
             x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
             # q-posterior mean; at t==0 acp_prev==1 makes this collapse to the
             # reference's t==0 expression (model.py:147) exactly.
@@ -167,7 +229,7 @@ class GaussianDiffusion:
         else:
             somacp = _bcast(jnp.asarray(sched.sqrt_one_minus_alphas_cumprod), t)
             mean = (1.0 / jnp.sqrt(alpha_t)) * (
-                x_t - ((1.0 - alpha_t) / somacp) * pred
+                x_t - ((1.0 - alpha_t) / somacp) * eps
             )
 
         std = jnp.sqrt(beta_t * (1.0 - acp_prev) / (1.0 - acp_t))
@@ -183,6 +245,8 @@ class GaussianDiffusion:
         y: Optional[jax.Array] = None,
         clip: bool = True,
         log_every: Optional[int] = None,
+        guidance_scale: float = 1.0,
+        y_uncond: Optional[jax.Array] = None,
         dtype=jnp.float32,
     ) -> DiffusionOutput:
         """Ancestral DDPM sampling (reference ``EODiffusion.sampling``, model.py:47-75).
@@ -200,6 +264,19 @@ class GaussianDiffusion:
         shape = (n_samples, self.image_size, self.image_size, self.in_channels)
         init_rng, scan_rng = jax.random.split(rng)
         x_T = jax.random.normal(init_rng, shape, dtype)
+
+        if y_uncond is not None and guidance_scale != 1.0:
+            # label-CFG: wrap the denoiser with a null-class guided combine
+            # (lucidrains classifier_free_guidance.py:596-617)
+            inner_fn = model_fn
+
+            def model_fn(x, t, c, yy):  # noqa: F811
+                x_in = jnp.concatenate([x, x], axis=0)
+                t_in = jnp.concatenate([t, t], axis=0)
+                y_in = jnp.concatenate([y_uncond, yy], axis=0)
+                c_in = None if c is None else jnp.concatenate([c, c], axis=0)
+                e_u, e_c = jnp.split(inner_fn(x_in, t_in, c_in, y_in), 2, axis=0)
+                return e_u + guidance_scale * (e_c - e_u)
 
         gt = mask = None
         if cond is not None and self.cond_type == "sum":
@@ -247,6 +324,7 @@ class GaussianDiffusion:
         temperature: float = 1.0,
         guidance_scale: float = 1.0,
         uncond: Optional[jax.Array] = None,
+        y_uncond: Optional[jax.Array] = None,
         dtype=jnp.float32,
     ) -> DiffusionOutput:
         """DDIM sampling (reference ``DDIMSampler``, ddim.py:57-207).
@@ -257,8 +335,12 @@ class GaussianDiffusion:
           known region of x0 is re-noised to the current level and composited
           (reference ddim.py:145-148; the reference's missing-noise-arg bug,
           SURVEY.md §2.4, is fixed here by actually drawing noise).
-        * ``guidance_scale``/``uncond``: classifier-free guidance by
-          batch-doubling (reference ddim.py:177-181).
+        * ``guidance_scale``/``uncond``: classifier-free guidance on the
+          channel-concat conditioning by batch-doubling (reference
+          ddim.py:177-181); ``y_uncond`` instead guides on class labels with
+          a null-class pass (lucidrains classifier_free_guidance.py:374-386,
+          596-686) -- pass the null-class index array (see
+          ``UNetConfig.class_dropout_prob``).
 
         The S-step loop is one ``lax.scan``.
         """
@@ -272,7 +354,6 @@ class GaussianDiffusion:
         alphas = jnp.asarray(dd.alphas)
         alphas_prev = jnp.asarray(dd.alphas_prev)
         sigmas = jnp.asarray(dd.sigmas)
-        sqrt_oma = jnp.asarray(dd.sqrt_one_minus_alphas)
 
         use_cfg = uncond is not None and guidance_scale != 1.0
 
@@ -291,20 +372,28 @@ class GaussianDiffusion:
                 x_in = jnp.concatenate([x, x], axis=0)
                 t_in = jnp.concatenate([t, t], axis=0)
                 c_in = jnp.concatenate([uncond, cond], axis=0)
-                e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in, y), 2, axis=0)
-                e_t = e_uncond + guidance_scale * (e_cond - e_uncond)
+                y_in = None if y is None else jnp.concatenate([y, y], axis=0)
+                e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in, y_in), 2, axis=0)
+                raw = e_uncond + guidance_scale * (e_cond - e_uncond)
+            elif y_uncond is not None and guidance_scale != 1.0:
+                # label-CFG (lucidrains classifier_free_guidance.py:374-386):
+                # null-class pass + guided combine
+                x_in = jnp.concatenate([x, x], axis=0)
+                t_in = jnp.concatenate([t, t], axis=0)
+                y_in = jnp.concatenate([y_uncond, y], axis=0)
+                c_in = None if cond is None else jnp.concatenate([cond, cond], axis=0)
+                e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in, y_in), 2, axis=0)
+                raw = e_uncond + guidance_scale * (e_cond - e_uncond)
             else:
-                e_t = model_fn(x, t, cond, y)
-            e_t = e_t.astype(jnp.float32)
+                raw = model_fn(x, t, cond, y)
             xf = x.astype(jnp.float32)
+            e_t, pred_x0 = self._to_eps_x0(raw, xf, t)
 
             a_t = alphas[idx]
             a_prev = alphas_prev[idx]
             sigma_t = sigmas[idx]
-            sqrt_oma_t = sqrt_oma[idx]
 
             # reference ddim.py:198-206
-            pred_x0 = (xf - sqrt_oma_t * e_t) / jnp.sqrt(a_t)
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
             noise = sigma_t * jax.random.normal(nk, shape, jnp.float32) * temperature
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise

@@ -79,6 +79,18 @@ class UNetConfig:
     resblock_updown: bool = False
     use_new_attention_order: bool = False
     dtype: Any = jnp.float32  # compute/activation dtype (params stay float32)
+    attn_impl: str = "auto"  # "auto" (pallas on TPU for long seq) | "xla" | "pallas"
+    # classifier-free guidance: probability of dropping the class label to a
+    # learned null embedding during training (lucidrains
+    # classifier_free_guidance.py:289,326-335). When > 0 the embedding table
+    # gets one extra row; label index == num_classes selects the null class.
+    class_dropout_prob: float = 0.0
+
+    @property
+    def label_vocab(self) -> Optional[int]:
+        if self.num_classes is None:
+            return None
+        return self.num_classes + (1 if self.class_dropout_prob > 0 else 0)
 
     def __post_init__(self):
         object.__setattr__(self, "attention_resolutions", tuple(self.attention_resolutions))
@@ -255,10 +267,12 @@ class AttentionBlock(nn.Module):
     num_heads: int = 1
     use_new_attention_order: bool = False
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    attn_impl: str = "auto"  # "auto" | "xla" | "pallas"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from eo_diffusion_tpu.ops.attention import flash_attention, fused_attention, xla_attention
+
         b, hgt, wid, c = x.shape
         heads = self.num_heads
         ch = c // heads
@@ -275,15 +289,12 @@ class AttentionBlock(nn.Module):
             q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
         # q, k, v: [B, T, H, ch]
 
-        if self.use_pallas:
-            from eo_diffusion_tpu.ops.attention import fused_attention
-
-            a = fused_attention(q, k, v)
+        if self.attn_impl == "pallas":
+            a = flash_attention(q, k, v)
+        elif self.attn_impl == "xla":
+            a = xla_attention(q, k, v)
         else:
-            scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.float32(ch))).astype(q.dtype)
-            w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
-            w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(v.dtype)
-            a = jnp.einsum("bhts,bshc->bthc", w, v)
+            a = fused_attention(q, k, v)
 
         a = a.reshape(b, t, c)
         out = ZeroDense(c, dtype=self.dtype, name="proj_out")(a)
@@ -346,6 +357,7 @@ def _make_layer(cfg: UNetConfig, spec: LayerSpec, name: str) -> nn.Module:
             num_heads=spec.num_heads,
             use_new_attention_order=cfg.use_new_attention_order,
             dtype=cfg.dtype,
+            attn_impl=cfg.attn_impl,
             name=name,
         )
     if spec.kind == "down":
@@ -394,9 +406,10 @@ class UNet(nn.Module):
         emb = Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="time_embed_2")(emb)
 
         if cfg.num_classes is not None:
-            # class embedding added to emb (reference unet_openai.py:604-605, 764-766)
+            # class embedding added to emb (reference unet_openai.py:604-605,
+            # 764-766); +1 null row when CFG label-dropout is enabled
             emb = emb + nn.Embed(
-                cfg.num_classes, cfg.time_embed_dim, param_dtype=jnp.float32, name="label_emb"
+                cfg.label_vocab, cfg.time_embed_dim, param_dtype=jnp.float32, name="label_emb"
             )(y).astype(emb.dtype)
 
         h = x.astype(cfg.dtype)

@@ -60,6 +60,8 @@ def make_train_step(
     ema_every: int = 10,
     class_conditional: bool = False,
     use_cond: bool = False,
+    class_dropout_prob: float = 0.0,
+    num_classes: int = 0,
 ):
     """Build the pure train-step fn: (state, batch, rng) -> (state, metrics).
 
@@ -73,6 +75,11 @@ def make_train_step(
     def loss_fn(params, batch, rng):
         cond = batch.get("cond") if use_cond else None
         y = batch.get("label") if class_conditional else None
+        if y is not None and class_dropout_prob > 0.0:
+            # CFG label dropout to the learned null class (index num_classes)
+            rng, drop_rng = jax.random.split(rng)
+            drop = jax.random.bernoulli(drop_rng, class_dropout_prob, y.shape)
+            y = jnp.where(drop, num_classes, y)
         model_fn = lambda x, t, c, yy: apply_fn(params, x, t, cond=c, y=yy, train=True)
         return diffusion.train_loss(model_fn, rng, batch["image"], cond=cond, y=y)
 
@@ -173,6 +180,8 @@ class Trainer:
             ema_every=cfg.model_ema_steps,
             class_conditional=cfg.num_classes > 0,
             use_cond=cfg.cond_type == "concat",
+            class_dropout_prob=getattr(getattr(model, "config", None), "class_dropout_prob", 0.0),
+            num_classes=cfg.num_classes,
         )
 
         state_sharding = replicated(self.mesh)

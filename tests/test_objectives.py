@@ -1,0 +1,209 @@
+"""Tests for prediction objectives (eps/x0/v), p2 reweighting, and
+classifier-free guidance (label dropout + guided sampling)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+
+SIZE = 8
+
+
+def make(objective="eps", **kw):
+    return GaussianDiffusion.create(
+        timesteps=50, image_size=SIZE, in_channels=3, objective=objective, **kw
+    )
+
+
+class TestObjectives:
+    def test_v_target_identity(self):
+        # v = a*eps - s*x0 and the inverse maps must roundtrip
+        d = make("v")
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.normal(size=(4, SIZE, SIZE, 3)), jnp.float32)
+        noise = jnp.asarray(rng.normal(size=x0.shape), jnp.float32)
+        t = jnp.asarray([0, 10, 25, 49])
+        x_t = d.q_sample(x0, t, noise)
+        v = d._target(x0, t, noise)
+        eps_rec, x0_rec = d._to_eps_x0(v, x_t, t)
+        np.testing.assert_allclose(np.asarray(eps_rec), np.asarray(noise), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-4)
+
+    def test_x0_objective_roundtrip(self):
+        d = make("x0")
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.normal(size=(4, SIZE, SIZE, 3)), jnp.float32)
+        noise = jnp.asarray(rng.normal(size=x0.shape), jnp.float32)
+        t = jnp.asarray([1, 10, 25, 48])
+        x_t = d.q_sample(x0, t, noise)
+        eps_rec, x0_rec = d._to_eps_x0(x0, x_t, t)
+        np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(eps_rec), np.asarray(noise), atol=1e-3)
+
+    def test_perfect_v_model_zero_loss(self):
+        d = make("v")
+
+        # with x0=0: x_t = s*eps => v = a*eps - 0 = a/s * x_t
+        def oracle(x, t, c, y):
+            a = d.schedule.sqrt_alphas_cumprod[t][:, None, None, None]
+            s = d.schedule.sqrt_one_minus_alphas_cumprod[t][:, None, None, None]
+            return (a / s) * x
+
+        loss = d.train_loss(oracle, jax.random.PRNGKey(0), jnp.zeros((16, SIZE, SIZE, 3)))
+        assert float(loss) < 1e-9
+
+    def test_sampling_equivalent_across_objectives(self):
+        # a denoiser family expressing the SAME underlying score must produce
+        # identical DDIM trajectories regardless of parameterization
+        d_eps, d_v = make("eps"), make("v")
+        x_T = jax.random.normal(jax.random.PRNGKey(0), (2, SIZE, SIZE, 3))
+
+        def eps_model(x, t, c, y):
+            return 0.2 * x
+
+        def v_model(x, t, c, y):
+            # v such that _to_eps_x0 gives eps = 0.2 x:
+            # eps = s*x + a*v => v = (0.2*x - s*x)/a
+            a = jnp.asarray(d_v.schedule.sqrt_alphas_cumprod)[t][:, None, None, None]
+            s = jnp.asarray(d_v.schedule.sqrt_one_minus_alphas_cumprod)[t][:, None, None, None]
+            return (0.2 - s) * x / a
+
+        out_eps = d_eps.ddim_sample(eps_model, jax.random.PRNGKey(1), 2, num_steps=10, x_T=x_T).x
+        out_v = d_v.ddim_sample(v_model, jax.random.PRNGKey(1), 2, num_steps=10, x_T=x_T).x
+        np.testing.assert_allclose(np.asarray(out_eps), np.asarray(out_v), atol=1e-3)
+
+    def test_invalid_objective_raises(self):
+        with pytest.raises(AssertionError):
+            make("nope")
+
+
+class TestP2Weight:
+    def test_gamma_zero_disables(self):
+        d = make("eps")
+        assert d._p2_weight(jnp.asarray([0, 10])) is None
+
+    def test_weight_monotone_in_t(self):
+        d = make("eps", p2_loss_weight_gamma=1.0)
+        w = np.asarray(d._p2_weight(jnp.arange(50)))
+        # high snr (small t) -> small weight; weight increases with t
+        assert np.all(np.diff(w) > 0)
+        assert w[0] < 0.1
+
+    def test_formula(self):
+        d = make("eps", p2_loss_weight_gamma=1.0, p2_loss_weight_k=1.0)
+        t = jnp.asarray([25])
+        acp = d.schedule.alphas_cumprod[25]
+        snr = acp / (1 - acp)
+        np.testing.assert_allclose(
+            np.asarray(d._p2_weight(t))[0], 1.0 / (1.0 + snr), rtol=1e-5
+        )
+
+
+class TestLabelCFG:
+    def test_null_class_embedding_row(self):
+        cfg = UNetConfig(
+            image_size=SIZE, in_channels=3, model_channels=32, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(), channel_mult=(1,),
+            num_classes=5, class_dropout_prob=0.1,
+        )
+        assert cfg.label_vocab == 6
+        model = UNet(cfg)
+        x = jnp.zeros((1, SIZE, SIZE, 3))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32), y=jnp.zeros((1,), jnp.int32)
+        )
+        assert params["params"]["label_emb"]["embedding"].shape == (6, 128)
+        # null index runs
+        out = model.apply(params, x, jnp.zeros((1,), jnp.int32), y=jnp.asarray([5]))
+        assert out.shape == x.shape
+
+    def test_ddpm_label_guidance_batches_double(self):
+        d = make("eps")
+        calls = []
+
+        def spy(x, t, c, y):
+            calls.append((x.shape[0], None if y is None else y.shape[0]))
+            return jnp.zeros_like(x)
+
+        y = jnp.asarray([1, 2])
+        y_null = jnp.asarray([5, 5])
+        d.ddpm_sample(spy, jax.random.PRNGKey(0), 2, y=y,
+                      guidance_scale=3.0, y_uncond=y_null)
+        assert calls[0] == (4, 4)
+
+    def test_guided_combine_math(self):
+        # e_u + g*(e_c - e_u) must reproduce through the label-CFG wrapper:
+        # use a denoiser that returns y-dependent constants
+        d = make("eps")
+
+        def model(x, t, c, y):
+            return jnp.broadcast_to(
+                y.astype(jnp.float32)[:, None, None, None], x.shape
+            )
+
+        out = d.ddpm_sample(model, jax.random.PRNGKey(0), 1,
+                            y=jnp.asarray([2]), y_uncond=jnp.asarray([0]),
+                            guidance_scale=3.0, clip=False)
+        # guided eps = 0 + 3*(2-0) = 6 at every step; just check finiteness &
+        # that guidance changed the trajectory vs unguided y=2 (eps=2)
+        out2 = d.ddpm_sample(model, jax.random.PRNGKey(0), 1,
+                             y=jnp.asarray([2]), clip=False)
+        assert not np.allclose(np.asarray(out.x), np.asarray(out2.x))
+
+    def test_ddim_label_guidance(self):
+        d = make("eps")
+        calls = []
+
+        def spy(x, t, c, y):
+            calls.append(x.shape[0])
+            return jnp.zeros_like(x)
+
+        d.ddim_sample(spy, jax.random.PRNGKey(0), 2, num_steps=5,
+                      y=jnp.asarray([0, 1]), y_uncond=jnp.asarray([5, 5]),
+                      guidance_scale=2.0)
+        assert calls[0] == 4
+
+    def test_guidance_scale_one_no_double(self):
+        d = make("eps")
+        calls = []
+
+        def spy(x, t, c, y):
+            calls.append(x.shape[0])
+            return jnp.zeros_like(x)
+
+        d.ddpm_sample(spy, jax.random.PRNGKey(0), 2, y=jnp.asarray([0, 1]),
+                      guidance_scale=1.0, y_uncond=jnp.asarray([5, 5]))
+        assert calls[0] == 2
+
+    def test_label_dropout_in_train_step(self):
+        import optax
+
+        from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
+
+        cfg = UNetConfig(
+            image_size=SIZE, in_channels=3, model_channels=32, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(), channel_mult=(1,),
+            num_classes=5, class_dropout_prob=1.0,  # always drop -> y==5 inside
+        )
+        model = UNet(cfg)
+        seen = []
+
+        def apply_fn(params, x, t, cond=None, y=None, train=False):
+            seen.append(np.asarray(y))
+            return model.apply(params, x, t, cond=cond, y=y)
+
+        d = make("eps")
+        tx = optax.adamw(1e-3)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)),
+            jnp.zeros((1,), jnp.int32), y=jnp.zeros((1,), jnp.int32))
+        state = TrainState.create(params, tx)
+        step = make_train_step(d, apply_fn, tx, ema_decay=0.9,
+                               class_conditional=True, class_dropout_prob=1.0,
+                               num_classes=5)
+        batch = {"image": jnp.zeros((2, SIZE, SIZE, 3)), "label": jnp.asarray([0, 3])}
+        step(state, batch, jax.random.PRNGKey(0))  # eager so `seen` fills
+        assert np.all(seen[0] == 5)

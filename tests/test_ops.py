@@ -1,0 +1,134 @@
+"""Pallas kernel tests (interpreter mode on CPU): flash attention and fused
+GroupNorm match their XLA reference implementations, including gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eo_diffusion_tpu.ops import attention as A
+from eo_diffusion_tpu.ops import group_norm as G
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(A, "_INTERPRET", True)
+    yield
+
+
+def _qkv(b=2, t=64, h=4, d=16, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda s: jnp.asarray(rng.normal(size=(b, t, h, d)), dtype)
+    return mk(0), mk(1), mk(2)
+
+
+class TestXLAAttention:
+    def test_matches_manual_softmax(self):
+        q, k, v = _qkv()
+        scale = 1.0 / np.sqrt(np.sqrt(16))
+        w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+        w = jax.nn.softmax(w, axis=-1)
+        ref = jnp.einsum("bhts,bshc->bthc", w, v)
+        np.testing.assert_allclose(np.asarray(A.xla_attention(q, k, v)),
+                                   np.asarray(ref), atol=1e-5)
+
+
+class TestFlashAttention:
+    def test_matches_xla(self):
+        q, k, v = _qkv()
+        ref = A.xla_attention(q, k, v)
+        out = A.flash_attention(q, k, v, 32, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_uneven_seq_padding(self):
+        # T=56 not divisible by the 32-block: padded KV must be masked out
+        q, k, v = _qkv(t=56)
+        ref = A.xla_attention(q, k, v)
+        out = A.flash_attention(q, k, v, 32, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_odd_head_dim_padding(self):
+        q, k, v = _qkv(d=48)
+        ref = A.xla_attention(q, k, v)
+        out = A.flash_attention(q, k, v, 32, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_gradients_match(self):
+        q, k, v = _qkv(t=32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(A.flash_attention(q, k, v, 32, 32) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(A.xla_attention(q, k, v) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_fused_dispatch_cpu_falls_back(self):
+        # on CPU fused_attention must route to XLA regardless of seq length
+        q, k, v = _qkv(t=64)
+        out = A.fused_attention(q, k, v, min_seq=1)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(A.xla_attention(q, k, v)), atol=1e-5)
+
+
+class TestGroupNorm:
+    def _xy(self, n=2, h=8, w=8, c=64, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(n, h, w, c)), jnp.float32)
+        gamma = jnp.asarray(rng.normal(1, 0.1, (n, c)), jnp.float32)
+        beta = jnp.asarray(rng.normal(0, 0.1, (n, c)), jnp.float32)
+        return x, gamma, beta
+
+    def test_reference_matches_flax_groupnorm(self):
+        from flax import linen as nn
+
+        x, gamma, beta = self._xy()
+        # per-sample affine == flax GN when gamma/beta identical across batch
+        gamma1 = jnp.broadcast_to(gamma[:1], gamma.shape)
+        beta1 = jnp.broadcast_to(beta[:1], beta.shape)
+        ref = nn.GroupNorm(num_groups=32, epsilon=1e-5).apply(
+            {"params": {"scale": gamma1[0], "bias": beta1[0]}}, x
+        )
+        out = G.group_norm_reference(x, gamma1, beta1, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_pallas_matches_reference(self):
+        x, gamma, beta = self._xy()
+        ref = G.group_norm_reference(x, gamma, beta, 32, act="silu")
+        out = G._gn_pallas(x, gamma, beta, 32, 1e-5, "silu", interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_pallas_no_act(self):
+        x, gamma, beta = self._xy(c=128)
+        ref = G.group_norm_reference(x, gamma, beta, 32, act="none")
+        out = G._gn_pallas(x, gamma, beta, 32, 1e-5, "none", interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_film_composition(self):
+        # fused per-sample affine == GN -> *(1+s)+t composition
+        x, _, _ = self._xy()
+        rng = np.random.default_rng(1)
+        scale_p = jnp.asarray(rng.normal(1, 0.1, (64,)), jnp.float32)
+        bias_p = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+        s = jnp.asarray(rng.normal(0, 0.2, (2, 64)), jnp.float32)
+        t = jnp.asarray(rng.normal(0, 0.2, (2, 64)), jnp.float32)
+        base = G.group_norm_reference(
+            x, jnp.broadcast_to(scale_p[None], (2, 64)),
+            jnp.broadcast_to(bias_p[None], (2, 64)), 32)
+        ref = base * (1 + s[:, None, None, :]) + t[:, None, None, :]
+        gamma_eff = scale_p[None] * (1 + s)
+        beta_eff = bias_p[None] * (1 + s) + t
+        out = G.group_norm_reference(x, gamma_eff, beta_eff, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_dispatch_cpu(self):
+        x, gamma, beta = self._xy()
+        out = G.fused_group_norm(x, gamma[0], beta[0], 32, act="silu")
+        ref = G.group_norm_reference(
+            x, jnp.broadcast_to(gamma[:1], gamma.shape),
+            jnp.broadcast_to(beta[:1], beta.shape), 32, act="silu")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
