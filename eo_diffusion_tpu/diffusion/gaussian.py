@@ -73,6 +73,11 @@ class GaussianDiffusion:
     # weight = (k + snr)^-gamma; gamma=0 disables
     p2_loss_weight_k: float = 1.0
     p2_loss_weight_gamma: float = 0.0
+    # self-conditioning (Chen et al. 2022; denoising_diffusion_pytorch.py:433,539+):
+    # the denoiser additionally sees its own x0 estimate, appended as extra
+    # cond channels (the UNet's in_channels must budget for them). Training
+    # randomly feeds zeros vs a stop-gradient first-pass estimate.
+    self_condition: bool = False
 
     # -- construction ------------------------------------------------------
 
@@ -87,6 +92,7 @@ class GaussianDiffusion:
         objective: str = "eps",
         p2_loss_weight_k: float = 1.0,
         p2_loss_weight_gamma: float = 0.0,
+        self_condition: bool = False,
     ) -> "GaussianDiffusion":
         assert objective in ("eps", "x0", "v"), objective
         return cls(
@@ -97,7 +103,14 @@ class GaussianDiffusion:
             objective=objective,
             p2_loss_weight_k=p2_loss_weight_k,
             p2_loss_weight_gamma=p2_loss_weight_gamma,
+            self_condition=self_condition,
         )
+
+    def _with_self_cond(self, cond, x_sc):
+        """Append the self-conditioning channels after any existing cond."""
+        if cond is None:
+            return x_sc
+        return jnp.concatenate([cond, x_sc], axis=-1)
 
     @property
     def timesteps(self) -> int:
@@ -172,12 +185,25 @@ class GaussianDiffusion:
         the vendored lucidrains trainer's options
         (denoising_diffusion_pytorch.py:445-447, 502-528).
         """
-        t_rng, n_rng = jax.random.split(rng)
+        t_rng, n_rng, sc_rng = jax.random.split(rng, 3)
         n = x0.shape[0]
         t = jax.random.randint(t_rng, (n,), 0, self.timesteps)
         noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
         x_t = self.q_sample(x0, t, noise)
-        pred = model_fn(x_t, t, cond, y)
+        if self.self_condition:
+            # 50%: feed the stop-gradient x0 estimate from a zeros-cond pass
+            # (denoising_diffusion_pytorch.py:539+). Both passes always run
+            # under jit; the estimate is masked to zeros half the time.
+            use_sc = jax.random.bernoulli(sc_rng, 0.5)
+            zeros = jnp.zeros_like(x_t)
+            pred0 = model_fn(x_t, t, self._with_self_cond(cond, zeros), y)
+            _, x0_est = self._to_eps_x0(pred0, x_t, t)
+            x_sc = jax.lax.stop_gradient(
+                jnp.where(use_sc, x0_est.astype(x_t.dtype), zeros)
+            )
+            pred = model_fn(x_t, t, self._with_self_cond(cond, x_sc), y)
+        else:
+            pred = model_fn(x_t, t, cond, y)
         target = self._target(x0.astype(jnp.float32), t, noise.astype(jnp.float32))
         err = (pred.astype(jnp.float32) - target) ** 2
         w = self._p2_weight(t)
@@ -234,7 +260,7 @@ class GaussianDiffusion:
 
         std = jnp.sqrt(beta_t * (1.0 - acp_prev) / (1.0 - acp_t))
         std = jnp.where(t_pos, std, 0.0)
-        return mean + std * noise.astype(jnp.float32)
+        return mean + std * noise.astype(jnp.float32), x0_pred
 
     def ddpm_sample(
         self,
@@ -287,7 +313,7 @@ class GaussianDiffusion:
         ts = jnp.arange(self.timesteps - 1, -1, -1)
 
         def step(carry, t_scalar):
-            x_t, key = carry
+            x_t, key, x_sc = carry
             key, nk = jax.random.split(key)
             noise = jax.random.normal(nk, shape, dtype)
             t = jnp.full((n_samples,), t_scalar, jnp.int32)
@@ -296,14 +322,18 @@ class GaussianDiffusion:
                 gt_noised = self.q_sample(gt, t, noise)
                 x_t = mask * gt_noised + (1.0 - mask) * x_t
 
-            x_t = self._reverse_step(model_fn, x_t, t, noise, cond, y, clip).astype(dtype)
+            c = self._with_self_cond(cond, x_sc) if self.self_condition else cond
+            x_t, x0_pred = self._reverse_step(model_fn, x_t, t, noise, c, y, clip)
+            x_t = x_t.astype(dtype)
+            x_sc = x0_pred.astype(dtype) if self.self_condition else x_sc
             out = x_t if log_every else None
-            return (x_t, key), out
+            return (x_t, key, x_sc), out
 
+        x_sc0 = jnp.zeros(shape, dtype) if self.self_condition else jnp.zeros((), dtype)
         if log_every:
-            (x, _), inter = jax.lax.scan(step, (x_T, scan_rng), ts)
+            (x, _, _), inter = jax.lax.scan(step, (x_T, scan_rng, x_sc0), ts)
             return DiffusionOutput(x=x, intermediates=inter[::log_every])
-        (x, _), _ = jax.lax.scan(step, (x_T, scan_rng), ts)
+        (x, _, _), _ = jax.lax.scan(step, (x_T, scan_rng, x_sc0), ts)
         return DiffusionOutput(x=x)
 
     # -- reverse process (DDIM) --------------------------------------------
@@ -358,7 +388,7 @@ class GaussianDiffusion:
         use_cfg = uncond is not None and guidance_scale != 1.0
 
         def step(carry, idx):
-            x, key = carry
+            x, key, x_sc = carry
             key, nk, mk = jax.random.split(key, 3)
             t_scalar = steps[idx]
             t = jnp.full((n_samples,), t_scalar, jnp.int32)
@@ -368,10 +398,16 @@ class GaussianDiffusion:
                 img_orig = self.q_sample(x0, t, jax.random.normal(mk, shape, dtype))
                 x = img_orig * mask + (1.0 - mask) * x
 
+            if self.self_condition:
+                cond_eff = self._with_self_cond(cond, x_sc)
+                uncond_eff = self._with_self_cond(uncond, x_sc) if uncond is not None else None
+            else:
+                cond_eff, uncond_eff = cond, uncond
+
             if use_cfg:
                 x_in = jnp.concatenate([x, x], axis=0)
                 t_in = jnp.concatenate([t, t], axis=0)
-                c_in = jnp.concatenate([uncond, cond], axis=0)
+                c_in = jnp.concatenate([uncond_eff, cond_eff], axis=0)
                 y_in = None if y is None else jnp.concatenate([y, y], axis=0)
                 e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in, y_in), 2, axis=0)
                 raw = e_uncond + guidance_scale * (e_cond - e_uncond)
@@ -381,11 +417,11 @@ class GaussianDiffusion:
                 x_in = jnp.concatenate([x, x], axis=0)
                 t_in = jnp.concatenate([t, t], axis=0)
                 y_in = jnp.concatenate([y_uncond, y], axis=0)
-                c_in = None if cond is None else jnp.concatenate([cond, cond], axis=0)
+                c_in = None if cond_eff is None else jnp.concatenate([cond_eff, cond_eff], axis=0)
                 e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in, y_in), 2, axis=0)
                 raw = e_uncond + guidance_scale * (e_cond - e_uncond)
             else:
-                raw = model_fn(x, t, cond, y)
+                raw = model_fn(x, t, cond_eff, y)
             xf = x.astype(jnp.float32)
             e_t, pred_x0 = self._to_eps_x0(raw, xf, t)
 
@@ -397,9 +433,11 @@ class GaussianDiffusion:
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
             noise = sigma_t * jax.random.normal(nk, shape, jnp.float32) * temperature
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-            return (x_prev.astype(dtype), key), None
+            x_sc = pred_x0.astype(dtype) if self.self_condition else x_sc
+            return (x_prev.astype(dtype), key, x_sc), None
 
         # iterate DDIM indices in descending order (reference ddim.py:135,142)
         idxs = jnp.arange(dd.num_steps - 1, -1, -1)
-        (x, _), _ = jax.lax.scan(step, (img, scan_rng), idxs)
+        x_sc0 = jnp.zeros(shape, dtype) if self.self_condition else jnp.zeros((), dtype)
+        (x, _, _), _ = jax.lax.scan(step, (img, scan_rng, x_sc0), idxs)
         return DiffusionOutput(x=x)

@@ -105,7 +105,7 @@ class TestReverseStepGolden:
         pred = 0.1 * x_t  # deterministic "model"
         model = lambda x, t, c, y: 0.1 * x
         t = np.full((2,), t_val)
-        ours = d._reverse_step(
+        ours, _x0 = d._reverse_step(
             model, jnp.asarray(x_t), jnp.asarray(t), jnp.asarray(noise), None, None, clip
         )
         return d.schedule, x_t, noise, pred, t_val, np.asarray(ours)

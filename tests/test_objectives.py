@@ -207,3 +207,62 @@ class TestLabelCFG:
         batch = {"image": jnp.zeros((2, SIZE, SIZE, 3)), "label": jnp.asarray([0, 3])}
         step(state, batch, jax.random.PRNGKey(0))  # eager so `seen` fills
         assert np.all(seen[0] == 5)
+
+
+class TestSelfConditioning:
+    def _diffusion(self):
+        return GaussianDiffusion.create(
+            timesteps=20, image_size=SIZE, in_channels=3, self_condition=True
+        )
+
+    def test_train_loss_feeds_self_cond_channels(self):
+        d = self._diffusion()
+        shapes = []
+
+        def spy(x, t, c, y):
+            shapes.append(None if c is None else c.shape[-1])
+            return jnp.zeros_like(x)
+
+        d.train_loss(spy, jax.random.PRNGKey(0), jnp.zeros((4, SIZE, SIZE, 3)))
+        # two passes, both with 3 self-cond channels
+        assert shapes == [3, 3]
+
+    def test_composes_with_cond(self):
+        d = self._diffusion()
+        shapes = []
+
+        def spy(x, t, c, y):
+            shapes.append(c.shape[-1])
+            return jnp.zeros_like(x)
+
+        cond = jnp.zeros((4, SIZE, SIZE, 4))
+        d.train_loss(spy, jax.random.PRNGKey(0), jnp.zeros((4, SIZE, SIZE, 3)), cond=cond)
+        assert shapes == [7, 7]  # 4 cond + 3 self-cond
+
+    def test_sampling_carries_estimate(self):
+        d = self._diffusion()
+        seen = []
+
+        def spy(x, t, c, y):
+            seen.append(c is not None and c.shape[-1] == 3)
+            return 0.1 * x
+
+        out = d.ddpm_sample(spy, jax.random.PRNGKey(0), 2)
+        assert out.x.shape == (2, SIZE, SIZE, 3)
+        assert all(seen)
+
+    def test_ddim_self_cond(self):
+        d = self._diffusion()
+        model = lambda x, t, c, y: 0.1 * x
+        out = d.ddim_sample(model, jax.random.PRNGKey(0), 2, num_steps=5)
+        assert np.isfinite(np.asarray(out.x)).all()
+
+    def test_gradients_flow(self):
+        d = self._diffusion()
+
+        def loss(scale):
+            model = lambda x, t, c, y: scale * (x + 0.01 * c.sum(-1, keepdims=True))
+            return d.train_loss(model, jax.random.PRNGKey(0), jnp.ones((2, SIZE, SIZE, 3)))
+
+        g = jax.grad(loss)(0.5)
+        assert np.isfinite(float(g))
