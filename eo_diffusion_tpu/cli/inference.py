@@ -51,6 +51,9 @@ def parse_args(argv=None):
     parser.add_argument("--samples_fid", action="store_true")
     parser.add_argument("--n_iter", type=int, default=None)
     parser.add_argument("--eta", type=float, default=0.0)
+    parser.add_argument("--ddim_clip", action="store_true",
+                        help="clamp pred_x0 in DDIM steps (stabilizes weak models; "
+                             "the reference DDIM never clips)")
     parser.add_argument("--preset", type=str, default="inria64")
     parser.add_argument("--dataset", type=str, default=None)
     parser.add_argument("--data_root", type=str, default=None)
@@ -175,6 +178,7 @@ def main(args):
                 y=jnp.asarray(y) if y is not None else None,
                 mask=mask_j,
                 x0=jnp.asarray(image) if mask_j is not None else None,
+                clip=args.ddim_clip,
             )
             samples = np.asarray(out.x, np.float32)
 

@@ -325,7 +325,10 @@ class GaussianDiffusion:
             c = self._with_self_cond(cond, x_sc) if self.self_condition else cond
             x_t, x0_pred = self._reverse_step(model_fn, x_t, t, noise, c, y, clip)
             x_t = x_t.astype(dtype)
-            x_sc = x0_pred.astype(dtype) if self.self_condition else x_sc
+            if self.self_condition:
+                # clamp the carried estimate (lucidrains clips x_start during
+                # sampling; unclipped feedback diverges -- found by driving)
+                x_sc = jnp.clip(x0_pred, -1.0, 1.0).astype(dtype)
             out = x_t if log_every else None
             return (x_t, key, x_sc), out
 
@@ -355,9 +358,14 @@ class GaussianDiffusion:
         guidance_scale: float = 1.0,
         uncond: Optional[jax.Array] = None,
         y_uncond: Optional[jax.Array] = None,
+        clip: bool = False,
         dtype=jnp.float32,
     ) -> DiffusionOutput:
         """DDIM sampling (reference ``DDIMSampler``, ddim.py:57-207).
+
+        ``clip=True`` clamps pred_x0 to [-1,1] each step (lucidrains'
+        clip_x_start; stabilizes weak models at extreme t). Default False for
+        parity with the reference's unclipped p_sample_ddim.
 
         * eta=0 gives the deterministic DDIM ODE; eta=1 recovers ancestral
           DDPM variance on the subsequence (Song et al. 2010.02502 eq. 16).
@@ -424,6 +432,12 @@ class GaussianDiffusion:
                 raw = model_fn(x, t, cond_eff, y)
             xf = x.astype(jnp.float32)
             e_t, pred_x0 = self._to_eps_x0(raw, xf, t)
+            if clip:
+                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+                # re-derive eps from the clamped x0 so the update is consistent
+                a = _bcast(jnp.asarray(self.schedule.sqrt_alphas_cumprod), t)
+                s = _bcast(jnp.asarray(self.schedule.sqrt_one_minus_alphas_cumprod), t)
+                e_t = (xf - a * pred_x0) / jnp.maximum(s, 1e-8)
 
             a_t = alphas[idx]
             a_prev = alphas_prev[idx]
@@ -433,7 +447,9 @@ class GaussianDiffusion:
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
             noise = sigma_t * jax.random.normal(nk, shape, jnp.float32) * temperature
             x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-            x_sc = pred_x0.astype(dtype) if self.self_condition else x_sc
+            if self.self_condition:
+                # clamped like lucidrains' clip_x_start sampling path
+                x_sc = jnp.clip(pred_x0, -1.0, 1.0).astype(dtype)
             return (x_prev.astype(dtype), key, x_sc), None
 
         # iterate DDIM indices in descending order (reference ddim.py:135,142)

@@ -266,3 +266,29 @@ class TestSelfConditioning:
 
         g = jax.grad(loss)(0.5)
         assert np.isfinite(float(g))
+
+
+class TestDDIMClip:
+    def test_clip_bounds_pred(self):
+        d = make("eps")
+        # adversarial model: huge eps -> unclipped pred_x0 explodes
+        model = lambda x, t, c, y: 10.0 * jnp.ones_like(x)
+        x_T = jax.random.normal(jax.random.PRNGKey(0), (1, SIZE, SIZE, 3))
+        unclipped = d.ddim_sample(model, jax.random.PRNGKey(0), 1, num_steps=10, x_T=x_T).x
+        clipped = d.ddim_sample(model, jax.random.PRNGKey(0), 1, num_steps=10, x_T=x_T, clip=True).x
+        assert float(jnp.abs(clipped).max()) < float(jnp.abs(unclipped).max())
+        assert float(jnp.abs(clipped).max()) < 10.0
+
+    def test_clip_noop_when_in_range(self):
+        # a well-behaved model: clip must not change the trajectory
+        d = make("eps")
+
+        def oracle(x, t, c, y):
+            a = jnp.asarray(d.schedule.sqrt_alphas_cumprod)[t][:, None, None, None]
+            s = jnp.asarray(d.schedule.sqrt_one_minus_alphas_cumprod)[t][:, None, None, None]
+            return (x - a * 0.4) / s
+
+        x_T = jax.random.normal(jax.random.PRNGKey(0), (1, SIZE, SIZE, 3))
+        a = d.ddim_sample(oracle, jax.random.PRNGKey(0), 1, num_steps=10, x_T=x_T).x
+        b = d.ddim_sample(oracle, jax.random.PRNGKey(0), 1, num_steps=10, x_T=x_T, clip=True).x
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
