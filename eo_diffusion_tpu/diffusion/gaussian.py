@@ -78,6 +78,10 @@ class GaussianDiffusion:
     # cond channels (the UNet's in_channels must budget for them). Training
     # randomly feeds zeros vs a stop-gradient first-pass estimate.
     self_condition: bool = False
+    # CompVis-style VLB auxiliary loss (reference diffusion/ddpm.py:164-174,
+    # 299-326): total = L_simple + elbo_weight * E_t[lvlb_w(t) * err(t)]
+    # with lvlb_w = beta^2 / (2 sigma^2 alpha (1-acp)); 0 disables.
+    elbo_weight: float = 0.0
 
     # -- construction ------------------------------------------------------
 
@@ -93,6 +97,7 @@ class GaussianDiffusion:
         p2_loss_weight_k: float = 1.0,
         p2_loss_weight_gamma: float = 0.0,
         self_condition: bool = False,
+        elbo_weight: float = 0.0,
     ) -> "GaussianDiffusion":
         assert objective in ("eps", "x0", "v"), objective
         return cls(
@@ -104,6 +109,7 @@ class GaussianDiffusion:
             p2_loss_weight_k=p2_loss_weight_k,
             p2_loss_weight_gamma=p2_loss_weight_gamma,
             self_condition=self_condition,
+            elbo_weight=elbo_weight,
         )
 
     def _with_self_cond(self, cond, x_sc):
@@ -209,7 +215,26 @@ class GaussianDiffusion:
         w = self._p2_weight(t)
         if w is not None:
             err = err * w[:, None, None, None]
-        return jnp.mean(err)
+        loss = jnp.mean(err)
+        if self.elbo_weight > 0.0:
+            # per-sample squared error reweighted by the VLB terms
+            # (reference ddpm.py:305-324: loss_vlb = lvlb_weights[t] * err)
+            per = jnp.mean(err, axis=(1, 2, 3))
+            loss = loss + self.elbo_weight * jnp.mean(self._lvlb_weights()[t] * per)
+        return loss
+
+    def _lvlb_weights(self) -> jnp.ndarray:
+        """CompVis lvlb weights for the eps parameterization
+        (ddpm.py:164-174): beta^2 / (2 sigma_posterior^2 alpha (1-acp)),
+        with the t=0 term copied from t=1 to avoid the 0/0."""
+        s = self.schedule
+        betas = jnp.asarray(s.betas, jnp.float32)
+        alphas = jnp.asarray(s.alphas, jnp.float32)
+        acp = jnp.asarray(s.alphas_cumprod, jnp.float32)
+        acp_prev = jnp.asarray(s.alphas_cumprod_prev, jnp.float32)
+        posterior_var = betas * (1.0 - acp_prev) / (1.0 - acp)
+        w = betas**2 / (2.0 * jnp.maximum(posterior_var, 1e-20) * alphas * (1.0 - acp))
+        return w.at[0].set(w[1])
 
     # -- reverse process (DDPM) --------------------------------------------
 

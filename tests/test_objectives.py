@@ -292,3 +292,24 @@ class TestDDIMClip:
         a = d.ddim_sample(oracle, jax.random.PRNGKey(0), 1, num_steps=10, x_T=x_T).x
         b = d.ddim_sample(oracle, jax.random.PRNGKey(0), 1, num_steps=10, x_T=x_T, clip=True).x
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestVLBWeight:
+    def test_disabled_by_default(self):
+        d = make("eps")
+        assert d.elbo_weight == 0.0
+
+    def test_lvlb_weights_finite_positive(self):
+        d = make("eps", elbo_weight=1e-3)
+        w = np.asarray(d._lvlb_weights())
+        assert w.shape == (50,)
+        assert np.all(np.isfinite(w)) and np.all(w > 0)
+        assert w[0] == w[1]  # t=0 copied from t=1 (ddpm.py:173)
+
+    def test_elbo_increases_loss(self):
+        d0 = make("eps")
+        d1 = make("eps", elbo_weight=1e-3)
+        x0 = jnp.zeros((8, SIZE, SIZE, 3))
+        l0 = float(d0.train_loss(lambda x, t, c, y: jnp.zeros_like(x), jax.random.PRNGKey(0), x0))
+        l1 = float(d1.train_loss(lambda x, t, c, y: jnp.zeros_like(x), jax.random.PRNGKey(0), x0))
+        assert l1 > l0

@@ -173,3 +173,22 @@ class TestTrainerIntegration:
         state = tr.init(jax.random.PRNGKey(0), {"image": np.zeros((1, 8, 8, 3), np.float32)})
         x = tr.sample(state, jax.random.PRNGKey(1))
         assert x.shape == (2, 8, 8, 3)
+
+
+class TestDistributed:
+    def test_initialize_single_process_noop(self):
+        from eo_diffusion_tpu.parallel.distributed import initialize, process_shard
+
+        info = initialize()
+        assert info["process_count"] == 1
+        assert info["global_devices"] == 8
+        assert process_shard() == (0, 1)
+
+    def test_global_batch_from_local(self):
+        from eo_diffusion_tpu.parallel.distributed import global_batch_from_local
+
+        mesh = make_mesh()
+        local = {"image": np.ones((16, 4, 4, 3), np.float32)}
+        out = global_batch_from_local(local, mesh)
+        assert out["image"].shape == (16, 4, 4, 3)  # single-process: global == local
+        assert "data" in str(out["image"].sharding.spec)
