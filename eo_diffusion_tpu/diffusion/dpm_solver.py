@@ -1,0 +1,102 @@
+"""DPM-Solver++(2M) sampler (Lu et al. 2022, arXiv:2211.01095).
+
+A second-order multistep ODE solver over the diffusion probability flow in
+the data-prediction formulation -- typically matches DDIM-50 quality in
+15-25 steps, a 2-3x sampling speedup beyond the reference's samplers (which
+only ship ancestral DDPM and first-order DDIM, reference diffusion/model.py,
+ddim.py).
+
+With lambda_t = log(alpha_t / sigma_t) (alpha = sqrt(acp), sigma =
+sqrt(1-acp)) and x0-prediction D_i:
+
+    h_i   = lambda_i - lambda_{i-1}
+    r_i   = h_{i-1} / h_i
+    D~_i  = (1 + 1/(2 r_i)) D_i - 1/(2 r_i) D_{i-1}      (2nd order; D_i on step 1)
+    x_i   = (sigma_i / sigma_{i-1}) x_{i-1} - alpha_i (exp(-h_i) - 1) D~_i
+
+The whole trajectory is one ``lax.scan`` like the other samplers; the
+multistep history (previous D, previous lambda) rides the carry.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eo_diffusion_tpu.diffusion.gaussian import DiffusionOutput, GaussianDiffusion
+
+__all__ = ["dpm_solver_sample"]
+
+
+def dpm_solver_sample(
+    diffusion: GaussianDiffusion,
+    model_fn: Callable,
+    rng: jax.Array,
+    n_samples: int,
+    num_steps: int = 20,
+    order: int = 2,
+    cond: Optional[jax.Array] = None,
+    y: Optional[jax.Array] = None,
+    x_T: Optional[jax.Array] = None,
+    clip: bool = True,
+    dtype=jnp.float32,
+) -> DiffusionOutput:
+    """Sample with DPM-Solver++(2M) (or 1M with ``order=1`` == DDIM-eta0 in
+    lambda-uniform time)."""
+    assert order in (1, 2), order
+    sched = diffusion.schedule
+    T = sched.timesteps
+    shape = (n_samples, diffusion.image_size, diffusion.image_size, diffusion.in_channels)
+
+    # timestep subsequence: uniform in t over [0, T-1], descending (the
+    # cosine schedule is already ~uniform in lambda at the ends that matter)
+    ts = np.linspace(T - 1, 0, num_steps + 1).round().astype(np.int32)
+
+    alphas = jnp.asarray(sched.sqrt_alphas_cumprod)[ts]          # [S+1]
+    sigmas = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)[ts]
+    lambdas = jnp.log(jnp.maximum(alphas, 1e-20)) - jnp.log(jnp.maximum(sigmas, 1e-20))
+    t_seq = jnp.asarray(ts)
+
+    init_rng, _ = jax.random.split(rng)
+    x = x_T if x_T is not None else jax.random.normal(init_rng, shape, dtype)
+
+    def predict_x0(x, i):
+        t = jnp.full((n_samples,), t_seq[i], jnp.int32)
+        raw = model_fn(x, t, cond, y)
+        _, x0 = diffusion._to_eps_x0(raw, x.astype(jnp.float32), t)
+        if clip:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0
+
+    def step(carry, i):
+        # i runs 0..S-1; state at t_seq[i], moving to t_seq[i+1]
+        x, d_prev, lam_prev_h = carry
+        xf = x.astype(jnp.float32)
+        d_i = predict_x0(xf, i)
+
+        lam_i = lambdas[i]
+        lam_next = lambdas[i + 1]
+        h_i = lam_next - lam_i
+
+        if order == 2:
+            # previous step size; on the first step fall back to 1st order
+            h_prev = lam_i - lam_prev_h
+            r = h_prev / jnp.where(h_i == 0, 1.0, h_i)
+            first = (i == 0)
+            coef = 1.0 / (2.0 * jnp.where(r == 0, 1.0, r))
+            d_tilde = jnp.where(first, d_i, (1.0 + coef) * d_i - coef * d_prev)
+        else:
+            d_tilde = d_i
+
+        sig_ratio = sigmas[i + 1] / jnp.maximum(sigmas[i], 1e-20)
+        x_next = sig_ratio * xf - alphas[i + 1] * (jnp.exp(-h_i) - 1.0) * d_tilde
+        return (x_next.astype(dtype), d_i, lam_i), None
+
+    d0 = jnp.zeros(shape, jnp.float32)
+    (x, d_last, _), _ = jax.lax.scan(step, (x, d0, lambdas[0]), jnp.arange(num_steps))
+    # the final state is at t=0 where sigma ~ sqrt(1-acp[0]) ~ 0: return the
+    # last x (equivalently the final D for a fully-converged solve)
+    return DiffusionOutput(x=x)

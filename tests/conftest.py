@@ -42,6 +42,12 @@ def pytest_configure(config):
     env["PYTHONPATH"] = ":".join(
         p for p in env.get("PYTHONPATH", "").split(":") if "axon" not in p
     )
+    # persistent XLA compile cache: the suite is dominated by single-core CPU
+    # compiles of many small model configs; warm reruns are minutes faster
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache_tests")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
     sys.stdout.flush()
     sys.stderr.flush()
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)

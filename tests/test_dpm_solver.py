@@ -1,0 +1,76 @@
+"""DPM-Solver++ tests: oracle convergence, order comparison, step economy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eo_diffusion_tpu.diffusion.dpm_solver import dpm_solver_sample
+from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+
+SIZE = 8
+
+
+@pytest.fixture(scope="module")
+def diffusion():
+    return GaussianDiffusion.create(timesteps=1000, image_size=SIZE, in_channels=3)
+
+
+def oracle_for(diffusion, target):
+    """eps oracle for a delta distribution at `target`."""
+
+    def fn(x, t, c, y):
+        a = jnp.asarray(diffusion.schedule.sqrt_alphas_cumprod)[t][:, None, None, None]
+        s = jnp.asarray(diffusion.schedule.sqrt_one_minus_alphas_cumprod)[t][:, None, None, None]
+        return (x - a * target) / s
+
+    return fn
+
+
+class TestDPMSolver:
+    def test_oracle_convergence_few_steps(self, diffusion):
+        # a perfect x0 oracle must converge to the target in ~10 steps
+        model = oracle_for(diffusion, 0.5)
+        out = dpm_solver_sample(diffusion, model, jax.random.PRNGKey(0), 2, num_steps=10)
+        np.testing.assert_allclose(np.asarray(out.x), 0.5, atol=2e-2)
+
+    def test_second_order_beats_first(self, diffusion):
+        # nonlinear oracle: x0 estimate depends on x -> order matters
+        def model(x, t, c, y):
+            a = jnp.asarray(diffusion.schedule.sqrt_alphas_cumprod)[t][:, None, None, None]
+            s = jnp.asarray(diffusion.schedule.sqrt_one_minus_alphas_cumprod)[t][:, None, None, None]
+            x0 = jnp.tanh(x)  # state-dependent prediction
+            return (x - a * x0) / s
+
+        x_T = jax.random.normal(jax.random.PRNGKey(1), (2, SIZE, SIZE, 3))
+        ref = dpm_solver_sample(diffusion, model, jax.random.PRNGKey(0), 2,
+                                num_steps=200, order=2, x_T=x_T).x
+        o1 = dpm_solver_sample(diffusion, model, jax.random.PRNGKey(0), 2,
+                               num_steps=10, order=1, x_T=x_T).x
+        o2 = dpm_solver_sample(diffusion, model, jax.random.PRNGKey(0), 2,
+                               num_steps=10, order=2, x_T=x_T).x
+        e1 = float(jnp.abs(o1 - ref).mean())
+        e2 = float(jnp.abs(o2 - ref).mean())
+        assert e2 < e1
+
+    def test_matches_ddim_limit(self, diffusion):
+        # with many steps both integrate the same ODE: results must agree
+        model = oracle_for(diffusion, 0.3)
+        x_T = jax.random.normal(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3))
+        dd = diffusion.ddim_sample(model, jax.random.PRNGKey(0), 1,
+                                   num_steps=250, x_T=x_T).x
+        dpm = dpm_solver_sample(diffusion, model, jax.random.PRNGKey(0), 1,
+                                num_steps=50, x_T=x_T).x
+        np.testing.assert_allclose(np.asarray(dpm), np.asarray(dd), atol=5e-2)
+
+    def test_deterministic_given_xT(self, diffusion):
+        model = oracle_for(diffusion, 0.0)
+        x_T = jax.random.normal(jax.random.PRNGKey(3), (1, SIZE, SIZE, 3))
+        a = dpm_solver_sample(diffusion, model, jax.random.PRNGKey(0), 1, num_steps=10, x_T=x_T).x
+        b = dpm_solver_sample(diffusion, model, jax.random.PRNGKey(9), 1, num_steps=10, x_T=x_T).x
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_jittable(self, diffusion):
+        model = oracle_for(diffusion, 0.0)
+        f = jax.jit(lambda k: dpm_solver_sample(diffusion, model, k, 1, num_steps=5).x)
+        assert f(jax.random.PRNGKey(0)).shape == (1, SIZE, SIZE, 3)

@@ -132,3 +132,20 @@ class TestGroupNorm:
             x, jnp.broadcast_to(gamma[:1], gamma.shape),
             jnp.broadcast_to(beta[:1], beta.shape), 32, act="silu")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestSinglePassKernel:
+    def test_default_blocks_single_pass_matches(self):
+        q, k, v = _qkv(t=56)
+        ref = A.xla_attention(q, k, v)
+        out = A.flash_attention(q, k, v)  # default block_k >= t -> single pass
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_single_pass_gradients(self):
+        q, k, v = _qkv(t=32)
+        gf = jax.grad(lambda q, k, v: jnp.sum(A.flash_attention(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(lambda q, k, v: jnp.sum(A.xla_attention(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
