@@ -140,7 +140,7 @@ def main(args):
     if args.ckpt:
         print("Loading checkpoint...")
         state = restore_checkpoint(args.ckpt, state)
-        print("loaded!")
+        print(f"loaded! resuming from step {int(state.step)}")
 
     run = None
     if args.wandb:
@@ -155,7 +155,9 @@ def main(args):
     os.makedirs(tcfg.ckpt_dir, exist_ok=True)
 
     best_loss = 0.9  # same initial bar as the reference (train.py:100)
-    global_steps = 0
+    # resume continues the step counter (and thus the LR schedule/EMA cadence);
+    # the reference restarts from 0 and loses both (SURVEY.md §5)
+    global_steps = int(state.step)
     y_test = np.full((args.n_samples,), 1) if args.num_classes > 0 else None
     t_start = time.time()
     for epoch in range(args.epochs):
