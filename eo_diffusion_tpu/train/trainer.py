@@ -193,6 +193,7 @@ class Trainer:
             out_shardings=(None, None),
         )
         self._rng = jax.random.PRNGKey(cfg.seed)
+        self._samplers = {}
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -221,9 +222,17 @@ class Trainer:
     def sample(self, state: TrainState, rng: jax.Array, n: Optional[int] = None,
                cond=None, y=None):
         n = n or self.cfg.n_samples
-        params = state.ema_params
-        model_fn = lambda x, t, c, yy: self.model.apply(params, x, t, cond=c, y=yy)
-        out = self.diffusion.ddpm_sample(
-            model_fn, rng, n, cond=cond, y=y, clip=not self.cfg.no_clip
-        )
-        return out.x
+        key = (n, cond is not None, y is not None)
+        if key not in self._samplers:
+            def _sample(params, rng, cond, y):
+                model_fn = lambda x, t, c, yy: self.model.apply(params, x, t, cond=c, y=yy)
+                return self.diffusion.ddpm_sample(
+                    model_fn, rng, n, cond=cond, y=y, clip=not self.cfg.no_clip
+                ).x
+
+            # cache the jitted sampler: re-tracing the T-step scan on every
+            # periodic sampling call costs minutes on CPU hosts
+            self._samplers[key] = jax.jit(_sample)
+        cond_j = None if cond is None else jnp.asarray(cond)
+        y_j = None if y is None else jnp.asarray(y)
+        return self._samplers[key](state.ema_params, rng, cond_j, y_j)
