@@ -47,7 +47,9 @@ def parse_args(argv=None):
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--num_classes", type=int, default=0)
     parser.add_argument("--cond_type", type=str, default=None)
-    parser.add_argument("--sampler", type=str, default="ddpm", choices=["ddpm", "ddim"])
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=["ddpm", "ddim", "dpm"],
+                        help="dpm = DPM-Solver++(2M): DDIM-class quality in ~20 steps")
     parser.add_argument("--samples_fid", action="store_true")
     parser.add_argument("--n_iter", type=int, default=None)
     parser.add_argument("--eta", type=float, default=0.0)
@@ -162,7 +164,16 @@ def main(args):
         catg = classes[int(y[0])] if y is not None else "sample"
 
         rng, srng = jax.random.split(rng)
-        if args.sampler == "ddpm":
+        if args.sampler == "dpm":
+            from eo_diffusion_tpu.diffusion.dpm_solver import dpm_solver_sample
+
+            out = dpm_solver_sample(
+                diffusion, model_fn, srng, bsz, num_steps=args.sampler_steps,
+                cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
+                y=jnp.asarray(y) if y is not None else None,
+            )
+            samples = np.asarray(out.x, np.float32)
+        elif args.sampler == "ddpm":
             out = diffusion.ddpm_sample(
                 model_fn, srng, bsz,
                 cond=jnp.asarray(cond) if cond is not None else None,
