@@ -192,3 +192,22 @@ class TestDistributed:
         out = global_batch_from_local(local, mesh)
         assert out["image"].shape == (16, 4, 4, 3)  # single-process: global == local
         assert "data" in str(out["image"].sharding.spec)
+
+
+class TestShardedSampling:
+    def test_ddpm_sample_on_mesh(self):
+        """Data-parallel sampling: batch sharded over the 8-device mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh()
+        model = UNet(TINY)
+        d = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+        )
+        mf = lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y)
+        out_sh = NamedSharding(mesh, P("data"))
+        f = jax.jit(lambda k: d.ddpm_sample(mf, k, 16).x, out_shardings=out_sh)
+        x = f(jax.random.PRNGKey(0))
+        assert x.shape == (16, 8, 8, 3)
+        assert "data" in str(x.sharding.spec)
