@@ -50,14 +50,23 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
                     batch: int = 64) -> dict:
     """FID between two image stacks (and IS of the fake stack when the
     extractor yields class probabilities)."""
-    from eo_diffusion_tpu.utils.metrics import FrechetDistance
+    import numpy as np
+
+    from eo_diffusion_tpu.utils.metrics import FrechetDistance, kid
 
     fd = FrechetDistance(extractor)
     for i in range(0, len(real), batch):
         fd.update_real(real[i : i + batch])
     for i in range(0, len(fake), batch):
         fd.update_fake(fake[i : i + batch])
-    return {"frechet_distance": fd.compute(), "n_real": len(real), "n_fake": len(fake)}
+    kid_mean, kid_std = kid(np.concatenate(fd._real), np.concatenate(fd._fake))
+    return {
+        "frechet_distance": fd.compute(),
+        "kid_mean": kid_mean,
+        "kid_std": kid_std,
+        "n_real": len(real),
+        "n_fake": len(fake),
+    }
 
 
 def main(argv=None):

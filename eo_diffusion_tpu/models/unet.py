@@ -80,6 +80,10 @@ class UNetConfig:
     use_new_attention_order: bool = False
     dtype: Any = jnp.float32  # compute/activation dtype (params stay float32)
     attn_impl: str = "auto"  # "auto" (pallas on TPU for long seq) | "xla" | "pallas"
+    # cross-attention conditioning: when set, every self-attention block is
+    # followed by a zero-init cross-attention block over `context` tokens
+    # (the LatentDiffusion 'crossattn' slot; 0 disables)
+    context_dim: int = 0
     # classifier-free guidance: probability of dropping the class label to a
     # learned null embedding during training (lucidrains
     # classifier_free_guidance.py:289,326-335). When > 0 the embedding table
@@ -301,6 +305,40 @@ class AttentionBlock(nn.Module):
         return (xt + out).reshape(b, hgt, wid, c)
 
 
+class CrossAttentionBlock(nn.Module):
+    """Cross-attention to context tokens (the LatentDiffusion 'crossattn'
+    conditioning slot, reference diffusion/ddpm.py:34-36 /
+    model_pl.py:189-215 -- never exercised by the reference's active path;
+    provided here so the conditioning-key matrix is complete).
+
+    q comes from the spatial features, k/v from ``context`` [N, L, Dc].
+    Zero-initialized output projection: with fresh params the block is an
+    identity, so it can be added to pretrained checkpoints safely.
+    """
+
+    num_heads: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        b, hgt, wid, c = x.shape
+        heads = self.num_heads
+        ch = c // heads
+        t = hgt * wid
+        xt = x.reshape(b, t, c)
+        h = GroupNorm32(name="norm")(xt)
+        q = Dense(c, dtype=self.dtype, name="to_q")(h).reshape(b, t, heads, ch)
+        kv = Dense(2 * c, dtype=self.dtype, name="to_kv")(context.astype(h.dtype))
+        kv = kv.reshape(b, context.shape[1], 2, heads, ch)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.float32(ch))).astype(q.dtype)
+        w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhts,bshc->bthc", w, v).reshape(b, t, c)
+        out = ZeroDense(c, dtype=self.dtype, name="proj_out")(a)
+        return (xt + out).reshape(b, hgt, wid, c)
+
+
 class Upsample(nn.Module):
     """2x nearest upsample + optional conv (reference unet_openai.py:211-242)."""
 
@@ -384,11 +422,15 @@ class UNet(nn.Module):
         timesteps: jax.Array,
         cond: Optional[jax.Array] = None,
         y: Optional[jax.Array] = None,
+        context: Optional[jax.Array] = None,
         *,
         train: bool = False,
     ) -> jax.Array:
         cfg = self.config
         plan = build_unet_plan(cfg)
+        assert (context is not None) == (cfg.context_dim > 0), (
+            "pass context iff the model was configured with context_dim"
+        )
 
         if cond is not None:
             # channel-concat conditioning entry (reference unet_openai.py:754-756)
@@ -412,23 +454,29 @@ class UNet(nn.Module):
                 cfg.label_vocab, cfg.time_embed_dim, param_dtype=jnp.float32, name="label_emb"
             )(y).astype(emb.dtype)
 
+        def apply_layer(spec, name, h):
+            layer = _make_layer(cfg, spec, name=name)
+            h = self._apply(layer, spec, h, emb, train)
+            if spec.kind == "attn" and cfg.context_dim > 0:
+                h = CrossAttentionBlock(
+                    num_heads=spec.num_heads, dtype=cfg.dtype, name=f"{name}_xattn"
+                )(h, context)
+            return h
+
         h = x.astype(cfg.dtype)
         hs = []
         for bi, block in enumerate(plan.input_blocks):
             for li, spec in enumerate(block):
-                layer = _make_layer(cfg, spec, name=f"input_{bi}_{li}")
-                h = self._apply(layer, spec, h, emb, train)
+                h = apply_layer(spec, f"input_{bi}_{li}", h)
             hs.append(h)
 
         for li, spec in enumerate(plan.middle_block):
-            layer = _make_layer(cfg, spec, name=f"middle_{li}")
-            h = self._apply(layer, spec, h, emb, train)
+            h = apply_layer(spec, f"middle_{li}", h)
 
         for bi, block in enumerate(plan.output_blocks):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             for li, spec in enumerate(block):
-                layer = _make_layer(cfg, spec, name=f"output_{bi}_{li}")
-                h = self._apply(layer, spec, h, emb, train)
+                h = apply_layer(spec, f"output_{bi}_{li}", h)
 
         # output head (reference unet_openai.py:739-743): norm -> SiLU -> zero conv
         h = GroupNorm32(name="out_norm")(h)

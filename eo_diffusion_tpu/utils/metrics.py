@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ssim", "psnr", "FrechetDistance", "tiny_feature_extractor", "inception_score"]
+__all__ = ["ssim", "psnr", "FrechetDistance", "tiny_feature_extractor",
+           "inception_score", "kid"]
 
 
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
@@ -150,6 +151,32 @@ class FrechetDistance:
         real = np.concatenate(self._real)
         fake = np.concatenate(self._fake)
         return self.frechet(*self._stats(real), *self._stats(fake))
+
+
+def kid(real_feats: np.ndarray, fake_feats: np.ndarray, subset_size: int = 100,
+        num_subsets: int = 20, seed: int = 0) -> tuple:
+    """Kernel Inception Distance (Binkowski et al. 2018): unbiased MMD^2 with
+    the polynomial kernel k(x,y) = (x.y/d + 1)^3 over feature subsets.
+
+    Unlike FID, KID is unbiased at small sample counts and meaningful under
+    any feature extractor -- the recommended metric with this framework's
+    offline extractor fallback. Returns (mean, std) over subsets.
+    """
+    rng = np.random.default_rng(seed)
+    d = real_feats.shape[1]
+    n = min(subset_size, len(real_feats), len(fake_feats))
+    scores = []
+    for _ in range(num_subsets):
+        x = real_feats[rng.choice(len(real_feats), n, replace=False)].astype(np.float64)
+        y = fake_feats[rng.choice(len(fake_feats), n, replace=False)].astype(np.float64)
+        kxx = (x @ x.T / d + 1.0) ** 3
+        kyy = (y @ y.T / d + 1.0) ** 3
+        kxy = (x @ y.T / d + 1.0) ** 3
+        np.fill_diagonal(kxx, 0.0)
+        np.fill_diagonal(kyy, 0.0)
+        mmd = kxx.sum() / (n * (n - 1)) + kyy.sum() / (n * (n - 1)) - 2.0 * kxy.mean()
+        scores.append(mmd)
+    return float(np.mean(scores)), float(np.std(scores))
 
 
 def inception_score(probs: np.ndarray, splits: int = 10) -> tuple:

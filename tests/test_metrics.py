@@ -100,3 +100,22 @@ class TestImages:
         save_image_grid(imgs, path, nrow=2)
         with Image.open(path) as im:
             assert im.size[0] > 16
+
+
+class TestKID:
+    def test_zero_for_identical(self):
+        rng = np.random.default_rng(0)
+        f = rng.normal(size=(200, 32))
+        mean, std = M.kid(f, f, subset_size=50, num_subsets=5)
+        # same-set subsets still differ slightly; near zero
+        assert abs(mean) < 0.5
+
+    def test_separates_distributions(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 1, (200, 32))
+        b = rng.normal(0, 1, (200, 32))
+        c = rng.normal(2, 1, (200, 32))
+        near, _ = M.kid(a, b, subset_size=50)
+        far, _ = M.kid(a, c, subset_size=50)
+        assert far > near
+        assert far > 1.0

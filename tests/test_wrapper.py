@@ -70,3 +70,46 @@ class TestPublicAPI:
         assert "Trainer" in dir(pkg)
         with pytest.raises(AttributeError):
             pkg.nonexistent_symbol
+
+
+class TestCrossAttention:
+    def _model(self):
+        cfg = UNetConfig(image_size=SIZE, in_channels=3, model_channels=32,
+                         out_channels=3, num_res_blocks=1, attention_resolutions=(1,),
+                         channel_mult=(1,), num_heads=4, context_dim=16)
+        model = UNet(cfg)
+        x = jnp.zeros((2, SIZE, SIZE, 3))
+        t = jnp.zeros((2,), jnp.int32)
+        ctx = jnp.zeros((2, 5, 16))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, context=ctx)
+        return model, params, x, t, ctx
+
+    def test_forward_with_context(self):
+        model, params, x, t, ctx = self._model()
+        out = model.apply(params, x, t, context=ctx)
+        assert out.shape == x.shape
+
+    def test_context_required_iff_configured(self):
+        model, params, x, t, ctx = self._model()
+        with pytest.raises(AssertionError):
+            model.apply(params, x, t)  # missing context
+
+    def test_zero_init_identity(self):
+        # fresh cross-attn params: output must be identical to a context of
+        # any value (zero-init proj_out makes the block an identity)
+        model, params, x, t, ctx = self._model()
+        xr = jnp.asarray(np.random.default_rng(0).normal(size=x.shape), jnp.float32)
+        a = model.apply(params, xr, t, context=ctx)
+        b = model.apply(params, xr, t, context=ctx + 100.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_context_modulates_after_training_signal(self):
+        # give proj_out nonzero weights: different contexts now differ
+        model, params, x, t, ctx = self._model()
+        params = jax.tree.map(
+            lambda p: jnp.asarray(np.random.default_rng(0).normal(0, 0.05, p.shape), p.dtype),
+            params)
+        xr = jnp.asarray(np.random.default_rng(1).normal(size=x.shape), jnp.float32)
+        a = model.apply(params, xr, t, context=ctx)
+        b = model.apply(params, xr, t, context=ctx + 1.0)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
