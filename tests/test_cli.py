@@ -1,0 +1,85 @@
+"""CLI round-trip smoke tests: train -> checkpoint -> inference -> evaluate,
+all through the argparse entry points on the tiny synthetic preset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def run_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    return {
+        "samples": str(root / "results"),
+        "ckpt": str(root / "logs"),
+        "infer": str(root / "infer"),
+    }
+
+
+@pytest.fixture(scope="module")
+def trained(run_dirs, monkeypatch_module=None):
+    from eo_diffusion_tpu.cli import train as train_cli
+
+    cwd = os.getcwd()
+    os.chdir(os.path.dirname(run_dirs["samples"]))
+    try:
+        args = train_cli.parse_args([
+            "--preset", "tiny", "--epochs", "1", "--steps_per_epoch", "3",
+            "--batch_size", "8", "--lr", "2e-3",
+            "--dir", run_dirs["samples"], "--sample_every", "2",
+            "--save_every", "3", "--log_freq", "1", "--n_samples", "4",
+        ])
+        train_cli.main(args)
+    finally:
+        os.chdir(cwd)
+    ckpt_root = os.path.join(os.path.dirname(run_dirs["samples"]), "logs",
+                             os.path.basename(run_dirs["samples"]))
+    return ckpt_root
+
+
+class TestTrainCLI:
+    def test_checkpoints_written(self, trained):
+        entries = os.listdir(trained)
+        assert any(e.startswith("steps_") for e in entries)
+
+    def test_sample_grid_written(self, trained, run_dirs):
+        pngs = [f for f in os.listdir(run_dirs["samples"]) if f.endswith(".png")]
+        assert pngs, "periodic EMA sampling produced no grid"
+
+
+class TestInferenceCLI:
+    @pytest.mark.parametrize("sampler,extra", [
+        ("ddim", ["--sampler_steps", "5", "--ddim_clip"]),
+        ("dpm", ["--sampler_steps", "5"]),
+    ])
+    def test_inference_roundtrip(self, trained, run_dirs, sampler, extra):
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        step_dirs = sorted(d for d in os.listdir(trained) if d.startswith("steps_"))
+        ckpt = os.path.join(trained, step_dirs[-1])
+        outdir = os.path.join(run_dirs["infer"], sampler)
+        args = infer_cli.parse_args([
+            "--preset", "tiny", "--ckpt", ckpt, "--sampler", sampler,
+            "--cond_type", "sum", "--metrics", "--save", "--samples_fid",
+            "--n_iter", "0", "--batch_size", "4", "--outdir", outdir, *extra,
+        ])
+        infer_cli.main(args)
+        assert os.path.exists(os.path.join(outdir, "metrics.txt"))
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
+
+
+class TestEvaluateCLI:
+    def test_fid_kid_on_samples(self, trained, run_dirs):
+        from eo_diffusion_tpu.cli import evaluate as eval_cli
+
+        fid_dir = os.path.join(run_dirs["infer"], "ddim", "samples_fid")
+        out_json = os.path.join(run_dirs["infer"], "metrics.json")
+        metrics = eval_cli.main([
+            "--real", fid_dir, "--fake", fid_dir, "--out", out_json,
+        ])
+        assert abs(metrics["frechet_distance"]) < 1e-3  # self-distance ~ 0
+        assert "kid_mean" in metrics
+        with open(out_json) as f:
+            assert json.load(f)["n_real"] >= 1
