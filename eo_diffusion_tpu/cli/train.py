@@ -35,6 +35,9 @@ def parse_args(argv=None):
     parser.add_argument("--epochs", type=int, default=100)
     parser.add_argument("--dir", type=str, default="results/run", help="sample output directory")
     parser.add_argument("--ckpt", type=str, default="", help="checkpoint path to resume from")
+    parser.add_argument("--resume", action="store_true",
+                        help="auto-resume from the latest checkpoint in the run's "
+                             "log dir if one exists (restart-safe training)")
     parser.add_argument("--n_samples", type=int, default=16)
     parser.add_argument("--model_base_dim", type=int, default=None)
     parser.add_argument("--timesteps", type=int, default=None)
@@ -137,9 +140,17 @@ def main(args):
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     print(f"Diffusion with {n_params/1e6} M params")
 
-    if args.ckpt:
+    ckpt_path = args.ckpt
+    if not ckpt_path and args.resume:
+        from eo_diffusion_tpu.train.checkpoint import latest_step
+
+        last = latest_step(tcfg.ckpt_dir)
+        if last is not None:
+            ckpt_path = os.path.join(tcfg.ckpt_dir, f"steps_{last:08d}")
+            print(f"auto-resume: found {ckpt_path}")
+    if ckpt_path:
         print("Loading checkpoint...")
-        state = restore_checkpoint(args.ckpt, state)
+        state = restore_checkpoint(ckpt_path, state)
         print(f"loaded! resuming from step {int(state.step)}")
 
     run = None
@@ -160,7 +171,8 @@ def main(args):
     global_steps = int(state.step)
     y_test = np.full((args.n_samples,), 1) if args.num_classes > 0 else None
     t_start = time.time()
-    for epoch in range(args.epochs):
+    start_epoch = min(global_steps // steps_per_epoch, args.epochs)
+    for epoch in range(start_epoch, args.epochs):
         for j, batch in enumerate(train_loader):
             if j >= steps_per_epoch:
                 break

@@ -49,6 +49,18 @@ class DataLoader:
         self.prefetch = prefetch
         self._epoch = 0
 
+    # -- resumable iteration state (the loader-side half of fault tolerance;
+    # the reference loses data-order state entirely on resume) -------------
+
+    def state(self) -> dict:
+        return {"epoch": self._epoch, "seed": self.seed}
+
+    def load_state(self, state: dict) -> None:
+        assert state.get("seed", self.seed) == self.seed, (
+            "resuming a loader with a different shuffle seed"
+        )
+        self._epoch = int(state["epoch"])
+
     def __len__(self) -> int:
         shard_id, n_shards = self.shard
         n = len(self.dataset) // n_shards
