@@ -73,8 +73,6 @@ def main(args):
     from eo_diffusion_tpu.data.transforms import random_rect_mask
     from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
     from eo_diffusion_tpu.models.unet import UNet
-    from eo_diffusion_tpu.train.checkpoint import restore_checkpoint
-    from eo_diffusion_tpu.train.trainer import TrainState
     from eo_diffusion_tpu.utils import metrics as M
     from eo_diffusion_tpu.utils.images import rescale_to_unit, save_image_grid
 

@@ -86,7 +86,7 @@ def main(args):
     from eo_diffusion_tpu.data.factories import DATASET_FACTORIES
     from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
     from eo_diffusion_tpu.models.unet import UNet
-    from eo_diffusion_tpu.train.checkpoint import best_dir, restore_checkpoint, save_checkpoint
+    from eo_diffusion_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
     from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
     from eo_diffusion_tpu.utils.images import save_image_grid
 

@@ -11,8 +11,6 @@ New: ``create_synthetic_dataloaders`` (data-free operation) and a
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 from eo_diffusion_tpu.data import transforms as T
 from eo_diffusion_tpu.data.datasets import (
     CIFAR10Dataset,

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import Optional, Tuple
-
 import numpy as np
 
 __all__ = ["have_native", "extract_patches", "build_native"]

@@ -17,7 +17,6 @@ import dataclasses
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from eo_diffusion_tpu.diffusion.gaussian import DiffusionOutput, GaussianDiffusion
 

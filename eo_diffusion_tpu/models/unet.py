@@ -20,7 +20,7 @@ Re-design of the reference production backbone ``backbones/unet_openai.py``
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ diffusion process and samplers are reused unchanged: the segmap rides the
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ conditioning inputs to the backbone's mechanisms:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 

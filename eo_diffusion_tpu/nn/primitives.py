@@ -15,7 +15,7 @@ and OIHW->HWIO transposes from torch checkpoints.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
 from eo_diffusion_tpu.parallel.mesh import data_sharding, make_mesh, replicated
