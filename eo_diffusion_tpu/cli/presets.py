@@ -63,6 +63,10 @@ PRESETS = {
     # BASELINE.json CPU-runnable MNIST config
     "mnist": Preset("mnist", "mnist", 28, 1, 32, (1, 2, 2), (), 1, 1,
                     timesteps=1000, batch_size=128),
+    # SEN12MS-CR supervised cloud removal: model p(clear | cloudy) with the
+    # cloudy view as concat conditioning (256px native patches)
+    "sen12mscr256": Preset("sen12mscr256", "sen12mscr", 256, 3, 128, (1, 2, 3, 4),
+                           (4, 8), 2, 8, cond_type="concat", batch_size=16),
     "synthetic64": Preset("synthetic64", "synthetic", 64, 3, 64, (1, 2, 3, 4), (4, 8), 1, 4),
     # tiny smoke config for CI / CPU runs
     "tiny": Preset("tiny", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,

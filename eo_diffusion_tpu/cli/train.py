@@ -113,8 +113,11 @@ def main(args):
     data_range = train_loader.dataset.data_range
 
     # "sum" (RePaint) conditions at sampling time only (model.py:52): the
-    # UNet stays unconditional. "concat" feeds (image|mask) channels in.
-    cond_channels = 4 if cond_type == "concat" else 0
+    # UNet stays unconditional. "concat" feeds the dataset's cond channels in
+    # (paired image like SEN12MS-CR cloudy view, or image|mask).
+    first = next(iter(train_loader))
+    batch0 = _to_model_batch(first, cond_type)
+    cond_channels = batch0["cond"].shape[-1] if (cond_type == "concat" and "cond" in batch0) else 0
     ucfg = preset.unet_config(num_classes=num_classes, bf16=not args.no_bf16,
                               cond_channels=cond_channels)
     model = UNet(ucfg)
@@ -134,8 +137,6 @@ def main(args):
     )
     trainer = Trainer(tcfg, model, diffusion, steps_per_epoch)
 
-    first = next(iter(train_loader))
-    batch0 = _to_model_batch(first, cond_type)
     state = trainer.init(jax.random.PRNGKey(args.seed), batch0)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     print(f"Diffusion with {n_params/1e6} M params")
@@ -221,12 +222,23 @@ def main(args):
 
 
 def _to_model_batch(batch, cond_type):
-    """Build the model batch dict; for cond_type=sum the cond is
-    (image | 1-mask) channel-concat like inference.py:101,109."""
+    """Build the model batch dict.
+
+    * cond_type="sum": cond = (image | 1-mask) channel-concat like
+      inference.py:101,109 -- used at sampling time only.
+    * cond_type="concat": cond is either the dataset's paired conditioning
+      image ("cond_image", e.g. the cloudy SEN12MS-CR view) or
+      (image | mask) when only a segmentation is available.
+    """
     out = {"image": batch["image"]}
     if cond_type == "sum" and "segmentation" in batch:
         inv_mask = 1.0 - batch["segmentation"]
         out["cond"] = np.concatenate([batch["image"], inv_mask], axis=-1)
+    elif cond_type == "concat":
+        if "cond_image" in batch:
+            out["cond"] = batch["cond_image"]
+        elif "segmentation" in batch:
+            out["cond"] = np.concatenate([batch["image"], batch["segmentation"]], axis=-1)
     if "class" in batch:
         out["label"] = batch["class"]
     return out

@@ -135,6 +135,22 @@ def create_Eurosat_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED=4
     return _loaders(train_ds, test_ds, batch_size, transforms=None if test else _FLIPS)
 
 
+def create_sen12mscr_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED=4097,
+                                 return_dataset=False, test=False,
+                                 root="../data/SEN12MS_CR", season="ROIs1868_summer", **kw):
+    """SEN12MS-CR cloud-removal pairs: clear S2 RGB as target, cloudy S2 RGB
+    as "cond_image" for concat-conditional training (README.md:13-20)."""
+    from eo_diffusion_tpu.data.sen12ms_cr import SEN12MSCRCloudRemoval
+
+    ds = SEN12MSCRCloudRemoval(root, season=season,
+                               **{k: v for k, v in kw.items() if k in ("reader", "scale")})
+    train_ds, test_ds = train_val_split(ds, val_split, SEED)
+    if return_dataset:
+        return train_ds, test_ds
+    return _loaders(train_ds, test_ds, batch_size,
+                    transforms=None if test else _FLIPS)
+
+
 def create_synthetic_dataloaders(batch_size, image_size=64, length=1024, channels=3,
                                  val_split=0.15, SEED=4097, num_classes=5,
                                  data_range=(0.0, 1.0), shard=(0, 1), **kw):
@@ -152,5 +168,6 @@ DATASET_FACTORIES = {
     "oscd": create_oscd_dataloaders,
     "sarwake": create_SARWake_dataloaders,
     "eurosat": create_Eurosat_dataloaders,
+    "sen12mscr": create_sen12mscr_dataloaders,
     "synthetic": create_synthetic_dataloaders,
 }

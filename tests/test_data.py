@@ -296,3 +296,33 @@ def test_metadata_registry():
     assert get_metadata("eurosat")["num_classes"] == 10
     with pytest.raises(ValueError):
         get_metadata("nope")
+
+
+class TestSEN12MSCRFactory:
+    def test_factory_registered(self):
+        from eo_diffusion_tpu.data.factories import DATASET_FACTORIES
+
+        assert "sen12mscr" in DATASET_FACTORIES
+
+    def test_cond_image_batching(self, tmp_path):
+        import os
+
+        from eo_diffusion_tpu.data.factories import create_sen12mscr_dataloaders
+        from eo_diffusion_tpu.data.sen12ms_cr import Seasons
+
+        season = Seasons.SUMMER.value
+        for scene in (1, 2):
+            for sensor in ("s1", "s2", "s2_cloudy"):
+                d = tmp_path / season / f"{sensor}_{scene}"
+                os.makedirs(d)
+                for pid in range(4):
+                    (d / f"{season}_{sensor}_{scene}_p{pid}.tif").write_bytes(b"")
+
+        def reader(path, bands):
+            rng = np.random.default_rng(abs(hash(os.path.basename(path))) % 2**32)
+            return rng.uniform(0, 4000, (16, 16, 13)).astype(np.float32)[:, :, [b - 1 for b in bands]]
+
+        train, test = create_sen12mscr_dataloaders(4, root=str(tmp_path), reader=reader)
+        batch = next(iter(train))
+        assert batch["image"].shape == (4, 16, 16, 3)
+        assert batch["cond_image"].shape == (4, 16, 16, 3)
