@@ -331,8 +331,10 @@ class GaussianDiffusion:
 
         gt = mask = None
         if cond is not None and self.cond_type == "sum":
-            # cond = (gt RGB | mask) channel-concat (reference model.py:50-52)
-            gt, mask = cond[..., :3], cond[..., 3:4]
+            # cond = (gt | mask) channel-concat (reference model.py:50-52;
+            # the reference hardcodes 3 gt channels -- generalized here)
+            c_img = self.in_channels
+            gt, mask = cond[..., :c_img], cond[..., c_img : c_img + 1]
             cond = None
 
         ts = jnp.arange(self.timesteps - 1, -1, -1)
