@@ -218,9 +218,14 @@ class Trainer:
         return float(self.lr_table[min(step, len(self.lr_table) - 1)])
 
     # -- sampling with EMA weights (reference train.py:148-149) --------------
+    #
+    # NOTE: EMA params average over an ~1/(1-decay)-step horizon; early in
+    # training (step count < horizon) they still contain initialization
+    # noise and will sample garbage while the raw params already produce
+    # structure. Pass use_ema=False for early-training previews.
 
     def sample(self, state: TrainState, rng: jax.Array, n: Optional[int] = None,
-               cond=None, y=None):
+               cond=None, y=None, use_ema: bool = True):
         n = n or self.cfg.n_samples
         key = (n, cond is not None, y is not None)
         if key not in self._samplers:
@@ -235,4 +240,5 @@ class Trainer:
             self._samplers[key] = jax.jit(_sample)
         cond_j = None if cond is None else jnp.asarray(cond)
         y_j = None if y is None else jnp.asarray(y)
-        return self._samplers[key](state.ema_params, rng, cond_j, y_j)
+        p = state.ema_params if use_ema else state.params
+        return self._samplers[key](p, rng, cond_j, y_j)

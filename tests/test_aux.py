@@ -119,3 +119,19 @@ class TestProfiling:
     def test_sync_noop_on_empty(self):
         sync({})
         sync(None)
+
+
+class TestExportPatches:
+    def test_export_synthetic(self, tmp_path):
+        from eo_diffusion_tpu.data.datasets import SyntheticEO
+        from eo_diffusion_tpu.tools.export_patches import export
+
+        ds = SyntheticEO(size=8, length=5)
+        n = export(ds, str(tmp_path), limit=3)
+        assert n == 3
+        files = os.listdir(tmp_path)
+        assert "images.txt" in files
+        assert sum(f.endswith(".png") and "mask" not in f for f in files) == 3
+        assert sum("mask" in f for f in files) == 3
+        lines = open(tmp_path / "images.txt").read().strip().splitlines()
+        assert len(lines) == 3 and lines[0].split()[1].isdigit()
