@@ -62,6 +62,7 @@ def make_train_step(
     use_cond: bool = False,
     class_dropout_prob: float = 0.0,
     num_classes: int = 0,
+    ema_warmup: bool = True,
 ):
     """Build the pure train-step fn: (state, batch, rng) -> (state, metrics).
 
@@ -90,6 +91,13 @@ def make_train_step(
         # fused EMA update, gated on the step counter (no host round-trip)
         do_ema = (state.step % ema_every) == 0
         d = jnp.float32(ema_decay)
+        if ema_warmup:
+            # timm-style decay warmup: early updates average aggressively so
+            # the EMA tracks from the first steps instead of dragging
+            # initialization noise for a full 1/(1-decay) horizon (observed
+            # on the capstone run: unwarmed EMA sampled noise at 6k steps)
+            n_upd = (state.step // ema_every).astype(jnp.float32)
+            d = jnp.minimum(d, (1.0 + n_upd) / (10.0 + n_upd))
         ema = jax.tree.map(
             lambda e, p: jnp.where(
                 do_ema,

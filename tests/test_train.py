@@ -211,3 +211,30 @@ class TestShardedSampling:
         x = f(jax.random.PRNGKey(0))
         assert x.shape == (16, 8, 8, 3)
         assert "data" in str(x.sharding.spec)
+
+
+class TestEMAWarmup:
+    def test_early_ema_tracks_params(self):
+        """With warmup, the first EMA updates average aggressively (decay
+        (1+n)/(10+n) << 0.999) so early EMA is close to current params."""
+        model = UNet(TINY)
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+        tx = optax.adamw(1e-2)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32))
+        apply_fn = lambda p, x, t, cond=None, y=None, train=False: model.apply(p, x, t)
+        batch = {"image": jnp.ones((4, 8, 8, 3)) * 0.5}
+
+        def run(warmup):
+            state = TrainState.create(params, tx)
+            step = jax.jit(make_train_step(diffusion, apply_fn, tx, ema_decay=0.999,
+                                           ema_every=1, ema_warmup=warmup))
+            for i in range(20):
+                state, _ = step(state, batch, jax.random.PRNGKey(i))
+            d = jax.tree.map(lambda e, p: float(jnp.abs(e - p).max()),
+                             state.ema_params, state.params)
+            return max(jax.tree.leaves(d))
+
+        gap_warm = run(True)
+        gap_cold = run(False)
+        assert gap_warm < gap_cold * 0.5
