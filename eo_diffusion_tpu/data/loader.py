@@ -37,6 +37,7 @@ class DataLoader:
         transforms: Optional[Callable] = None,
         transform_keys: Tuple[str, ...] = ("image", "segmentation"),
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -47,6 +48,8 @@ class DataLoader:
         self.transforms = transforms
         self.transform_keys = transform_keys
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._pool = None
         self._epoch = 0
 
     # -- resumable iteration state (the loader-side half of fault tolerance;
@@ -75,23 +78,40 @@ class DataLoader:
         shard_id, n_shards = self.shard
         return idx[shard_id::n_shards]
 
+    def _fetch_one(self, i: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        item = self.dataset[int(i)]
+        if self.transforms is not None:
+            # joint geometric transform over image|mask channel-concat
+            # (reference data_load.py:295-297)
+            keys = [k for k in self.transform_keys if k in item]
+            chans = [item[k].shape[-1] for k in keys]
+            joint = np.concatenate([item[k] for k in keys], axis=-1)
+            joint = self.transforms(joint, rng)
+            pos = 0
+            item = dict(item)
+            for k, c in zip(keys, chans):
+                item[k] = np.ascontiguousarray(joint[..., pos : pos + c])
+                pos += c
+        return item
+
     def _make_batch(self, idxs: np.ndarray, rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        items = []
-        for i in idxs:
-            item = self.dataset[int(i)]
-            if self.transforms is not None:
-                # joint geometric transform over image|mask channel-concat
-                # (reference data_load.py:295-297)
-                keys = [k for k in self.transform_keys if k in item]
-                chans = [item[k].shape[-1] for k in keys]
-                joint = np.concatenate([item[k] for k in keys], axis=-1)
-                joint = self.transforms(joint, rng)
-                pos = 0
-                item = dict(item)
-                for k, c in zip(keys, chans):
-                    item[k] = np.ascontiguousarray(joint[..., pos : pos + c])
-                    pos += c
-            items.append(item)
+        if self.num_workers > 1:
+            # race-safe per-item RNG: draw seeds sequentially (deterministic),
+            # then decode/augment items in parallel (PIL/native extraction
+            # release the GIL)
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            seeds = rng.integers(0, 2**63, len(idxs))
+            items = list(
+                self._pool.map(
+                    lambda args: self._fetch_one(args[0], np.random.default_rng(args[1])),
+                    zip(idxs, seeds),
+                )
+            )
+        else:
+            items = [self._fetch_one(i, rng) for i in idxs]
         keys = items[0].keys()
         return {k: np.stack([it[k] for it in items]) for k in keys}
 

@@ -326,3 +326,25 @@ class TestSEN12MSCRFactory:
         batch = next(iter(train))
         assert batch["image"].shape == (4, 16, 16, 3)
         assert batch["cond_image"].shape == (4, 16, 16, 3)
+
+
+class TestThreadedLoader:
+    def test_worker_batches_deterministic_content(self):
+        ds = SyntheticEO(size=8, length=32)
+        a = next(iter(DataLoader(ds, 8, shuffle=False, num_workers=4, prefetch=0)))
+        b = next(iter(DataLoader(ds, 8, shuffle=False, num_workers=4, prefetch=0)))
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+    def test_worker_batches_match_items(self):
+        ds = SyntheticEO(size=8, length=16)
+        batch = next(iter(DataLoader(ds, 4, shuffle=False, num_workers=3, prefetch=0)))
+        for k in range(4):
+            np.testing.assert_array_equal(batch["image"][k], ds[k]["image"])
+
+    def test_workers_with_transforms(self):
+        ds = SyntheticEO(size=8, length=16)
+        t = T.Compose([T.RandomHorizontalFlip(p=1.0)])
+        batch = next(iter(DataLoader(ds, 4, shuffle=False, num_workers=3,
+                                     transforms=t, prefetch=0)))
+        raw = np.stack([ds[i]["image"] for i in range(4)])
+        np.testing.assert_array_equal(batch["image"], raw[:, :, ::-1])
