@@ -65,6 +65,51 @@ def restore_params(path: str, params_template: Any) -> tuple:
     return restored["params"], restored["ema_params"]
 
 
+class CheckpointManager:
+    """Orbax CheckpointManager wrapper: periodic saves with retention.
+
+    Keeps at most ``max_to_keep`` step checkpoints (plus everything saved via
+    :func:`save_checkpoint`'s named saves like "best"), saving asynchronously
+    so training doesn't stall on I/O -- the production upgrade over the
+    reference's unbounded ``torch.save`` spray (train.py:133-155).
+    """
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 3, async_save: bool = True):
+        import orbax.checkpoint as ocp
+
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=async_save,
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        import orbax.checkpoint as ocp
+
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore_latest(self, template: Any) -> Any:
+        import orbax.checkpoint as ocp
+
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None))
+            if hasattr(x, "shape") else x,
+            template,
+        )
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
 def restore_checkpoint(path: str, template: Any) -> Any:
     """Restore a pytree saved by :func:`save_checkpoint`.
 

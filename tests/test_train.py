@@ -238,3 +238,30 @@ class TestEMAWarmup:
         gap_warm = run(True)
         gap_cold = run(False)
         assert gap_warm < gap_cold * 0.5
+
+
+class TestCheckpointManager:
+    def test_retention_and_restore(self, tmp_path):
+        from eo_diffusion_tpu.train.checkpoint import CheckpointManager
+
+        state = {"w": jnp.arange(4.0), "step": jnp.int32(0)}
+        mgr = CheckpointManager(str(tmp_path), max_to_keep=2, async_save=False)
+        for s in (1, 2, 3, 4):
+            mgr.save(s, {"w": jnp.arange(4.0) + s, "step": jnp.int32(s)})
+        mgr.wait()
+        restored = mgr.restore_latest(state)
+        assert int(restored["step"]) == 4
+        np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(4.0) + 4)
+        # retention: only 2 step dirs remain
+        import os
+
+        dirs = [d for d in os.listdir(tmp_path) if d.isdigit()]
+        assert len(dirs) <= 2
+        mgr.close()
+
+    def test_restore_latest_empty(self, tmp_path):
+        from eo_diffusion_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        assert mgr.restore_latest({"w": jnp.zeros(2)}) is None
+        mgr.close()
