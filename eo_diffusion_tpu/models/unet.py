@@ -215,7 +215,7 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
         h = GroupNorm32(name="in_norm")(x)
         h = nn.silu(h)
@@ -380,7 +380,10 @@ def _make_layer(cfg: UNetConfig, spec: LayerSpec, name: str) -> nn.Module:
     if spec.kind == "res":
         cls = ResBlock
         if cfg.use_checkpoint:
-            cls = nn.remat(ResBlock, static_argnums=())
+            # arg indices under flax remat include the module instance at 0:
+            # (self, x, emb, train) -- `train` must stay static or flax traces
+            # it and the Dropout `deterministic` bool-conversion crashes
+            cls = nn.remat(ResBlock, static_argnums=(3,))
         return cls(
             out_channels=spec.out_ch,
             dropout=cfg.dropout,
@@ -487,7 +490,7 @@ class UNet(nn.Module):
     @staticmethod
     def _apply(layer, spec, h, emb, train):
         if spec.kind == "res":
-            return layer(h, emb, train=train)
+            return layer(h, emb, train)  # positional: remat static_argnums
         return layer(h)
 
 

@@ -182,3 +182,37 @@ class TestAttentionOrders:
         out_a = model_a.apply(params, xa, t)
         out_b = model_b.apply(params, xa, t)
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+
+class TestRemat:
+    def test_use_checkpoint_trains(self):
+        """Gradient checkpointing path: loss+grad must work (regression: the
+        traced `train` flag used to crash flax remat's Dropout bool-check)."""
+        cfg = UNetConfig(
+            image_size=8, in_channels=3, model_channels=32, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+            use_checkpoint=True, dropout=0.1,
+        )
+        model = UNet(cfg)
+        x = jnp.ones((2, 8, 8, 3))
+        t = jnp.zeros((2,), jnp.int32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+
+        def loss(p):
+            out = model.apply(p, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.mean(out**2)
+
+        g = jax.jit(jax.grad(loss))(params)
+        assert all(np.isfinite(float(jnp.abs(l).max())) for l in jax.tree.leaves(g))
+
+    def test_remat_matches_no_remat(self):
+        kw = dict(image_size=8, in_channels=3, model_channels=32, out_channels=3,
+                  num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2))
+        m_plain = UNet(UNetConfig(**kw))
+        m_remat = UNet(UNetConfig(**kw, use_checkpoint=True))
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 3)), jnp.float32)
+        t = jnp.asarray([1, 5])
+        params = jax.jit(m_plain.init)(jax.random.PRNGKey(0), x, t)
+        a = m_plain.apply(params, x, t)
+        b = m_remat.apply(params, x, t)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
