@@ -120,7 +120,12 @@ def tiled_ddim_sample(
     ``cond``/``mask``/``x0`` are full-scene arrays; cond is unfolded alongside
     x so channel-concat conditioning works per tile. RePaint-style masking
     composites on the full scene before each step (like ddim.py:145-148).
+
+    Limitation: self-conditioned diffusions (``self_condition=True``) are not
+    supported here -- the per-tile x0-estimate carry is not threaded through
+    the tile stitching.
     """
+    assert not diffusion.self_condition, "tiled sampling does not support self_condition"
     tile = diffusion.image_size
     grid = make_tile_grid(height, width, tile, overlap)
     dd = make_ddim_schedule(diffusion.schedule, num_steps, eta)

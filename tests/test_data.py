@@ -348,3 +348,36 @@ class TestThreadedLoader:
                                      transforms=t, prefetch=0)))
         raw = np.stack([ds[i]["image"] for i in range(4)])
         np.testing.assert_array_equal(batch["image"], raw[:, :, ::-1])
+
+
+class TestDevicePrefetch:
+    def test_prefetch_on_mesh(self):
+        import jax
+
+        from eo_diffusion_tpu.data.loader import device_prefetch
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+
+        ds = SyntheticEO(size=8, length=32)
+        dl = DataLoader(ds, 16, shuffle=False, prefetch=0)
+        mesh = make_mesh()
+        batches = list(device_prefetch(iter(dl), mesh=mesh, size=2))
+        assert len(batches) == 2
+        assert isinstance(batches[0]["image"], jax.Array)
+        assert "data" in str(batches[0]["image"].sharding.spec)
+
+    def test_prefetch_no_mesh(self):
+        from eo_diffusion_tpu.data.loader import device_prefetch
+
+        ds = SyntheticEO(size=8, length=16)
+        dl = DataLoader(ds, 8, shuffle=False, prefetch=0)
+        batches = list(device_prefetch(iter(dl), size=3))
+        assert len(batches) == 2
+
+
+class TestShardBatch:
+    def test_shard_batch_places_on_data_axis(self):
+        from eo_diffusion_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh()
+        out = shard_batch({"image": np.ones((16, 4, 4, 3), np.float32)}, mesh)
+        assert "data" in str(out["image"].sharding.spec)
