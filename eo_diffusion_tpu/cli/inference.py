@@ -49,7 +49,7 @@ def parse_args(argv=None):
     parser.add_argument("--cond_type", type=str, default=None)
     parser.add_argument("--sampler", type=str, default="ddpm",
                         choices=["ddpm", "ddim", "dpm"],
-                        help="dpm = DPM-Solver++(2M): DDIM-class quality in ~20 steps")
+                        help="dpm = DPM-Solver++(2M) second-order multistep sampler")
     parser.add_argument("--samples_fid", action="store_true")
     parser.add_argument("--n_iter", type=int, default=None)
     parser.add_argument("--eta", type=float, default=0.0)
