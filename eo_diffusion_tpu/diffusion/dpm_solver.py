@@ -42,18 +42,34 @@ def dpm_solver_sample(
     y: Optional[jax.Array] = None,
     x_T: Optional[jax.Array] = None,
     clip: bool = True,
+    time_spacing: str = "uniform_lambda",
     dtype=jnp.float32,
 ) -> DiffusionOutput:
     """Sample with DPM-Solver++(2M) (or 1M with ``order=1`` == DDIM-eta0 in
-    lambda-uniform time)."""
+    lambda-uniform time).
+
+    ``time_spacing``: "uniform_lambda" (the paper's half-log-SNR spacing,
+    default) or "uniform_t" (DDIM-style stride).
+    """
     assert order in (1, 2), order
+    assert time_spacing in ("uniform_lambda", "uniform_t"), time_spacing
     sched = diffusion.schedule
     T = sched.timesteps
     shape = (n_samples, diffusion.image_size, diffusion.image_size, diffusion.in_channels)
 
-    # timestep subsequence: uniform in t over [0, T-1], descending (the
-    # cosine schedule is already ~uniform in lambda at the ends that matter)
-    ts = np.linspace(T - 1, 0, num_steps + 1).round().astype(np.int32)
+    if time_spacing == "uniform_t":
+        ts = np.linspace(T - 1, 0, num_steps + 1).round().astype(np.int32)
+    else:
+        # uniform in lambda = log(alpha/sigma): pick the nearest discrete t
+        # for each lambda target (dedup-free; monotone by construction)
+        lam_all = np.log(np.maximum(sched.sqrt_alphas_cumprod, 1e-20)) - np.log(
+            np.maximum(sched.sqrt_one_minus_alphas_cumprod, 1e-20)
+        )
+        targets = np.linspace(lam_all[T - 1], lam_all[0], num_steps + 1)
+        ts = np.array(
+            [int(np.argmin(np.abs(lam_all - lt))) for lt in targets], np.int32
+        )
+        ts[0], ts[-1] = T - 1, 0
 
     alphas = jnp.asarray(sched.sqrt_alphas_cumprod)[ts]          # [S+1]
     sigmas = jnp.asarray(sched.sqrt_one_minus_alphas_cumprod)[ts]
