@@ -135,3 +135,16 @@ class TestExportPatches:
         assert sum("mask" in f for f in files) == 3
         lines = open(tmp_path / "images.txt").read().strip().splitlines()
         assert len(lines) == 3 and lines[0].split()[1].isdigit()
+
+
+class TestTrace:
+    def test_profiler_trace_writes(self, tmp_path):
+        import jax.numpy as jnp
+
+        from eo_diffusion_tpu.utils.profiling import trace
+
+        with trace(str(tmp_path)):
+            float(jnp.sum(jnp.ones((8, 8))))
+        # a trace directory with at least one event file appears
+        found = list(tmp_path.rglob("*"))
+        assert found, "profiler trace produced no files"

@@ -265,3 +265,27 @@ class TestCheckpointManager:
         mgr = CheckpointManager(str(tmp_path / "empty"))
         assert mgr.restore_latest({"w": jnp.zeros(2)}) is None
         mgr.close()
+
+
+class TestDeterminism:
+    def test_same_seed_same_losses(self):
+        """Full train-step determinism: same seeds -> identical loss stream
+        (guards against nondeterministic ops sneaking into the step)."""
+
+        def run():
+            model = UNet(TINY)
+            diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+            tx = optax.adamw(1e-3)
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32))
+            state = TrainState.create(params, tx)
+            apply_fn = lambda p, x, t, cond=None, y=None, train=False: model.apply(p, x, t)
+            step = jax.jit(make_train_step(diffusion, apply_fn, tx, ema_decay=0.9))
+            losses = []
+            for i in range(5):
+                batch = {"image": jnp.full((4, 8, 8, 3), 0.1 * i)}
+                state, m = step(state, batch, jax.random.PRNGKey(i))
+                losses.append(float(m["loss"]))
+            return losses
+
+        np.testing.assert_array_equal(run(), run())
