@@ -127,3 +127,29 @@ class TestTrajectoryParity:
         )
         rel = np.abs(ref - ours).max() / (np.abs(ref).max() + 1e-12)
         assert rel < 1e-3, rel
+
+
+class TestCloudsFamilyParity:
+    def test_clouds_like_config_forward(self, reference):
+        """Parity on the published-checkpoint architecture family (heads=8,
+        attention at ds 4/8, 2 res blocks) at reduced width."""
+        import jax
+        import jax.numpy as jnp
+
+        from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+        from eo_diffusion_tpu.tools.convert_ckpt import convert_state_dict, fix_legacy_dict
+
+        kw = dict(image_size=32, in_channels=3, model_channels=64, out_channels=3,
+                  channel_mult=(1, 2, 3, 4), attention_resolutions=(4, 8),
+                  num_res_blocks=2, num_heads=8)
+        tm = _torch_unet(reference, **kw)
+        params = convert_state_dict(fix_legacy_dict(tm.state_dict()), UNetConfig(**kw))
+        jm = UNet(UNetConfig(**kw))
+        x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+        t = np.asarray([10, 990])
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(t))
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        ours = np.asarray(jm.apply(params, jnp.asarray(x), jnp.asarray(t)))
+        rel = np.abs(ref - ours).max() / (np.abs(ref).max() + 1e-12)
+        assert rel < 1e-5, rel
