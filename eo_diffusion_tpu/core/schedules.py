@@ -219,6 +219,9 @@ def make_ddim_schedule(
     table, so the reference shifts them back down by one.
     """
     T = schedule.timesteps
+    assert 1 <= num_steps <= T, (
+        f"ddim num_steps must be in [1, timesteps={T}], got {num_steps}"
+    )
     steps = make_ddim_timesteps(method, num_steps, T)
     if T / num_steps < 2:
         steps = steps - 1

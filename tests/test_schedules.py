@@ -163,3 +163,15 @@ class TestDiffusionScheduleProperties:
         np.testing.assert_allclose(
             sched.alphas_cumprod_prev[1:], sched.alphas_cumprod[:-1]
         )
+
+
+class TestDDIMGuards:
+    def test_too_many_steps_rejected(self):
+        sched = S.make_schedule(100)
+        with pytest.raises(AssertionError, match="num_steps"):
+            S.make_ddim_schedule(sched, 200)
+
+    def test_single_step_ok(self):
+        sched = S.make_schedule(100)
+        dd = S.make_ddim_schedule(sched, 1)
+        assert dd.num_steps >= 1
