@@ -158,7 +158,10 @@ def main(args):
         elif cond_type == "concat" and mask is not None:
             cond = np.concatenate([image, mask], axis=-1)
 
-        y = np.full((bsz,), min(j % (num_classes - 1), num_classes - 1)) if num_classes else None
+        # class rotation like inference.py:110 (guarded: the reference
+        # divides by zero when num_classes == 1)
+        y = (np.full((bsz,), min(j % max(num_classes - 1, 1), num_classes - 1))
+             if num_classes else None)
         catg = classes[int(y[0])] if y is not None else "sample"
 
         rng, srng = jax.random.split(rng)
