@@ -81,7 +81,12 @@ def make_train_step(
             rng, drop_rng = jax.random.split(rng)
             drop = jax.random.bernoulli(drop_rng, class_dropout_prob, y.shape)
             y = jnp.where(drop, num_classes, y)
-        model_fn = lambda x, t, c, yy: apply_fn(params, x, t, cond=c, y=yy, train=True)
+        # per-step dropout key (a constant key here would freeze the dropout
+        # mask for the whole run -- stochastic only in name)
+        rng, dropout_rng = jax.random.split(rng)
+        model_fn = lambda x, t, c, yy: apply_fn(
+            params, x, t, cond=c, y=yy, train=True, dropout_rng=dropout_rng
+        )
         return diffusion.train_loss(model_fn, rng, batch["image"], cond=cond, y=y)
 
     def train_step(state: TrainState, batch, rng):
@@ -176,9 +181,12 @@ class Trainer:
             cfg.model_ema_decay, cfg.batch_size, cfg.model_ema_steps, cfg.epochs
         )
 
-        apply_fn = lambda params, x, t, cond=None, y=None, train=False: self.model.apply(
-            params, x, t, cond=cond, y=y, train=train,
-            rngs={"dropout": jax.random.PRNGKey(0)} if train else None,
+        apply_fn = (
+            lambda params, x, t, cond=None, y=None, train=False, dropout_rng=None:
+            self.model.apply(
+                params, x, t, cond=cond, y=y, train=train,
+                rngs=None if dropout_rng is None else {"dropout": dropout_rng},
+            )
         )
         step_fn = make_train_step(
             diffusion,

@@ -191,7 +191,7 @@ class TestLabelCFG:
         model = UNet(cfg)
         seen = []
 
-        def apply_fn(params, x, t, cond=None, y=None, train=False):
+        def apply_fn(params, x, t, cond=None, y=None, train=False, dropout_rng=None):
             seen.append(np.asarray(y))
             return model.apply(params, x, t, cond=cond, y=y)
 

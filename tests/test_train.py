@@ -100,7 +100,7 @@ def _setup_state():
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
     )
     state = TrainState.create(params, tx)
-    apply_fn = lambda p, x, t, cond=None, y=None, train=False: model.apply(p, x, t, cond=cond, y=y)
+    apply_fn = lambda p, x, t, cond=None, y=None, train=False, dropout_rng=None: model.apply(p, x, t, cond=cond, y=y)
     step = make_train_step(diffusion, apply_fn, tx, ema_decay=0.9, ema_every=2)
     return state, step
 
@@ -146,6 +146,68 @@ class TestTrainStep:
         flat_specs = jax.tree.leaves(specs, is_leaf=lambda x: not isinstance(x, dict))
         # at least one large param is sharded over 'model'
         assert any("model" in str(s) for s in flat_specs)
+
+
+class TestDropoutRNG:
+    """Regression: dropout keys must derive from the per-step rng.
+
+    Round-1 bug: the trainer baked ``rngs={'dropout': PRNGKey(0)}`` into the
+    jitted step, freezing the dropout mask for the whole run (ADVICE.md)."""
+
+    def test_per_step_dropout_key_and_effect(self):
+        cfg = UNetConfig(
+            image_size=8, in_channels=3, model_channels=32, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+            dropout=0.5,
+        )
+        model = UNet(cfg)
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+        tx = optax.adamw(1e-3)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+        )
+        seen = []
+
+        def apply_fn(p, x, t, cond=None, y=None, train=False, dropout_rng=None):
+            seen.append(np.asarray(dropout_rng))
+            return model.apply(
+                p, x, t, train=train,
+                rngs=None if dropout_rng is None else {"dropout": dropout_rng},
+            )
+
+        step = make_train_step(diffusion, apply_fn, tx, ema_decay=0.9)
+        state = TrainState.create(params, tx)
+        batch = {"image": jnp.ones((2, 8, 8, 3)) * 0.3}
+        state, m0 = step(state, batch, jax.random.PRNGKey(0))  # eager so `seen` fills
+        state, m1 = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m0["loss"])) and np.isfinite(float(m1["loss"]))
+        # two consecutive steps see two distinct dropout keys
+        assert not np.array_equal(seen[0], seen[-1])
+        # and the dropout key materially changes the masked forward (use the
+        # post-step params: at init the zero-init out conv zeroes everything)
+        x = jnp.ones((2, 8, 8, 3)) * 0.3
+        t = jnp.zeros((2,), jnp.int32)
+        p = state.params
+        o1 = model.apply(p, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+        o2 = model.apply(p, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+        assert float(jnp.abs(o1 - o2).max()) > 0
+
+    def test_dropout_preset_trains_via_trainer(self):
+        cfg = TrainerConfig(lr=1e-3, batch_size=8, epochs=1, timesteps=10,
+                            model_ema_steps=2, warmup_epochs=1)
+        ucfg = UNetConfig(
+            image_size=8, in_channels=3, model_channels=32, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+            dropout=0.1,
+        )
+        model = UNet(ucfg)
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+        tr = Trainer(cfg, model, diffusion, steps_per_epoch=2)
+        batch = {"image": np.ones((8, 8, 8, 3), np.float32) * 0.2}
+        state = tr.init(jax.random.PRNGKey(0), batch)
+        for _ in range(2):
+            state, m = tr.step(state, batch)
+            assert np.isfinite(float(m["loss"]))
 
 
 class TestTrainerIntegration:
@@ -222,7 +284,7 @@ class TestEMAWarmup:
         tx = optax.adamw(1e-2)
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32))
-        apply_fn = lambda p, x, t, cond=None, y=None, train=False: model.apply(p, x, t)
+        apply_fn = lambda p, x, t, cond=None, y=None, train=False, dropout_rng=None: model.apply(p, x, t)
         batch = {"image": jnp.ones((4, 8, 8, 3)) * 0.5}
 
         def run(warmup):
@@ -279,7 +341,7 @@ class TestDeterminism:
             params = jax.jit(model.init)(
                 jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32))
             state = TrainState.create(params, tx)
-            apply_fn = lambda p, x, t, cond=None, y=None, train=False: model.apply(p, x, t)
+            apply_fn = lambda p, x, t, cond=None, y=None, train=False, dropout_rng=None: model.apply(p, x, t)
             step = jax.jit(make_train_step(diffusion, apply_fn, tx, ema_decay=0.9))
             losses = []
             for i in range(5):
