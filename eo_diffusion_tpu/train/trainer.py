@@ -27,8 +27,15 @@ import optax
 from flax import struct
 from jax.sharding import Mesh
 
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
-from eo_diffusion_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+from eo_diffusion_tpu.parallel.mesh import (
+    data_sharding,
+    fsdp_param_specs,
+    make_mesh,
+    replicated,
+)
 from eo_diffusion_tpu.train.ema import adjusted_decay
 
 __all__ = ["TrainState", "make_train_step", "Trainer", "TrainerConfig"]
@@ -142,6 +149,9 @@ class TrainerConfig:
     warmup_epochs: int = 10
     seed: int = 0
     fsdp: bool = False
+    # leaves smaller than this stay replicated under FSDP (sharding tiny
+    # tensors costs more in collectives than it saves in HBM)
+    fsdp_min_size: int = 2**16
 
 
 class Trainer:
@@ -200,14 +210,12 @@ class Trainer:
             num_classes=cfg.num_classes,
         )
 
-        state_sharding = replicated(self.mesh)
-        batch_sharding = data_sharding(self.mesh)
-        self._train_step = jax.jit(
-            step_fn,
-            donate_argnums=(0,),
-            in_shardings=(None, batch_sharding, None),
-            out_shardings=(None, None),
-        )
+        self._step_fn = step_fn
+        self._batch_sharding = data_sharding(self.mesh)
+        # the jitted step is built once state shapes are known (shard_state):
+        # FSDP PartitionSpecs depend on the actual parameter shapes
+        self._train_step = None
+        self._state_shardings = None
         self._rng = jax.random.PRNGKey(cfg.seed)
         self._samplers = {}
 
@@ -223,9 +231,40 @@ class Trainer:
             kwargs["y"] = jnp.zeros((1,), jnp.int32)
         params = self.model.init(rng, x, t, **kwargs)
         state = TrainState.create(params, self.tx)
-        return jax.device_put(state, replicated(self.mesh))
+        return self.shard_state(state)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Lay the state out on the mesh and (first call) build the jitted step.
+
+        With ``cfg.fsdp`` every large leaf (params, EMA, Adam moments) is
+        sharded ZeRO-style along its largest divisible dim over the 'data'
+        axis; XLA inserts the all-gathers at use and reduce-scatters the
+        gradients. Otherwise the state replicates (fastest at the reference
+        model scale, <100M params).
+        """
+        if self.cfg.fsdp:
+            specs = fsdp_param_specs(
+                state, self.mesh, min_size=self.cfg.fsdp_min_size, axis="data"
+            )
+            self._state_shardings = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s), specs,
+                is_leaf=lambda s: isinstance(s, P),
+            )
+        else:
+            self._state_shardings = jax.tree.map(
+                lambda _: replicated(self.mesh), state
+            )
+        self._train_step = jax.jit(
+            self._step_fn,
+            donate_argnums=(0,),
+            in_shardings=(self._state_shardings, self._batch_sharding, None),
+            out_shardings=(self._state_shardings, None),
+        )
+        return jax.tree.map(jax.device_put, state, self._state_shardings)
 
     def step(self, state: TrainState, batch: dict):
+        if self._train_step is None:
+            state = self.shard_state(state)
         self._rng, step_rng = jax.random.split(self._rng)
         batch = jax.tree.map(jnp.asarray, batch)
         return self._train_step(state, batch, step_rng)
