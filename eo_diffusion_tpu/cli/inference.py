@@ -65,12 +65,41 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def _build_cond(batch, cond_type, image_size, random_label=False, mask_rng=None):
+    """Build (cond, mask) for one test batch.
+
+    Mirrors reference inference.py:98-109 -- mask inversion for
+    ``cond_type=sum`` (known region = non-cloud), optional random-rectangle
+    mask, (image|mask) channel-concat -- extended with the paired-view path:
+    when the dataset supplies a "cond_image" (e.g. the cloudy SEN12MS-CR S2
+    view), that image IS the concat conditioning and there is no mask.
+    """
+    if cond_type is None:
+        return None, None
+    image = np.asarray(batch["image"], np.float32)
+    if cond_type == "concat" and "cond_image" in batch:
+        return np.asarray(batch["cond_image"], np.float32), None
+    mask = (np.asarray(batch["segmentation"], np.float32)
+            if "segmentation" in batch else None)
+    if cond_type == "sum" and mask is not None:
+        mask = 1.0 - mask  # invert: known region = non-cloud (inference.py:101)
+    if random_label and cond_type == "sum":
+        from eo_diffusion_tpu.data.transforms import random_rect_mask
+
+        mask = np.stack(
+            [random_rect_mask((image_size, image_size), 10, 10, 40, 40, mask_rng)
+             for _ in range(image.shape[0])]
+        )
+    if mask is None:
+        return None, None
+    return np.concatenate([image, mask], axis=-1), mask
+
+
 def main(args):
     import jax.numpy as jnp
 
     from eo_diffusion_tpu.cli.presets import get_preset
     from eo_diffusion_tpu.data.factories import DATASET_FACTORIES
-    from eo_diffusion_tpu.data.transforms import random_rect_mask
     from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
     from eo_diffusion_tpu.models.unet import UNet
     from eo_diffusion_tpu.utils import metrics as M
@@ -85,6 +114,12 @@ def main(args):
     cond_type = args.cond_type or preset.cond_type
     num_classes = args.num_classes if args.num_classes > 0 else None
 
+    if args.sampler == "dpm" and cond_type == "sum":
+        raise SystemExit(
+            "--sampler dpm has no RePaint compositing path; cond_type='sum' "
+            "would silently sample unconditionally. Use --sampler ddpm/ddim."
+        )
+
     factory = DATASET_FACTORIES[dataset]
     fkw = dict(batch_size=args.batch_size, test=True)
     if args.data_root:
@@ -92,11 +127,17 @@ def main(args):
     if dataset == "synthetic":
         fkw["image_size"] = image_size
         fkw["channels"] = preset.in_channels
+        if cond_type == "concat":
+            fkw["with_cond_image"] = True  # synthetic cloudy view as cond
         fkw.pop("test")
     _, test_loader = factory(**fkw)
     data_range = test_loader.dataset.data_range
 
-    cond_channels = 4 if cond_type == "concat" else 0
+    # derive cond width from the actual test batch (cli/train.py does the
+    # same): the sen12mscr-style "cond_image" is 3 channels, image|mask is 4
+    peek_cond, _ = _build_cond(next(iter(test_loader)), cond_type, image_size)
+    cond_channels = (peek_cond.shape[-1]
+                     if cond_type == "concat" and peek_cond is not None else 0)
     ucfg = preset.unet_config(num_classes=num_classes, bf16=not args.no_bf16,
                               cond_channels=cond_channels)
     model = UNet(ucfg)
@@ -106,7 +147,8 @@ def main(args):
     )
 
     x0 = jnp.zeros((1, image_size, image_size, preset.in_channels))
-    init_kw = {"cond": jnp.zeros((1, image_size, image_size, 4))} if cond_channels else {}
+    init_kw = ({"cond": jnp.zeros((1, image_size, image_size, cond_channels))}
+               if cond_channels else {})
     if num_classes:
         init_kw["y"] = jnp.zeros((1,), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
@@ -144,19 +186,8 @@ def main(args):
         print(f"data {j}")
         image = np.asarray(batch["image"], np.float32)
         bsz = image.shape[0]
-        mask = np.asarray(batch.get("segmentation"), np.float32) if cond_type is not None and "segmentation" in batch else None
-        if cond_type == "sum" and mask is not None:
-            mask = 1.0 - mask  # invert: known region = non-cloud (inference.py:101)
-        if args.random_label and cond_type == "sum":
-            mask = np.stack(
-                [random_rect_mask((image_size, image_size), 10, 10, 40, 40, mask_rng)
-                 for _ in range(bsz)]
-            )
-        cond = None
-        if cond_type == "sum" and mask is not None:
-            cond = np.concatenate([image, mask], axis=-1)
-        elif cond_type == "concat" and mask is not None:
-            cond = np.concatenate([image, mask], axis=-1)
+        cond, mask = _build_cond(batch, cond_type, image_size,
+                                 random_label=args.random_label, mask_rng=mask_rng)
 
         # class rotation like inference.py:110 (guarded: the reference
         # divides by zero when num_classes == 1)
@@ -197,8 +228,10 @@ def main(args):
         samples01 = rescale_to_unit(samples, data_range)
         idx = j + offset
         if cond is not None:
-            # visualize cond as dimmed-out masked image (inference.py:134)
-            cond_vis = image * np.clip(mask + 0.7, 0, 1)
+            # visualize cond: dimmed-out masked image when a mask drives it
+            # (inference.py:134), else the conditioning view itself (cloudy)
+            cond_vis = (image * np.clip(mask + 0.7, 0, 1) if mask is not None
+                        else cond[..., : image.shape[-1]])
             gt01 = rescale_to_unit(image, data_range)
             cond01 = rescale_to_unit(cond_vis, data_range)
             if args.metrics:

@@ -71,6 +71,10 @@ PRESETS = {
     # tiny smoke config for CI / CPU runs
     "tiny": Preset("tiny", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
                    timesteps=50, batch_size=16),
+    # tiny cloud-removal smoke config: concat-conditions on the synthetic
+    # cloudy view ("cond_image"), i.e. the sen12mscr256 use-case in miniature
+    "tiny-cr": Preset("tiny-cr", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
+                      cond_type="concat", timesteps=50, batch_size=16),
 }
 
 

@@ -106,6 +106,8 @@ def main(args):
     if dataset == "synthetic":
         fkw["image_size"] = image_size
         fkw["channels"] = preset.in_channels
+        if cond_type == "concat":
+            fkw["with_cond_image"] = True  # synthetic cloudy view as cond
     train_loader, test_loader = factory(**fkw)
     steps_per_epoch = len(train_loader)
     if args.steps_per_epoch:

@@ -108,10 +108,14 @@ class SyntheticEO(Dataset):
 
     def __init__(self, size: int = 64, length: int = 1024, channels: int = 3,
                  num_classes: int = 5, with_mask: bool = True, seed: int = 0,
-                 data_range: Tuple[float, float] = (0.0, 1.0)):
+                 data_range: Tuple[float, float] = (0.0, 1.0),
+                 with_cond_image: bool = False):
         self.size, self.length, self.channels = size, length, channels
         self.num_classes, self.with_mask, self.seed = num_classes, with_mask, seed
         self.data_range = data_range
+        # cloud-removal fixture: emit a synthetic cloudy view as "cond_image"
+        # (stands in for the SEN12MS-CR cloudy S2 band, sen12ms_cr.py)
+        self.with_cond_image = with_cond_image
 
     def __len__(self):
         return self.length
@@ -140,10 +144,17 @@ class SyntheticEO(Dataset):
         lo, hi = self.data_range
         img = (img * (hi - lo) + lo).astype(np.float32)
         out = {"image": img, "class": np.int32(i % self.num_classes)}
-        if self.with_mask:
+        if self.with_mask or self.with_cond_image:
             cloud = self._field(rng, 6.0)
             thr = np.quantile(cloud, rng.uniform(0.55, 0.8))
-            out["segmentation"] = (cloud > thr).astype(np.float32)[:, :, None]
+            if self.with_mask:
+                out["segmentation"] = (cloud > thr).astype(np.float32)[:, :, None]
+            if self.with_cond_image:
+                # soft cloud alpha over the clear image -> bright "cloudy" view
+                alpha = (1.0 / (1.0 + np.exp(-(cloud - thr) * 8.0))).astype(np.float32)
+                out["cond_image"] = (
+                    img * (1.0 - alpha[:, :, None]) + hi * alpha[:, :, None]
+                ).astype(np.float32)
         return out
 
 

@@ -153,9 +153,11 @@ def create_sen12mscr_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED
 
 def create_synthetic_dataloaders(batch_size, image_size=64, length=1024, channels=3,
                                  val_split=0.15, SEED=4097, num_classes=5,
-                                 data_range=(0.0, 1.0), shard=(0, 1), **kw):
+                                 data_range=(0.0, 1.0), shard=(0, 1),
+                                 with_cond_image=False, **kw):
     ds = SyntheticEO(size=image_size, length=length, channels=channels,
-                     num_classes=num_classes, data_range=data_range)
+                     num_classes=num_classes, data_range=data_range,
+                     with_cond_image=with_cond_image)
     train_ds, test_ds = train_val_split(ds, val_split, SEED)
     return _loaders(train_ds, test_ds, batch_size, transforms=_FLIPS, shard=shard)
 

@@ -35,7 +35,7 @@ class DataLoader:
         drop_last: bool = True,
         shard: Tuple[int, int] = (0, 1),
         transforms: Optional[Callable] = None,
-        transform_keys: Tuple[str, ...] = ("image", "segmentation"),
+        transform_keys: Tuple[str, ...] = ("image", "segmentation", "cond_image"),
         prefetch: int = 2,
         num_workers: int = 0,
     ):
@@ -129,16 +129,30 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # timed put so an abandoned iteration (consumer breaks early,
+            # generator finally sets `stop`) can't leave the worker blocked
+            # forever on a full queue -- that leaked a thread + `prefetch`
+            # buffered batches per epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in range(nb):
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(idx[b * self.batch_size : (b + 1) * self.batch_size], rng))
+                    if not put(self._make_batch(idx[b * self.batch_size : (b + 1) * self.batch_size], rng)):
+                        return
             except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
