@@ -49,6 +49,9 @@ def parse_args(argv=None):
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--num_classes", type=int, default=0)
     parser.add_argument("--cond_type", type=str, default=None)
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="accumulate gradients over k micro-batches per "
+                             "optimizer step (lucidrains gradient_accumulate_every)")
     # new: config registry instead of edit-the-source
     parser.add_argument("--preset", type=str, default="eurosat64")
     parser.add_argument("--dataset", type=str, default=None, help="override preset dataset")
@@ -135,7 +138,7 @@ def main(args):
         n_samples=args.n_samples, no_clip=args.no_clip,
         num_classes=args.num_classes, cond_type=cond_type,
         ckpt_dir=os.path.join("logs", os.path.split(args.dir)[1]),
-        sample_dir=args.dir, seed=args.seed,
+        sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
     )
     trainer = Trainer(tcfg, model, diffusion, steps_per_epoch)
 
@@ -209,6 +212,11 @@ def main(args):
                 save_image_grid(np.asarray(samples), img_path,
                                 nrow=int(math.sqrt(args.n_samples)), data_range=data_range)
                 print(f"saving in {img_path}, epoch {epoch}")
+                if run is not None:
+                    # wandb sample galleries (reference ddpm.py:502-539 log_images)
+                    import wandb
+
+                    run.log({"samples": wandb.Image(img_path)})
                 if cond is not None:
                     save_image_grid(np.asarray(cond[..., :3]),
                                     os.path.join(args.dir, f"steps_{global_steps:08d}_cond.png"),

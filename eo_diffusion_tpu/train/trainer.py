@@ -148,6 +148,10 @@ class TrainerConfig:
     sample_every: int = 1000
     warmup_epochs: int = 10
     seed: int = 0
+    # micro-batch gradient accumulation (reference lucidrains trainer's
+    # gradient_accumulate_every, denoising_diffusion_pytorch.py:757,795):
+    # k micro-steps average into one optimizer update via optax.MultiSteps
+    grad_accum: int = 1
     fsdp: bool = False
     # leaves smaller than this stay replicated under FSDP (sharding tiny
     # tensors costs more in collectives than it saves in HBM)
@@ -180,12 +184,19 @@ class Trainer:
         self.diffusion = diffusion
         self.mesh = mesh if mesh is not None else make_mesh()
 
-        total_steps = max(steps_per_epoch * cfg.epochs, 1)
+        self.grad_accum = max(cfg.grad_accum, 1)
+        # the LR schedule advances once per *optimizer* step: with k-fold
+        # accumulation the loader yields k micro-batches per update
+        opt_steps_per_epoch = max(steps_per_epoch // self.grad_accum, 1)
+        total_steps = max(opt_steps_per_epoch * cfg.epochs, 1)
         sched = warmup_cos_exp(
-            cfg.lr, steps_per_epoch, cfg.epochs, warmup_epochs=min(cfg.warmup_epochs, cfg.epochs)
+            cfg.lr, opt_steps_per_epoch, cfg.epochs,
+            warmup_epochs=min(cfg.warmup_epochs, cfg.epochs),
         )
         self.lr_table = sched.table(total_steps)
         self.tx = optax.adamw(sched.as_optax(total_steps))
+        if self.grad_accum > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=self.grad_accum)
 
         self.ema_decay = adjusted_decay(
             cfg.model_ema_decay, cfg.batch_size, cfg.model_ema_steps, cfg.epochs
@@ -203,7 +214,9 @@ class Trainer:
             apply_fn,
             self.tx,
             ema_decay=self.ema_decay,
-            ema_every=cfg.model_ema_steps,
+            # state.step counts micro-steps; keep the EMA cadence in
+            # optimizer steps like the reference (train.py:122)
+            ema_every=cfg.model_ema_steps * self.grad_accum,
             class_conditional=cfg.num_classes > 0,
             use_cond=cfg.cond_type == "concat",
             class_dropout_prob=getattr(getattr(model, "config", None), "class_dropout_prob", 0.0),
@@ -270,7 +283,8 @@ class Trainer:
         return self._train_step(state, batch, step_rng)
 
     def current_lr(self, step: int) -> float:
-        return float(self.lr_table[min(step, len(self.lr_table) - 1)])
+        """LR at a given *micro*-step (table is indexed by optimizer step)."""
+        return float(self.lr_table[min(step // self.grad_accum, len(self.lr_table) - 1)])
 
     # -- sampling with EMA weights (reference train.py:148-149) --------------
     #

@@ -148,6 +148,60 @@ class TestTrainStep:
         assert any("model" in str(s) for s in flat_specs)
 
 
+class TestGradAccum:
+    """optax.MultiSteps accumulation (reference gradient_accumulate_every,
+    denoising_diffusion_pytorch.py:757,795)."""
+
+    def test_two_microsteps_equal_one_double_batch_step(self):
+        # two identical micro-batches with the same rng produce the same grad
+        # as the equivalent double batch (concat of the micro-batch with
+        # itself); after k=2 micro-steps params must equal one plain step
+        model = UNet(TINY)
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+        )
+        apply_fn = (lambda p, x, t, cond=None, y=None, train=False, dropout_rng=None:
+                    model.apply(p, x, t))
+        batch = {"image": jnp.linspace(-0.5, 0.5, 4 * 8 * 8 * 3).reshape(4, 8, 8, 3)}
+        rng = jax.random.PRNGKey(5)
+
+        base = optax.adamw(1e-3)
+        s_plain = TrainState.create(params, base)
+        plain_step = jax.jit(make_train_step(diffusion, apply_fn, base, ema_decay=0.9))
+        s_plain, _ = plain_step(s_plain, batch, rng)
+
+        acc = optax.MultiSteps(optax.adamw(1e-3), 2)
+        s_acc = TrainState.create(params, acc)
+        acc_step = jax.jit(make_train_step(diffusion, apply_fn, acc, ema_decay=0.9))
+        s_acc, _ = acc_step(s_acc, batch, rng)
+        # mid-accumulation: no optimizer update has been applied yet
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(s_acc.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        s_acc, _ = acc_step(s_acc, batch, rng)
+        for a, b in zip(jax.tree.leaves(s_plain.params), jax.tree.leaves(s_acc.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+    def test_trainer_grad_accum_config(self):
+        cfg = TrainerConfig(lr=1e-3, batch_size=8, epochs=1, timesteps=10,
+                            model_ema_steps=1, warmup_epochs=1, grad_accum=2)
+        model = UNet(TINY)
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+        tr = Trainer(cfg, model, diffusion, steps_per_epoch=4)
+        batch = {"image": np.full((8, 8, 8, 3), 0.2, np.float32)}
+        state = tr.init(jax.random.PRNGKey(0), batch)
+        p0 = jax.tree.leaves(jax.device_get(state.params))
+        state, _ = tr.step(state, batch)
+        p1 = jax.tree.leaves(jax.device_get(state.params))
+        for a, b in zip(p0, p1):  # first micro-step: params frozen
+            np.testing.assert_array_equal(a, b)
+        state, _ = tr.step(state, batch)
+        p2 = jax.tree.leaves(jax.device_get(state.params))
+        assert any(np.abs(a - b).max() > 0 for a, b in zip(p1, p2))
+        # LR table is indexed by optimizer step
+        assert tr.current_lr(0) == tr.current_lr(1)
+
+
 class TestFSDPTrainer:
     """TrainerConfig.fsdp shards the full TrainState (params + EMA + Adam
     moments) over the 'data' axis and trains equivalently to replicated."""
