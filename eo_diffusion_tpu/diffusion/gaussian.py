@@ -52,6 +52,18 @@ def _bcast(table: jax.Array, t: jax.Array) -> jax.Array:
     return table[t][:, None, None, None]
 
 
+def _log_frame(frames: jax.Array, x: jax.Array, i: jax.Array, k: int) -> jax.Array:
+    """Write x into frames[i // k] when i % k == 0 (inside a scan).
+
+    Streams every k-th intermediate into a fixed ceil(T/k)-frame buffer so
+    trajectory logging costs K frames of HBM, not T.
+    """
+    slot = i // k
+    cur = jax.lax.dynamic_index_in_dim(frames, slot, 0, keepdims=False)
+    val = jnp.where(i % k == 0, x, cur)
+    return jax.lax.dynamic_update_index_in_dim(frames, val, slot, 0)
+
+
 @dataclasses.dataclass(frozen=True)
 class GaussianDiffusion:
     """Pure-function diffusion process around a denoiser ``model_fn``.
@@ -309,8 +321,10 @@ class GaussianDiffusion:
         noise drives both the gt re-noising and the reverse-step stochasticity.
 
         The T-step loop is a single ``lax.scan``; with ``log_every=k`` every
-        k-th intermediate x_t is stacked into the output (device-side; no
-        host sync per step -- unlike the reference's save_image calls).
+        k-th intermediate x_t is written into a preallocated ceil(T/k)-frame
+        HBM buffer inside the scan (device-side; no host sync per step --
+        unlike the reference's save_image calls, and without materializing
+        the full T-step trajectory, which at T=1000/256^2/bs8 would be ~6 GB).
         """
         shape = (n_samples, self.image_size, self.image_size, self.in_channels)
         init_rng, scan_rng = jax.random.split(rng)
@@ -338,9 +352,11 @@ class GaussianDiffusion:
             cond = None
 
         ts = jnp.arange(self.timesteps - 1, -1, -1)
+        n_frames = -(-self.timesteps // log_every) if log_every else 0
 
-        def step(carry, t_scalar):
-            x_t, key, x_sc = carry
+        def step(carry, xs):
+            t_scalar, i = xs
+            x_t, key, x_sc, frames = carry
             key, nk = jax.random.split(key)
             noise = jax.random.normal(nk, shape, dtype)
             t = jnp.full((n_samples,), t_scalar, jnp.int32)
@@ -356,15 +372,16 @@ class GaussianDiffusion:
                 # clamp the carried estimate (lucidrains clips x_start during
                 # sampling; unclipped feedback diverges -- found by driving)
                 x_sc = jnp.clip(x0_pred, -1.0, 1.0).astype(dtype)
-            out = x_t if log_every else None
-            return (x_t, key, x_sc), out
+            if log_every:
+                frames = _log_frame(frames, x_t, i, log_every)
+            return (x_t, key, x_sc, frames), None
 
         x_sc0 = jnp.zeros(shape, dtype) if self.self_condition else jnp.zeros((), dtype)
-        if log_every:
-            (x, _, _), inter = jax.lax.scan(step, (x_T, scan_rng, x_sc0), ts)
-            return DiffusionOutput(x=x, intermediates=inter[::log_every])
-        (x, _, _), _ = jax.lax.scan(step, (x_T, scan_rng, x_sc0), ts)
-        return DiffusionOutput(x=x)
+        frames0 = jnp.zeros((n_frames,) + shape, dtype) if log_every else jnp.zeros((), dtype)
+        (x, _, _, frames), _ = jax.lax.scan(
+            step, (x_T, scan_rng, x_sc0, frames0), (ts, jnp.arange(self.timesteps))
+        )
+        return DiffusionOutput(x=x, intermediates=frames if log_every else None)
 
     # -- reverse process (DDIM) --------------------------------------------
 
@@ -386,6 +403,7 @@ class GaussianDiffusion:
         uncond: Optional[jax.Array] = None,
         y_uncond: Optional[jax.Array] = None,
         clip: bool = False,
+        log_every: Optional[int] = None,
         dtype=jnp.float32,
     ) -> DiffusionOutput:
         """DDIM sampling (reference ``DDIMSampler``, ddim.py:57-207).
@@ -421,9 +439,11 @@ class GaussianDiffusion:
         sigmas = jnp.asarray(dd.sigmas)
 
         use_cfg = uncond is not None and guidance_scale != 1.0
+        n_frames = -(-dd.num_steps // log_every) if log_every else 0
 
-        def step(carry, idx):
-            x, key, x_sc = carry
+        def step(carry, xs):
+            idx, i = xs
+            x, key, x_sc, frames = carry
             key, nk, mk = jax.random.split(key, 3)
             t_scalar = steps[idx]
             t = jnp.full((n_samples,), t_scalar, jnp.int32)
@@ -477,10 +497,56 @@ class GaussianDiffusion:
             if self.self_condition:
                 # clamped like lucidrains' clip_x_start sampling path
                 x_sc = jnp.clip(pred_x0, -1.0, 1.0).astype(dtype)
-            return (x_prev.astype(dtype), key, x_sc), None
+            x_prev = x_prev.astype(dtype)
+            if log_every:
+                frames = _log_frame(frames, x_prev, i, log_every)
+            return (x_prev, key, x_sc, frames), None
 
         # iterate DDIM indices in descending order (reference ddim.py:135,142)
         idxs = jnp.arange(dd.num_steps - 1, -1, -1)
         x_sc0 = jnp.zeros(shape, dtype) if self.self_condition else jnp.zeros((), dtype)
-        (x, _, _), _ = jax.lax.scan(step, (img, scan_rng, x_sc0), idxs)
+        frames0 = jnp.zeros((n_frames,) + shape, dtype) if log_every else jnp.zeros((), dtype)
+        (x, _, _, frames), _ = jax.lax.scan(
+            step, (img, scan_rng, x_sc0, frames0), (idxs, jnp.arange(dd.num_steps))
+        )
+        return DiffusionOutput(x=x, intermediates=frames if log_every else None)
+
+    # -- latent interpolation ------------------------------------------------
+
+    def interpolate(
+        self,
+        model_fn: DenoiseFn,
+        rng: jax.Array,
+        x1: jax.Array,
+        x2: jax.Array,
+        lam: float = 0.5,
+        t: Optional[int] = None,
+        clip: bool = True,
+        dtype=jnp.float32,
+    ) -> DiffusionOutput:
+        """Interpolate between two images in noise space (reference lucidrains
+        ``GaussianDiffusion.interpolate``, denoising_diffusion_pytorch.py:638-651):
+        q-sample both endpoints to level ``t`` (default T-1), lerp the two
+        latents with ``lam``, and run the ancestral reverse chain from t.
+        """
+        t = self.timesteps - 1 if t is None else int(t)
+        assert 0 < t < self.timesteps, t
+        assert x1.shape == x2.shape, (x1.shape, x2.shape)
+        shape = x1.shape
+        r1, r2, scan_rng = jax.random.split(rng, 3)
+        tb = jnp.full((shape[0],), t, jnp.int32)
+        xt1 = self.q_sample(x1.astype(jnp.float32), tb, jax.random.normal(r1, shape, dtype))
+        xt2 = self.q_sample(x2.astype(jnp.float32), tb, jax.random.normal(r2, shape, dtype))
+        x = (1.0 - lam) * xt1 + lam * xt2
+
+        def step(carry, t_scalar):
+            x_t, key = carry
+            key, nk = jax.random.split(key)
+            noise = jax.random.normal(nk, shape, dtype)
+            tt = jnp.full((shape[0],), t_scalar, jnp.int32)
+            x_t, _ = self._reverse_step(model_fn, x_t, tt, noise, None, None, clip)
+            return (x_t.astype(dtype), key), None
+
+        ts = jnp.arange(t - 1, -1, -1)
+        (x, _), _ = jax.lax.scan(step, (x.astype(dtype), scan_rng), ts)
         return DiffusionOutput(x=x)

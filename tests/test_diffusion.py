@@ -186,7 +186,20 @@ class TestDDPMSampling:
         d = make_diffusion(T=20)
         out = d.ddpm_sample(zero_model, jax.random.PRNGKey(0), 1, log_every=5)
         assert out.intermediates is not None
-        assert out.intermediates.shape[1:] == (1, SIZE, SIZE, CH)
+        # streamed buffer holds exactly ceil(T/k) frames, not T
+        assert out.intermediates.shape == (4, 1, SIZE, SIZE, CH)
+
+    def test_streamed_frames_match_full_trajectory(self):
+        # log_every=1 records the whole trajectory; log_every=k must equal
+        # its [::k] stride (same rng -> identical trajectory), and the last
+        # full-trajectory frame is the final sample
+        d = make_diffusion(T=20)
+        full = d.ddpm_sample(zero_model, jax.random.PRNGKey(3), 2, log_every=1)
+        strided = d.ddpm_sample(zero_model, jax.random.PRNGKey(3), 2, log_every=7)
+        np.testing.assert_array_equal(np.asarray(full.intermediates[-1]), np.asarray(full.x))
+        np.testing.assert_array_equal(
+            np.asarray(full.intermediates[::7]), np.asarray(strided.intermediates)
+        )
 
     def test_jit_compiles_once(self):
         d = make_diffusion(T=10)
@@ -194,6 +207,36 @@ class TestDDPMSampling:
         a = f(jax.random.PRNGKey(0))
         b = f(jax.random.PRNGKey(1))
         assert a.shape == b.shape
+
+
+class TestInterpolate:
+    """Latent interpolation (lucidrains denoising_diffusion_pytorch.py:638-651)."""
+
+    def test_shape_and_finite(self):
+        d = make_diffusion(T=20)
+        x1 = jnp.full((2, SIZE, SIZE, CH), -0.5)
+        x2 = jnp.full((2, SIZE, SIZE, CH), 0.5)
+        out = d.interpolate(zero_model, jax.random.PRNGKey(0), x1, x2, lam=0.5, t=10)
+        assert out.x.shape == x1.shape
+        assert np.isfinite(np.asarray(out.x)).all()
+
+    def test_lam_extremes_differ(self):
+        d = make_diffusion(T=20)
+        rng = jax.random.PRNGKey(1)
+        x1 = jnp.full((1, SIZE, SIZE, CH), -0.8)
+        x2 = jnp.full((1, SIZE, SIZE, CH), 0.8)
+        a = d.interpolate(zero_model, rng, x1, x2, lam=0.0, t=5).x
+        b = d.interpolate(zero_model, rng, x1, x2, lam=1.0, t=5).x
+        # same rng: endpoints differ only through the lerped latent
+        assert float(jnp.abs(a - b).max()) > 0.1
+
+    def test_t_bounds(self):
+        d = make_diffusion(T=20)
+        x = jnp.zeros((1, SIZE, SIZE, CH))
+        with pytest.raises(AssertionError):
+            d.interpolate(zero_model, jax.random.PRNGKey(0), x, x, t=0)
+        with pytest.raises(AssertionError):
+            d.interpolate(zero_model, jax.random.PRNGKey(0), x, x, t=20)
 
 
 class TestDDIMSampling:
@@ -284,3 +327,23 @@ class TestDDIMSampling:
             cond=cond, uncond=jnp.zeros_like(cond), guidance_scale=1.0,
         )
         assert calls[0] == 2
+
+
+class TestDDIMIntermediates:
+    def test_log_every_buffer(self):
+        d = make_diffusion(T=100)
+        out = d.ddim_sample(zero_model, jax.random.PRNGKey(0), 2,
+                            num_steps=10, log_every=3)
+        assert out.intermediates is not None
+        assert out.intermediates.shape == (4, 2, SIZE, SIZE, CH)  # ceil(10/3)
+
+    def test_streamed_matches_stride(self):
+        d = make_diffusion(T=100)
+        full = d.ddim_sample(zero_model, jax.random.PRNGKey(2), 1,
+                             num_steps=10, log_every=1)
+        strided = d.ddim_sample(zero_model, jax.random.PRNGKey(2), 1,
+                                num_steps=10, log_every=3)
+        np.testing.assert_array_equal(np.asarray(full.intermediates[-1]),
+                                      np.asarray(full.x))
+        np.testing.assert_array_equal(np.asarray(full.intermediates[::3]),
+                                      np.asarray(strided.intermediates))
