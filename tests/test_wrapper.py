@@ -58,7 +58,65 @@ class TestConditioningWrapper:
     def test_unknown_key_rejected(self):
         model, params = _setup()
         with pytest.raises(AssertionError):
-            ConditioningWrapper(model, "crossattn")
+            ConditioningWrapper(model, "nonsense")
+
+    def _ctx_model(self):
+        cfg = UNetConfig(image_size=SIZE, in_channels=3, model_channels=32,
+                         out_channels=3, num_res_blocks=1,
+                         attention_resolutions=(1,), channel_mult=(1,),
+                         num_heads=4, context_dim=16)
+        model = UNet(cfg)
+        ctx = jnp.zeros((2, 5, 16))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, SIZE, SIZE, 3)),
+                                     jnp.zeros((1,), jnp.int32),
+                                     context=ctx[:1])
+        # give the zero-init cross-attn output proj real weights so the
+        # context actually modulates the forward
+        params = jax.tree.map(
+            lambda p: jnp.asarray(np.random.default_rng(0).normal(0, 0.05, p.shape), p.dtype),
+            params)
+        return model, params, ctx
+
+    def test_crossattn_routes_context(self):
+        # reference model_pl.py:202-204: cc = cat(c_crossattn, 1) -> context
+        model, params, ctx = self._ctx_model()
+        w = ConditioningWrapper(model, "crossattn")
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, SIZE, SIZE, 3)), jnp.float32)
+        t = jnp.zeros((2,), jnp.int32)
+        a = w(params, x, t, {"c_crossattn": ctx})
+        b = w(params, x, t, {"c_crossattn": ctx + 1.0})
+        assert a.shape == x.shape
+        # a context-conditioned forward differs when the context changes
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_crossattn_token_axis_concat(self):
+        model, params, ctx = self._ctx_model()
+        w = ConditioningWrapper(model, "crossattn")
+        x = jnp.zeros((2, SIZE, SIZE, 3))
+        t = jnp.zeros((2,), jnp.int32)
+        split = [ctx[:, :2], ctx[:, 2:]]
+        a = w(params, x, t, {"c_crossattn": ctx})
+        b = w(params, x, t, {"c_crossattn": split})
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_hybrid_concat_plus_crossattn(self):
+        # reference model_pl.py:205-208: hybrid = channel-concat + context
+        cfg = UNetConfig(image_size=SIZE, in_channels=7, model_channels=32,
+                         out_channels=3, num_res_blocks=1,
+                         attention_resolutions=(1,), channel_mult=(1,),
+                         num_heads=4, context_dim=16)
+        model = UNet(cfg)
+        ctx = jnp.zeros((2, 5, 16))
+        cond = jnp.zeros((2, SIZE, SIZE, 4))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, SIZE, SIZE, 3)),
+                                     jnp.zeros((1,), jnp.int32),
+                                     cond=cond[:1], context=ctx[:1])
+        w = ConditioningWrapper(model, "hybrid")
+        out = w(params, jnp.zeros((2, SIZE, SIZE, 3)), jnp.zeros((2,), jnp.int32),
+                {"c_concat": cond, "c_crossattn": ctx})
+        assert out.shape == (2, SIZE, SIZE, 3)
 
 
 class TestPublicAPI:
