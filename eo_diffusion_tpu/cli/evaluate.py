@@ -47,26 +47,41 @@ def load_image_dir(path: str, limit: int = 0) -> np.ndarray:
 
 
 def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
-                    batch: int = 64) -> dict:
-    """FID between two image stacks (and IS of the fake stack when the
-    extractor yields class probabilities)."""
+                    batch: int = 64, with_logits: bool = False) -> dict:
+    """FID/KID between two image stacks, plus IS of the fake stack when the
+    extractor also yields class probabilities (``with_logits=True`` --
+    extractor returns ``(feats, probs)`` per batch)."""
     import numpy as np
 
-    from eo_diffusion_tpu.utils.metrics import FrechetDistance, kid
+    from eo_diffusion_tpu.utils.metrics import FrechetDistance, inception_score, kid
 
-    fd = FrechetDistance(extractor)
-    for i in range(0, len(real), batch):
-        fd.update_real(real[i : i + batch])
-    for i in range(0, len(fake), batch):
-        fd.update_fake(fake[i : i + batch])
+    fd = FrechetDistance(None if with_logits else extractor)
+    probs = []
+    if with_logits:
+        for i in range(0, len(real), batch):
+            fd.add_real_feats(extractor(real[i : i + batch])[0])
+        for i in range(0, len(fake), batch):
+            f, p = extractor(fake[i : i + batch])
+            fd.add_fake_feats(f)
+            probs.append(p)
+    else:
+        for i in range(0, len(real), batch):
+            fd.update_real(real[i : i + batch])
+        for i in range(0, len(fake), batch):
+            fd.update_fake(fake[i : i + batch])
     kid_mean, kid_std = kid(np.concatenate(fd._real), np.concatenate(fd._fake))
-    return {
+    out = {
         "frechet_distance": fd.compute(),
         "kid_mean": kid_mean,
         "kid_std": kid_std,
         "n_real": len(real),
         "n_fake": len(fake),
     }
+    if probs:
+        is_mean, is_std = inception_score(np.concatenate(probs))
+        out["inception_score"] = is_mean
+        out["inception_score_std"] = is_std
+    return out
 
 
 def main(argv=None):
@@ -75,11 +90,37 @@ def main(argv=None):
     ap.add_argument("--fake", required=True, help="dir of generated samples")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--out", type=str, default=None, help="write metrics JSON here")
+    ap.add_argument("--extractor", choices=["offline", "inception"], default="offline",
+                    help="offline = deterministic random-projection features "
+                         "(KID recommended); inception = Flax InceptionV3 pool3 "
+                         "features for published-comparable FID + IS")
+    ap.add_argument("--inception_weights", type=str,
+                    default=os.environ.get("EO_INCEPTION_WEIGHTS", ""),
+                    help="torchvision inception_v3_google .pth (or converted .npz)")
+    ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args(argv)
+
+    extractor, with_logits = None, False
+    if args.extractor == "inception":
+        from eo_diffusion_tpu.models.inception import (
+            inception_feature_extractor,
+            load_torch_inception,
+        )
+
+        if not args.inception_weights or not os.path.exists(args.inception_weights):
+            raise SystemExit(
+                "--extractor inception needs --inception_weights (or "
+                "EO_INCEPTION_WEIGHTS) pointing at a torchvision "
+                "inception_v3_google state dict; no weights are bundled."
+            )
+        params = load_torch_inception(args.inception_weights)
+        extractor = inception_feature_extractor(params, with_logits=True)
+        with_logits = True
 
     real = load_image_dir(args.real, args.limit)
     fake = load_image_dir(args.fake, args.limit)
-    metrics = compute_metrics(real, fake)
+    metrics = compute_metrics(real, fake, extractor=extractor,
+                              batch=args.batch, with_logits=with_logits)
     print(metrics)
     if args.out:
         import json

@@ -130,6 +130,14 @@ class FrechetDistance:
     def update_fake(self, images):
         self._fake.append(np.asarray(self.extractor(jnp.asarray(images))))
 
+    # pre-extracted features (e.g. when one Inception pass yields both
+    # pool3 feats for FID and logits for IS)
+    def add_real_feats(self, feats):
+        self._real.append(np.asarray(feats))
+
+    def add_fake_feats(self, feats):
+        self._fake.append(np.asarray(feats))
+
     @staticmethod
     def _stats(feats: np.ndarray):
         mu = feats.mean(0)
