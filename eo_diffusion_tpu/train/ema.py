@@ -16,7 +16,19 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-__all__ = ["adjusted_decay", "ema_update", "ema_update_every"]
+__all__ = ["adjusted_decay", "ema_update", "ema_update_every", "warmed_decay"]
+
+
+def warmed_decay(decay: float, n_updates: jax.Array) -> jax.Array:
+    """timm-style decay warmup: min(decay, (1 + n) / (10 + n)).
+
+    Early updates average aggressively so the EMA tracks from the first
+    steps instead of dragging initialization noise for a full 1/(1-decay)
+    horizon (observed on the r1 capstone run: unwarmed EMA sampled noise at
+    6k steps).
+    """
+    n = n_updates.astype(jnp.float32)
+    return jnp.minimum(jnp.float32(decay), (1.0 + n) / (10.0 + n))
 
 
 def adjusted_decay(decay: float, batch_size: int, ema_steps: int, epochs: int) -> float:

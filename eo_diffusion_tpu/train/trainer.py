@@ -36,7 +36,7 @@ from eo_diffusion_tpu.parallel.mesh import (
     make_mesh,
     replicated,
 )
-from eo_diffusion_tpu.train.ema import adjusted_decay
+from eo_diffusion_tpu.train.ema import adjusted_decay, ema_update_every, warmed_decay
 
 __all__ = ["TrainState", "make_train_step", "Trainer", "TrainerConfig"]
 
@@ -100,25 +100,11 @@ def make_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        # fused EMA update, gated on the step counter (no host round-trip)
-        do_ema = (state.step % ema_every) == 0
-        d = jnp.float32(ema_decay)
-        if ema_warmup:
-            # timm-style decay warmup: early updates average aggressively so
-            # the EMA tracks from the first steps instead of dragging
-            # initialization noise for a full 1/(1-decay) horizon (observed
-            # on the capstone run: unwarmed EMA sampled noise at 6k steps)
-            n_upd = (state.step // ema_every).astype(jnp.float32)
-            d = jnp.minimum(d, (1.0 + n_upd) / (10.0 + n_upd))
-        ema = jax.tree.map(
-            lambda e, p: jnp.where(
-                do_ema,
-                (d * e.astype(jnp.float32) + (1 - d) * p.astype(jnp.float32)).astype(e.dtype),
-                e,
-            ),
-            state.ema_params,
-            params,
-        )
+        # fused EMA update, gated on the step counter (no host round-trip);
+        # decay warmup so early EMAs track instead of dragging init noise
+        d = (warmed_decay(ema_decay, state.step // ema_every) if ema_warmup
+             else jnp.float32(ema_decay))
+        ema = ema_update_every(state.ema_params, params, d, state.step, ema_every)
         new_state = state.replace(
             params=params, ema_params=ema, opt_state=opt_state, step=state.step + 1
         )

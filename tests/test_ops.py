@@ -67,6 +67,21 @@ class TestFlashAttention:
         for a, b in zip(gf, gx):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    def test_resident_kernel_multi_chunk(self):
+        # T=96 with block_k=32 -> 3 in-kernel chunks incl. online-softmax carry
+        q, k, v = _qkv(t=96)
+        ref = A.xla_attention(q, k, v)
+        out = A.flash_attention(q, k, v, 32, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_grid_tiled_path(self, monkeypatch):
+        # force T > _MAX_RESIDENT_KV so the grid-tiled online-softmax kernel runs
+        monkeypatch.setattr(A, "_MAX_RESIDENT_KV", 32)
+        q, k, v = _qkv(t=64)
+        ref = A.xla_attention(q, k, v)
+        out = A.flash_attention(q, k, v, 32, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
     def test_fused_dispatch_cpu_falls_back(self):
         # on CPU fused_attention must route to XLA regardless of seq length
         q, k, v = _qkv(t=64)
