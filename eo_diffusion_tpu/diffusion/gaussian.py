@@ -490,10 +490,13 @@ class GaussianDiffusion:
             a_prev = alphas_prev[idx]
             sigma_t = sigmas[idx]
 
-            # reference ddim.py:198-206
+            # reference ddim.py:198-206; at eta == 0 every sigma is zero, so
+            # skip the per-step Gaussian draw entirely (threefry over the
+            # full image tensor x 50 steps is pure waste on the ODE path)
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
-            noise = sigma_t * jax.random.normal(nk, shape, jnp.float32) * temperature
-            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+            x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+            if eta != 0.0:
+                x_prev = x_prev + sigma_t * jax.random.normal(nk, shape, jnp.float32) * temperature
             if self.self_condition:
                 # clamped like lucidrains' clip_x_start sampling path
                 x_sc = jnp.clip(pred_x0, -1.0, 1.0).astype(dtype)

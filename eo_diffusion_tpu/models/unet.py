@@ -275,32 +275,18 @@ class AttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from eo_diffusion_tpu.ops.attention import flash_attention, fused_attention, xla_attention
+        from eo_diffusion_tpu.ops.attention import attention_from_qkv
 
         b, hgt, wid, c = x.shape
-        heads = self.num_heads
-        ch = c // heads
         t = hgt * wid
 
         xt = x.reshape(b, t, c)
         qkv = Dense(3 * c, dtype=self.dtype, name="qkv")(GroupNorm32(name="norm")(xt))
-
-        if self.use_new_attention_order:
-            qkv = qkv.reshape(b, t, 3, heads, ch)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        else:
-            qkv = qkv.reshape(b, t, heads, 3, ch)
-            q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
-        # q, k, v: [B, T, H, ch]
-
-        if self.attn_impl == "pallas":
-            a = flash_attention(q, k, v)
-        elif self.attn_impl == "xla":
-            a = xla_attention(q, k, v)
-        else:
-            a = fused_attention(q, k, v)
-
-        a = a.reshape(b, t, c)
+        # the qkv tensor feeds the kernel directly (zero-copy head/slice
+        # selection via BlockSpec index maps on TPU)
+        a = attention_from_qkv(qkv, self.num_heads,
+                               new_order=self.use_new_attention_order,
+                               impl=self.attn_impl)
         out = ZeroDense(c, dtype=self.dtype, name="proj_out")(a)
         return (xt + out).reshape(b, hgt, wid, c)
 

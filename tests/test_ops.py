@@ -90,6 +90,54 @@ class TestFlashAttention:
                                    np.asarray(A.xla_attention(q, k, v)), atol=1e-5)
 
 
+class TestAttentionFromQKV:
+    """Zero-copy fused-qkv entry: kernel output must equal slice+reference
+    for both reference head orders (unet_openai.py:456-519)."""
+
+    def _qkv(self, b=2, t=64, heads=4, d=16, seed=0):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(rng.normal(size=(b, t, 3 * heads * d)), jnp.float32)
+
+    @pytest.mark.parametrize("new_order", [False, True])
+    def test_matches_sliced_reference(self, new_order):
+        qkv = self._qkv()
+        b, t, c3 = qkv.shape
+        heads, d = 4, 16
+        if new_order:
+            r = qkv.reshape(b, t, 3, heads, d)
+            q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+        else:
+            r = qkv.reshape(b, t, heads, 3, d)
+            q, k, v = r[:, :, :, 0], r[:, :, :, 1], r[:, :, :, 2]
+        ref = A.xla_attention(q, k, v).reshape(b, t, heads * d)
+        out = A.attention_from_qkv(qkv, heads, new_order=new_order,
+                                   impl="pallas", block_q=32, block_k=32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_gradients_match(self):
+        qkv = self._qkv(t=32)
+
+        def loss_k(qkv):
+            return jnp.sum(A.attention_from_qkv(qkv, 4, impl="pallas",
+                                                block_q=32, block_k=32) ** 2)
+
+        def loss_ref(qkv):
+            return jnp.sum(A.attention_from_qkv(qkv, 4, impl="xla") ** 2)
+
+        gk = jax.grad(loss_k)(qkv)
+        gr = jax.grad(loss_ref)(qkv)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-4)
+
+    def test_unaligned_t_falls_back(self):
+        # T=56 doesn't align to the 8-row block constraint -> sliced path
+        qkv = self._qkv(t=56)
+        out = A.attention_from_qkv(qkv, 4, impl="auto", min_seq=1)
+        r = qkv.reshape(2, 56, 4, 3, 16)
+        ref = A.xla_attention(r[:, :, :, 0], r[:, :, :, 1], r[:, :, :, 2])
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(ref.reshape(2, 56, 64)), atol=1e-5)
+
+
 class TestGroupNorm:
     def _xy(self, n=2, h=8, w=8, c=64, seed=0):
         rng = np.random.default_rng(seed)
