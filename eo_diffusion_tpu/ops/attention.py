@@ -96,7 +96,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
-def _resident_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, block_k: int):
+def _resident_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
+                     t_real: int, block_k: int):
     """Whole-KV-resident attention with a statically unrolled inner KV loop.
 
     At the UNet's sequence lengths (<= 4096) K and V stay resident in VMEM;
@@ -137,6 +138,11 @@ def _resident_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, block_k: int):
         m = m_n
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0] = (acc * l_inv).astype(o_ref.dtype)
+    if lse_ref is not None:
+        # row logsumexp for the flash backward (lane-replicated layout);
+        # fully-masked rows get a huge lse so recomputed p == 0, never NaN
+        lse = jnp.where(l == 0.0, -_MASK_VALUE, m + jnp.log(jnp.maximum(l, 1e-37)))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _pad_to(x, size, axis):
@@ -152,7 +158,7 @@ def _pad_to(x, size, axis):
 _MAX_RESIDENT_KV = 4096
 
 
-def _flash_fwd_impl(q, k, v, block_q: int, block_k: int):
+def _flash_fwd_impl(q, k, v, block_q: int, block_k: int, return_lse: bool = False):
     b, t, h, d = q.shape
     s = jnp.asarray(_scale(d), q.dtype)
     # fold heads into batch: [B*H, T, D]
@@ -171,6 +177,13 @@ def _flash_fwd_impl(q, k, v, block_q: int, block_k: int):
         t_pad_k = -(-t // bk) * bk
         kf = _pad_to(_pad_to(kf, d_pad, 2), t_pad_k, 1)
         vf = _pad_to(_pad_to(vf, d_pad, 2), t_pad_k, 1)
+        out_shape = jax.ShapeDtypeStruct((b * h, t_pad_q, d_pad), q.dtype)
+        out_spec = pl.BlockSpec((1, block_q, d_pad), lambda bi, iq: (bi, iq, 0))
+        if return_lse:
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((b * h, t_pad_q, 128), jnp.float32)]
+            out_spec = [out_spec,
+                        pl.BlockSpec((1, block_q, 128), lambda bi, iq: (bi, iq, 0))]
         out = pl.pallas_call(
             functools.partial(_resident_kernel, t_real=t, block_k=bk),
             grid=(b * h, nq),
@@ -179,11 +192,14 @@ def _flash_fwd_impl(q, k, v, block_q: int, block_k: int):
                 pl.BlockSpec((1, t_pad_k, d_pad), lambda bi, iq: (bi, 0, 0)),
                 pl.BlockSpec((1, t_pad_k, d_pad), lambda bi, iq: (bi, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d_pad), lambda bi, iq: (bi, iq, 0)),
-            out_shape=jax.ShapeDtypeStruct((b * h, t_pad_q, d_pad), q.dtype),
+            out_specs=out_spec,
+            out_shape=out_shape,
             compiler_params=None if _INTERPRET else _compiler_params(two_d=True),
             interpret=_INTERPRET,
         )(qf, kf, vf)
+        if return_lse:
+            out, lse = out
+            return out[:, :t, :d].reshape(b, h, t, d).transpose(0, 2, 1, 3), lse
         return out[:, :t, :d].reshape(b, h, t, d).transpose(0, 2, 1, 3)
 
     block_k = min(block_k, -(-t // 8) * 8)
@@ -228,6 +244,143 @@ def _compiler_params(two_d: bool = False):
     return pltpu.CompilerParams(dimension_semantics=sem)
 
 
+# ---------------------------------------------------------------------------
+# flash backward (resident-KV regime)
+# ---------------------------------------------------------------------------
+
+# scores-chunk width for the backward kernel (own knob: the bwd holds two
+# [block_q, block_k] f32 tiles live plus the dk/dv accumulators)
+_BWD_BLOCK_K = 1024
+
+
+def _resident_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                         dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                         t_real: int, block_k: int, nq: int, scale: float):
+    """Flash-attention backward, whole KV resident per (batch*head).
+
+    Grid is (B*H, nq) with the q-tile axis sequential: dq writes per q-tile;
+    dk/dv accumulate across q-tiles in f32 VMEM scratch and flush on the last
+    one. Inputs q/k are pre-scaled by ``scale`` (the reference's double-sqrt
+    scaling); the chain rule's d(q*s)/dq = s multiplies into dq/dk at store.
+
+    Standard flash backward math (Dao et al. 2205.14135, alg. 2), with the
+    softmax row statistics read back as the forward's saved logsumexp:
+      p    = exp(q k^T - lse)
+      dv  += p^T do
+      dp   = do v^T
+      ds   = p * (dp - rowsum(do * o))
+      dq  += ds k ;  dk += ds^T q
+    Zero-padded do rows make padded-q contributions vanish; padded KV columns
+    are masked to p == 0 exactly as in the forward.
+    """
+    iq = pl.program_id(1)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]            # [bq, d] (pre-scaled)
+    do = do_ref[0]          # [bq, d]
+    lse = lse_ref[0][:, :1]  # [bq, 1] f32
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=1, keepdims=True,
+    )  # [bq, 1]
+
+    t_pad = k_ref.shape[1]
+    dq = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
+    for j in range(t_pad // block_k):  # static unroll
+        k = k_ref[0, j * block_k:(j + 1) * block_k]  # [bk, d] (pre-scaled)
+        v = v_ref[0, j * block_k:(j + 1) * block_k]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        if (j + 1) * block_k > t_real:  # mask padded KV columns (tail chunk)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+            s = jnp.where(col < t_real, s, _MASK_VALUE)
+        p = jnp.exp(s - lse)  # [bq, bk] f32
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        ds = p * (dp - delta)
+        p_b = p.astype(v.dtype)
+        ds_b = ds.astype(q.dtype)
+        dq = dq + jax.lax.dot_general(
+            ds_b, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dv_acc[j * block_k:(j + 1) * block_k] += jax.lax.dot_general(
+            p_b, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, d]
+        dk_acc[j * block_k:(j + 1) * block_k] += jax.lax.dot_general(
+            ds_b, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, d]
+
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+    @pl.when(iq == nq - 1)
+    def _store():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int = _BWD_BLOCK_K):
+    """Pallas flash backward. q/k/v/o/g: [B,T,H,D]; lse: [B*H, T_pad_q, 128]
+    (the forward's saved row statistics, padded with the SAME block_q).
+    Returns (dq, dk, dv) in [B,T,H,D]."""
+    b, t, h, d = q.shape
+    sc = _scale(d)
+    s = jnp.asarray(sc, q.dtype)
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+    qf, kf, vf = fold(q * s), fold(k * s), fold(v)
+    of, gf = fold(o), fold(g)
+
+    d_pad = max(128, -(-d // 128) * 128)
+    bq = min(block_q, -(-t // 8) * 8)
+    t_pad_q = -(-t // bq) * bq
+    nq = t_pad_q // bq
+    bk = min(block_k, -(-t // 8) * 8)
+    t_pad_k = -(-t // bk) * bk
+
+    qf = _pad_to(_pad_to(qf, d_pad, 2), t_pad_q, 1)
+    of = _pad_to(_pad_to(of, d_pad, 2), t_pad_q, 1)
+    gf = _pad_to(_pad_to(gf, d_pad, 2), t_pad_q, 1)
+    kf = _pad_to(_pad_to(kf, d_pad, 2), t_pad_k, 1)
+    vf = _pad_to(_pad_to(vf, d_pad, 2), t_pad_k, 1)
+
+    q_spec = pl.BlockSpec((1, bq, d_pad), lambda bi, iq: (bi, iq, 0))
+    kv_spec = pl.BlockSpec((1, t_pad_k, d_pad), lambda bi, iq: (bi, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _resident_bwd_kernel, t_real=t, block_k=bk, nq=nq, scale=sc
+        ),
+        grid=(b * h, nq),
+        in_specs=[
+            q_spec,  # q
+            kv_spec,  # k
+            kv_spec,  # v
+            q_spec,  # do
+            q_spec,  # o
+            pl.BlockSpec((1, bq, 128), lambda bi, iq: (bi, iq, 0)),  # lse
+        ],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t_pad_q, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t_pad_k, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b * h, t_pad_k, d_pad), v.dtype),
+        ],
+        scratch_shapes=[
+            _vmem((t_pad_k, d_pad), jnp.float32),  # dk accumulator
+            _vmem((t_pad_k, d_pad), jnp.float32),  # dv accumulator
+        ],
+        compiler_params=None if _INTERPRET else _compiler_params(two_d=True),
+        interpret=_INTERPRET,
+    )(qf, kf, vf, gf, of, lse)
+
+    unfold = lambda x: x[:, :t, :d].reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    return unfold(dq), unfold(dk), unfold(dv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention(q, k, v, block_q: int = 512, block_k: int = 2048):
     """Fused attention. [B,T,H,D] x3 -> [B,T,H,D].
@@ -238,23 +391,30 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 2048):
     (1024x2048 is ~3% faster in isolation but lands 1MB over the 16MB limit
     when composed with the surrounding ops); longer sequences use the
     grid-tiled online-softmax kernel.
+
+    Differentiable: in the resident regime the backward is the Pallas flash
+    backward (``_resident_bwd_kernel``) driven by the forward's saved
+    logsumexp -- the [T, T] probability matrix is never materialized in HBM,
+    so training at T = 4096 (the 256px concat preset) fits. Longer sequences
+    fall back to XLA recomputation.
     """
     return _flash_fwd_impl(q, k, v, block_q, block_k)
 
 
 def _flash_fwd(q, k, v, block_q, block_k):
-    return _flash_fwd_impl(q, k, v, block_q, block_k), (q, k, v)
+    if q.shape[1] <= _MAX_RESIDENT_KV:
+        out, lse = _flash_fwd_impl(q, k, v, block_q, block_k, return_lse=True)
+        return out, (q, k, v, out, lse)
+    return _flash_fwd_impl(q, k, v, block_q, block_k), (q, k, v, None, None)
 
 
 def _flash_bwd(block_q, block_k, res, g):
-    # recompute with XLA einsums; exact same math, ample memory at T<=4096
-    q, k, v = res
-
-    def f(q, k, v):
-        return xla_attention(q, k, v)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    if o is None:
+        # grid-tiled regime (T > resident cap): recompute with XLA einsums
+        _, vjp = jax.vjp(xla_attention, q, k, v)
+        return vjp(g)
+    return _flash_bwd_impl(q, k, v, o, lse, g, block_q)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -276,7 +436,8 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _qkv_layout_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def _qkv_layout_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
+                       block_k: int, scale: float):
     """Resident-KV attention reading [1,1,1,block,D] slices of the qkv tensor.
 
     Same online-softmax math as :func:`_resident_kernel`, but the BlockSpec
@@ -311,6 +472,9 @@ def _qkv_layout_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float
             )
         m = m_n
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse = jnp.where(l == 0.0, -_MASK_VALUE, m + jnp.log(jnp.maximum(l, 1e-37)))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _qkv5_ref_attention(qkv5: jax.Array) -> jax.Array:
@@ -321,9 +485,16 @@ def _qkv5_ref_attention(qkv5: jax.Array) -> jax.Array:
     return xla_attention(q, k, v).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _qkv5_flash(qkv5, block_q: int, block_k: int):
+def _qkv5_fwd_impl(qkv5, block_q: int, block_k: int, return_lse: bool = False):
     b, three, h, t, d = qkv5.shape
+    out_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, iq: (bi, hi, iq, 0))
+    out_shape = jax.ShapeDtypeStruct((b, h, t, d), qkv5.dtype)
+    if return_lse:
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, 1, block_q, 128),
+                                 lambda bi, hi, iq: (bi, hi, iq, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, h, t, 128), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(_qkv_layout_kernel, block_k=block_k, scale=_scale(d)),
         grid=(b, h, t // block_q),
@@ -332,22 +503,41 @@ def _qkv5_flash(qkv5, block_q: int, block_k: int):
             pl.BlockSpec((1, 1, 1, t, d), lambda bi, hi, iq: (bi, 1, hi, 0, 0)),
             pl.BlockSpec((1, 1, 1, t, d), lambda bi, hi, iq: (bi, 2, hi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, iq: (bi, hi, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, t, d), qkv5.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=None if _INTERPRET else _compiler_params(),
         interpret=_INTERPRET,
     )(qkv5, qkv5, qkv5)
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _qkv5_flash(qkv5, block_q: int, block_k: int):
+    return _qkv5_fwd_impl(qkv5, block_q, block_k)
+
+
 def _qkv5_fwd(qkv5, block_q, block_k):
-    return _qkv5_flash(qkv5, block_q, block_k), qkv5
+    out, lse = _qkv5_fwd_impl(qkv5, block_q, block_k, return_lse=True)
+    return out, (qkv5, out, lse)
 
 
-def _qkv5_bwd(block_q, block_k, qkv5, g):
-    # recompute with XLA einsums (same policy as flash_attention's vjp)
-    _, vjp = jax.vjp(_qkv5_ref_attention, qkv5)
-    return vjp(g)
+def _qkv5_bwd(block_q, block_k, res, g):
+    """Pallas flash backward on the fused-layout path.
+
+    The zero-copy forward reads q/k/v straight out of [B,3,H,T,D]; for the
+    backward the planes are sliced apart (cheap transposes vs the [T,T]
+    matmuls) and the shared resident backward kernel runs, then the three
+    grads restack into the projection layout.
+    """
+    qkv5, o, lse = res
+    b, three, h, t, d = qkv5.shape
+    to_bthd = lambda x: x.transpose(0, 2, 1, 3)  # [B,H,T,D] -> [B,T,H,D]
+    q, k, v = (to_bthd(qkv5[:, i]) for i in range(3))
+    dq, dk, dv = _flash_bwd_impl(
+        q, k, v, to_bthd(o), lse.reshape(b * h, t, 128), to_bthd(g), block_q
+    )
+    back = lambda x: x.transpose(0, 2, 1, 3)  # [B,T,H,D] -> [B,H,T,D]
+    return (jnp.stack([back(dq), back(dk), back(dv)], axis=1),)
 
 
 _qkv5_flash.defvjp(_qkv5_fwd, _qkv5_bwd)

@@ -74,6 +74,33 @@ class TestFlashAttention:
         out = A.flash_attention(q, k, v, 32, 32)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
+    def test_gradients_multi_chunk_uneven(self):
+        # Pallas backward with padded q rows (T=56 -> 64), a masked KV tail
+        # chunk, and lane-padded head dim (48 -> 128)
+        q, k, v = _qkv(t=56, d=48)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(A.flash_attention(q, k, v, 32, 32) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(A.xla_attention(q, k, v) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_gradients_grid_tiled_fallback(self, monkeypatch):
+        # beyond the resident cap the vjp recomputes with XLA einsums
+        monkeypatch.setattr(A, "_MAX_RESIDENT_KV", 48)
+        q, k, v = _qkv(t=96)
+        gf = jax.grad(lambda q, k, v: jnp.sum(A.flash_attention(q, k, v, 32, 32) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(lambda q, k, v: jnp.sum(A.xla_attention(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
     def test_grid_tiled_path(self, monkeypatch):
         # force T > _MAX_RESIDENT_KV so the grid-tiled online-softmax kernel runs
         monkeypatch.setattr(A, "_MAX_RESIDENT_KV", 32)
