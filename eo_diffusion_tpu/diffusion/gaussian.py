@@ -21,7 +21,7 @@ All tensors are NHWC.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -405,6 +405,7 @@ class GaussianDiffusion:
         clip: bool = False,
         log_every: Optional[int] = None,
         dtype=jnp.float32,
+        model_state: Any = None,
     ) -> DiffusionOutput:
         """DDIM sampling (reference ``DDIMSampler``, ddim.py:57-207).
 
@@ -440,10 +441,16 @@ class GaussianDiffusion:
 
         use_cfg = uncond is not None and guidance_scale != 1.0
         n_frames = -(-dd.num_steps // log_every) if log_every else 0
+        stateful = model_state is not None
+        if stateful:
+            assert not use_cfg and (y_uncond is None or guidance_scale == 1.0), (
+                "stateful model_fn (DeepCache etc.) is not supported together "
+                "with batch-doubling guidance yet"
+            )
 
         def step(carry, xs):
             idx, i = xs
-            x, key, x_sc, frames = carry
+            x, key, x_sc, frames, m_state = carry
             key, nk, mk = jax.random.split(key, 3)
             t_scalar = steps[idx]
             t = jnp.full((n_samples,), t_scalar, jnp.int32)
@@ -475,6 +482,10 @@ class GaussianDiffusion:
                 c_in = None if cond_eff is None else jnp.concatenate([cond_eff, cond_eff], axis=0)
                 e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in, y_in), 2, axis=0)
                 raw = e_uncond + guidance_scale * (e_cond - e_uncond)
+            elif stateful:
+                # stateful model (e.g. DeepCache): fn(x, t, cond, y, state, i)
+                # -> (eps, state); i is the ascending scan step index
+                raw, m_state = model_fn(x, t, cond_eff, y, m_state, i)
             else:
                 raw = model_fn(x, t, cond_eff, y)
             xf = x.astype(jnp.float32)
@@ -503,14 +514,15 @@ class GaussianDiffusion:
             x_prev = x_prev.astype(dtype)
             if log_every:
                 frames = _log_frame(frames, x_prev, i, log_every)
-            return (x_prev, key, x_sc, frames), None
+            return (x_prev, key, x_sc, frames, m_state), None
 
         # iterate DDIM indices in descending order (reference ddim.py:135,142)
         idxs = jnp.arange(dd.num_steps - 1, -1, -1)
         x_sc0 = jnp.zeros(shape, dtype) if self.self_condition else jnp.zeros((), dtype)
         frames0 = jnp.zeros((n_frames,) + shape, dtype) if log_every else jnp.zeros((), dtype)
-        (x, _, _, frames), _ = jax.lax.scan(
-            step, (img, scan_rng, x_sc0, frames0), (idxs, jnp.arange(dd.num_steps))
+        state0 = model_state if stateful else jnp.zeros((), dtype)
+        (x, _, _, frames, _), _ = jax.lax.scan(
+            step, (img, scan_rng, x_sc0, frames0, state0), (idxs, jnp.arange(dd.num_steps))
         )
         return DiffusionOutput(x=x, intermediates=frames if log_every else None)
 

@@ -414,7 +414,25 @@ class UNet(nn.Module):
         context: Optional[jax.Array] = None,
         *,
         train: bool = False,
+        deep_cache: Optional[jax.Array] = None,
+        return_deep: bool = False,
+        cache_depth: Optional[int] = None,
     ) -> jax.Array:
+        """Optional DeepCache split (Ma et al. 2312.00858; no reference
+        counterpart): the first ``cache_depth`` input blocks and the matching
+        last output blocks form the *shallow* path that always recomputes;
+        everything between (downsampled levels, middle, all attention) is the
+        *deep* branch whose up-sampled feature changes slowly across adjacent
+        diffusion steps.
+
+        * ``return_deep=True``: also return that deep feature (the h entering
+          the first shallow output block) for caching.
+        * ``deep_cache=h``: skip the deep branch and splice ``h`` in -- only
+          the shallow blocks run. ``partial(x, t, cache=full(x, t).deep)``
+          is bit-identical to ``full(x, t)``.
+        * ``cache_depth`` defaults to the full-resolution level
+          (stem + num_res_blocks blocks).
+        """
         cfg = self.config
         plan = build_unet_plan(cfg)
         assert (context is not None) == (cfg.context_dim > 0), (
@@ -452,17 +470,34 @@ class UNet(nn.Module):
                 )(h, context)
             return h
 
+        n_blocks = len(plan.input_blocks)
+        cd = cache_depth if cache_depth is not None else 1 + cfg.num_res_blocks
+        use_cache = deep_cache is not None or return_deep
+        if use_cache:
+            assert 0 < cd < n_blocks, (cd, n_blocks)
+
         h = x.astype(cfg.dtype)
         hs = []
-        for bi, block in enumerate(plan.input_blocks):
+        in_blocks = plan.input_blocks[:cd] if deep_cache is not None else plan.input_blocks
+        for bi, block in enumerate(in_blocks):
             for li, spec in enumerate(block):
                 h = apply_layer(spec, f"input_{bi}_{li}", h)
             hs.append(h)
 
-        for li, spec in enumerate(plan.middle_block):
-            h = apply_layer(spec, f"middle_{li}", h)
+        deep_h = None
+        split = n_blocks - cd if use_cache else n_blocks
+        if deep_cache is None:
+            for li, spec in enumerate(plan.middle_block):
+                h = apply_layer(spec, f"middle_{li}", h)
+            for bi, block in enumerate(plan.output_blocks[:split]):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                for li, spec in enumerate(block):
+                    h = apply_layer(spec, f"output_{bi}_{li}", h)
+            deep_h = h
+        else:
+            h = deep_cache.astype(cfg.dtype)
 
-        for bi, block in enumerate(plan.output_blocks):
+        for bi, block in enumerate(plan.output_blocks[split:], start=split):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             for li, spec in enumerate(block):
                 h = apply_layer(spec, f"output_{bi}_{li}", h)
@@ -471,7 +506,10 @@ class UNet(nn.Module):
         h = GroupNorm32(name="out_norm")(h)
         h = nn.silu(h)
         h = ZeroConv(cfg.out_channels, 3, dtype=cfg.dtype, name="out_conv")(h)
-        return h.astype(x.dtype)
+        out = h.astype(x.dtype)
+        if return_deep:
+            return out, deep_h
+        return out
 
     @staticmethod
     def _apply(layer, spec, h, emb, train):
