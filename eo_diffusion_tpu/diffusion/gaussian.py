@@ -311,6 +311,7 @@ class GaussianDiffusion:
         guidance_scale: float = 1.0,
         y_uncond: Optional[jax.Array] = None,
         dtype=jnp.float32,
+        model_state: Any = None,
     ) -> DiffusionOutput:
         """Ancestral DDPM sampling (reference ``EODiffusion.sampling``, model.py:47-75).
 
@@ -353,10 +354,16 @@ class GaussianDiffusion:
 
         ts = jnp.arange(self.timesteps - 1, -1, -1)
         n_frames = -(-self.timesteps // log_every) if log_every else 0
+        stateful = model_state is not None
+        if stateful:
+            assert y_uncond is None or guidance_scale == 1.0, (
+                "stateful model_fn (DeepCache etc.) is not supported together "
+                "with batch-doubling guidance yet"
+            )
 
         def step(carry, xs):
             t_scalar, i = xs
-            x_t, key, x_sc, frames = carry
+            x_t, key, x_sc, frames, m_state = carry
             key, nk = jax.random.split(key)
             noise = jax.random.normal(nk, shape, dtype)
             t = jnp.full((n_samples,), t_scalar, jnp.int32)
@@ -366,7 +373,14 @@ class GaussianDiffusion:
                 x_t = mask * gt_noised + (1.0 - mask) * x_t
 
             c = self._with_self_cond(cond, x_sc) if self.self_condition else cond
-            x_t, x0_pred = self._reverse_step(model_fn, x_t, t, noise, c, y, clip)
+            if stateful:
+                # precompute the denoiser output on exactly the (x_t, t, c, y)
+                # _reverse_step would pass; feed it through as a constant fn
+                raw, m_state = model_fn(x_t, t, c, y, m_state, i)
+                eff_fn = lambda *_a: raw
+            else:
+                eff_fn = model_fn
+            x_t, x0_pred = self._reverse_step(eff_fn, x_t, t, noise, c, y, clip)
             x_t = x_t.astype(dtype)
             if self.self_condition:
                 # clamp the carried estimate (lucidrains clips x_start during
@@ -374,12 +388,13 @@ class GaussianDiffusion:
                 x_sc = jnp.clip(x0_pred, -1.0, 1.0).astype(dtype)
             if log_every:
                 frames = _log_frame(frames, x_t, i, log_every)
-            return (x_t, key, x_sc, frames), None
+            return (x_t, key, x_sc, frames, m_state), None
 
         x_sc0 = jnp.zeros(shape, dtype) if self.self_condition else jnp.zeros((), dtype)
         frames0 = jnp.zeros((n_frames,) + shape, dtype) if log_every else jnp.zeros((), dtype)
-        (x, _, _, frames), _ = jax.lax.scan(
-            step, (x_T, scan_rng, x_sc0, frames0), (ts, jnp.arange(self.timesteps))
+        state0 = model_state if stateful else jnp.zeros((), dtype)
+        (x, _, _, frames, _), _ = jax.lax.scan(
+            step, (x_T, scan_rng, x_sc0, frames0, state0), (ts, jnp.arange(self.timesteps))
         )
         return DiffusionOutput(x=x, intermediates=frames if log_every else None)
 

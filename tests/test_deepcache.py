@@ -97,6 +97,34 @@ class TestCachedSampler:
         assert out.shape == (2, SIZE, SIZE, 3)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_ddpm_refresh_every_1_matches_plain(self, model_and_params):
+        """DDPM (the RePaint cloud-removal sampler) with a stateful model at
+        refresh_every=1 must reproduce the plain trajectory."""
+        model, params = model_and_params
+        d = GaussianDiffusion.create(timesteps=10, image_size=SIZE, in_channels=3)
+        plain_fn = lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y)
+        fn, state0 = deepcache_model_fn(
+            model, params, jnp.zeros((2, SIZE, SIZE, 3)), refresh_every=1
+        )
+        rng = jax.random.PRNGKey(0)
+        ref = d.ddpm_sample(plain_fn, rng, 2).x
+        out = d.ddpm_sample(fn, rng, 2, model_state=state0).x
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_ddpm_repaint_cached_runs(self, model_and_params):
+        model, params = model_and_params
+        d = GaussianDiffusion.create(timesteps=10, image_size=SIZE, in_channels=3,
+                                     cond_type="sum")
+        gt = jnp.zeros((2, SIZE, SIZE, 3))
+        mask = jnp.ones((2, SIZE, SIZE, 1))
+        cond = jnp.concatenate([gt, mask], axis=-1)
+        fn, state0 = deepcache_model_fn(
+            model, params, jnp.zeros((2, SIZE, SIZE, 3)), refresh_every=2
+        )
+        out = d.ddpm_sample(fn, jax.random.PRNGKey(0), 2, cond=cond,
+                            model_state=state0).x
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_cached_close_to_plain(self, model_and_params):
         """With a random-init model the deep feature still varies smoothly in
         t, so the cached trajectory should stay in the same ballpark."""
