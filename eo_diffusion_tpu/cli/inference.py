@@ -51,6 +51,10 @@ def parse_args(argv=None):
                         choices=["ddpm", "ddim", "dpm"],
                         help="dpm = DPM-Solver++(2M) second-order multistep sampler")
     parser.add_argument("--samples_fid", action="store_true")
+    parser.add_argument("--deepcache", type=int, default=1, metavar="K",
+                        help="DeepCache (arXiv 2312.00858): recompute the deep "
+                             "UNet branch only every K sampler steps (K>1 "
+                             "enables; ddpm/ddim only)")
     parser.add_argument("--n_iter", type=int, default=None)
     parser.add_argument("--eta", type=float, default=0.0)
     parser.add_argument("--ddim_clip", action="store_true",
@@ -119,6 +123,8 @@ def main(args):
             "--sampler dpm has no RePaint compositing path; cond_type='sum' "
             "would silently sample unconditionally. Use --sampler ddpm/ddim."
         )
+    if args.deepcache > 1 and args.sampler == "dpm":
+        raise SystemExit("--deepcache supports the ddpm/ddim samplers only")
 
     factory = DATASET_FACTORIES[dataset]
     fkw = dict(batch_size=args.batch_size, test=True)
@@ -196,6 +202,18 @@ def main(args):
         catg = classes[int(y[0])] if y is not None else "sample"
 
         rng, srng = jax.random.split(rng)
+        fn_j, st0 = model_fn, None
+        if args.deepcache > 1:
+            from eo_diffusion_tpu.diffusion.deepcache import deepcache_model_fn
+
+            fn_j, st0 = deepcache_model_fn(
+                model, ema_params,
+                jnp.zeros((bsz, image_size, image_size, preset.in_channels)),
+                example_y=jnp.zeros((bsz,), jnp.int32) if y is not None else None,
+                example_cond=(jnp.asarray(cond)
+                              if cond_type == "concat" and cond is not None else None),
+                refresh_every=args.deepcache,
+            )
         if args.sampler == "dpm":
             from eo_diffusion_tpu.diffusion.dpm_solver import dpm_solver_sample
 
@@ -207,21 +225,23 @@ def main(args):
             samples = np.asarray(out.x, np.float32)
         elif args.sampler == "ddpm":
             out = diffusion.ddpm_sample(
-                model_fn, srng, bsz,
+                fn_j, srng, bsz,
                 cond=jnp.asarray(cond) if cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
                 clip=not args.no_clip,
+                model_state=st0,
             )
             samples = np.asarray(out.x, np.float32)
         else:
             mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
             out = diffusion.ddim_sample(
-                model_fn, srng, bsz, num_steps=args.sampler_steps, eta=args.eta,
+                fn_j, srng, bsz, num_steps=args.sampler_steps, eta=args.eta,
                 cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
                 mask=mask_j,
                 x0=jnp.asarray(image) if mask_j is not None else None,
                 clip=args.ddim_clip,
+                model_state=st0,
             )
             samples = np.asarray(out.x, np.float32)
 

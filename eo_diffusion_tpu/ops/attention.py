@@ -249,19 +249,23 @@ def _compiler_params(two_d: bool = False):
 # ---------------------------------------------------------------------------
 
 # scores-chunk width for the backward kernel (own knob: the bwd holds two
-# [block_q, block_k] f32 tiles live plus the dk/dv accumulators)
-_BWD_BLOCK_K = 1024
+# [block_q, block_k] f32 tiles live plus the dk/dv accumulators; 1024 lands
+# the whole kernel 1.13MB over the 16MB scoped-VMEM limit at T=4096)
+_BWD_BLOCK_K = 512
 
 
 def _resident_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                         dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                         dq_ref, dk_ref, dv_ref, *,
                          t_real: int, block_k: int, nq: int, scale: float):
     """Flash-attention backward, whole KV resident per (batch*head).
 
     Grid is (B*H, nq) with the q-tile axis sequential: dq writes per q-tile;
-    dk/dv accumulate across q-tiles in f32 VMEM scratch and flush on the last
-    one. Inputs q/k are pre-scaled by ``scale`` (the reference's double-sqrt
-    scaling); the chain rule's d(q*s)/dq = s multiplies into dq/dk at store.
+    dk/dv accumulate across q-tiles directly in their f32 output blocks
+    (same block index every iteration, so they stay VMEM-resident and flush
+    once -- saves 4MB of scratch vs separate accumulators, which is what
+    keeps the kernel under the 16MB scoped-VMEM limit). Inputs q/k are
+    pre-scaled by ``scale`` (the reference's double-sqrt scaling); the chain
+    rule's d(q*s)/dq = s multiplies in on the last iteration.
 
     Standard flash backward math (Dao et al. 2205.14135, alg. 2), with the
     softmax row statistics read back as the forward's saved logsumexp:
@@ -277,8 +281,8 @@ def _resident_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
 
     @pl.when(iq == 0)
     def _init():
-        dk_acc[...] = jnp.zeros_like(dk_acc)
-        dv_acc[...] = jnp.zeros_like(dv_acc)
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
 
     q = q_ref[0]            # [bq, d] (pre-scaled)
     do = do_ref[0]          # [bq, d]
@@ -309,19 +313,18 @@ def _resident_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         dq = dq + jax.lax.dot_general(
             ds_b, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        dv_acc[j * block_k:(j + 1) * block_k] += jax.lax.dot_general(
+        dv_ref[0, j * block_k:(j + 1) * block_k] += jax.lax.dot_general(
             p_b, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bk, d]
-        dk_acc[j * block_k:(j + 1) * block_k] += jax.lax.dot_general(
+        dk_ref[0, j * block_k:(j + 1) * block_k] += jax.lax.dot_general(
             ds_b, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bk, d]
 
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
     @pl.when(iq == nq - 1)
-    def _store():
-        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+    def _scale_dk():
+        dk_ref[...] = dk_ref[...] * scale
 
 
 def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int = _BWD_BLOCK_K):
@@ -366,19 +369,16 @@ def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int = _BWD_BLOCK_
         out_specs=[q_spec, kv_spec, kv_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, t_pad_q, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b * h, t_pad_k, d_pad), k.dtype),
-            jax.ShapeDtypeStruct((b * h, t_pad_k, d_pad), v.dtype),
-        ],
-        scratch_shapes=[
-            _vmem((t_pad_k, d_pad), jnp.float32),  # dk accumulator
-            _vmem((t_pad_k, d_pad), jnp.float32),  # dv accumulator
+            # dk/dv double as the cross-q-tile accumulators: f32
+            jax.ShapeDtypeStruct((b * h, t_pad_k, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t_pad_k, d_pad), jnp.float32),
         ],
         compiler_params=None if _INTERPRET else _compiler_params(two_d=True),
         interpret=_INTERPRET,
     )(qf, kf, vf, gf, of, lse)
 
     unfold = lambda x: x[:, :t, :d].reshape(b, h, t, d).transpose(0, 2, 1, 3)
-    return unfold(dq), unfold(dk), unfold(dv)
+    return unfold(dq), unfold(dk).astype(k.dtype), unfold(dv).astype(v.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -55,13 +55,19 @@ class TestInferenceCLI:
         ("ddpm", ["--cond_type", "sum", "--metrics"]),
         # dpm has no RePaint compositing path (guarded below) -> unconditional
         ("dpm", ["--sampler_steps", "5"]),
+        # DeepCache: RePaint DDPM with the deep branch recomputed every 2 steps
+        ("ddpm", ["--cond_type", "sum", "--deepcache", "2"]),
+        ("ddim", ["--sampler_steps", "6", "--deepcache", "3"]),
     ])
     def test_inference_roundtrip(self, trained, run_dirs, sampler, extra):
         from eo_diffusion_tpu.cli import inference as infer_cli
 
         step_dirs = sorted(d for d in os.listdir(trained) if d.startswith("steps_"))
         ckpt = os.path.join(trained, step_dirs[-1])
-        outdir = os.path.join(run_dirs["infer"], sampler)
+        name = sampler
+        if "--deepcache" in extra:
+            name += "_dc" + extra[extra.index("--deepcache") + 1]
+        outdir = os.path.join(run_dirs["infer"], name)
         args = infer_cli.parse_args([
             "--preset", "tiny", "--ckpt", ckpt, "--sampler", sampler,
             "--save", "--samples_fid",
