@@ -59,15 +59,15 @@ def ema_update_every(
     """Conditionally update EMA every ``every`` steps inside jit.
 
     Matches the reference cadence ``if global_steps % model_ema_steps == 0``
-    (train.py:122-123) without a host round-trip.
+    (train.py:122-123) without a host round-trip. ``lax.cond`` rather than a
+    per-leaf ``where``: the identity branch skips the read-modify-write of
+    the whole 88M-param shadow tree on the 9-of-10 off steps (measured
+    6.10 -> 5.39 ms per optimizer pass, tools/profile_opt.py).
     """
     do = (step % every) == 0
-    return jax.tree.map(
-        lambda e, p: jnp.where(
-            do,
-            (decay * e.astype(jnp.float32) + (1.0 - decay) * p.astype(jnp.float32)).astype(e.dtype),
-            e,
-        ),
-        ema_params,
-        params,
+    return jax.lax.cond(
+        do,
+        lambda ep: ema_update(ep[0], ep[1], decay),
+        lambda ep: ep[0],
+        (ema_params, params),
     )

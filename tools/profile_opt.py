@@ -60,13 +60,17 @@ def time_loop(fn, *args, label=""):
 
 def main():
     print(f"devices: {jax.devices()}")
-    params = params_tree()
-    n_leaves = len(jax.tree.leaves(params))
-    n_params = sum(x.size for x in jax.tree.leaves(params))
+    # keep the master copy on host: every variant donates its device inputs
+    params_host = jax.device_get(params_tree())
+    n_leaves = len(jax.tree.leaves(params_host))
+    n_params = sum(x.size for x in jax.tree.leaves(params_host))
     print(f"params: {n_params/1e6:.1f}M in {n_leaves} leaves")
 
+    def fresh():
+        return jax.tree.map(jnp.asarray, params_host)
+
     tx = optax.adamw(1e-4)
-    grads = jax.tree.map(lambda x: jnp.full_like(x, 1e-4), params)
+    grads = jax.tree.map(lambda x: jnp.full_like(x, 1e-4), fresh())
 
     # 1) tree AdamW alone
     def loop_adamw(carry, grads):
@@ -79,7 +83,8 @@ def main():
 
         return jax.lax.fori_loop(0, REPS, body, (p, o))
 
-    time_loop(loop_adamw, (params, tx.init(params)), grads, label="tree AdamW")
+    p = fresh()
+    time_loop(loop_adamw, (p, tx.init(p)), grads, label="tree AdamW")
 
     # 2) tree AdamW + where-gated EMA (current trainer path)
     from eo_diffusion_tpu.train.ema import ema_update_every
@@ -96,12 +101,9 @@ def main():
 
         return jax.lax.fori_loop(0, REPS, body, (p, o, e))
 
-    time_loop(
-        loop_adamw_ema_where,
-        (params, tx.init(params), jax.tree.map(jnp.copy, params)),
-        grads,
-        label="tree AdamW + where-EMA",
-    )
+    p = fresh()
+    time_loop(loop_adamw_ema_where, (p, tx.init(p), fresh()), grads,
+              label="tree AdamW + where-EMA")
 
     # 3) tree AdamW + cond-gated EMA (skip the tree_map 9 of 10 steps)
     def loop_adamw_ema_cond(carry, grads):
@@ -123,15 +125,12 @@ def main():
 
         return jax.lax.fori_loop(0, REPS, body, (p, o, e))
 
-    time_loop(
-        loop_adamw_ema_cond,
-        (params, tx.init(params), jax.tree.map(jnp.copy, params)),
-        grads,
-        label="tree AdamW + cond-EMA",
-    )
+    p = fresh()
+    time_loop(loop_adamw_ema_cond, (p, tx.init(p), fresh()), grads,
+              label="tree AdamW + cond-EMA")
 
     # 4) flat-vector AdamW (single fused elementwise pass)
-    flat, unravel = ravel_pytree(params)
+    flat, unravel = ravel_pytree(fresh())
     gflat, _ = ravel_pytree(grads)
 
     def loop_adamw_flat(carry, gflat):
@@ -144,7 +143,7 @@ def main():
 
         return jax.lax.fori_loop(0, REPS, body, (p, o))
 
-    time_loop(loop_adamw_flat, (flat, tx.init(flat)), gflat, label="flat AdamW")
+    time_loop(loop_adamw_flat, (flat + 0.0, tx.init(flat)), gflat, label="flat AdamW")
 
     # 5) flat AdamW + flat cond-EMA
     def loop_flat_full(carry, gflat):
