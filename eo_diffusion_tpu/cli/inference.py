@@ -54,7 +54,7 @@ def parse_args(argv=None):
     parser.add_argument("--deepcache", type=int, default=1, metavar="K",
                         help="DeepCache (arXiv 2312.00858): recompute the deep "
                              "UNet branch only every K sampler steps (K>1 "
-                             "enables; ddpm/ddim only)")
+                             "enables; all samplers)")
     parser.add_argument("--n_iter", type=int, default=None)
     parser.add_argument("--eta", type=float, default=0.0)
     parser.add_argument("--ddim_clip", action="store_true",
@@ -123,8 +123,6 @@ def main(args):
             "--sampler dpm has no RePaint compositing path; cond_type='sum' "
             "would silently sample unconditionally. Use --sampler ddpm/ddim."
         )
-    if args.deepcache > 1 and args.sampler == "dpm":
-        raise SystemExit("--deepcache supports the ddpm/ddim samplers only")
 
     factory = DATASET_FACTORIES[dataset]
     fkw = dict(batch_size=args.batch_size, test=True)
@@ -218,9 +216,10 @@ def main(args):
             from eo_diffusion_tpu.diffusion.dpm_solver import dpm_solver_sample
 
             out = dpm_solver_sample(
-                diffusion, model_fn, srng, bsz, num_steps=args.sampler_steps,
+                diffusion, fn_j, srng, bsz, num_steps=args.sampler_steps,
                 cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
+                model_state=st0,
             )
             samples = np.asarray(out.x, np.float32)
         elif args.sampler == "ddpm":

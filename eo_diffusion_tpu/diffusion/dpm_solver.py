@@ -20,7 +20,7 @@ multistep history (previous D, previous lambda) rides the carry.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,7 @@ def dpm_solver_sample(
     clip: bool = True,
     time_spacing: str = "uniform_lambda",
     dtype=jnp.float32,
+    model_state: Any = None,
 ) -> DiffusionOutput:
     """Sample with DPM-Solver++(2M) (or 1M with ``order=1`` == DDIM-eta0 in
     lambda-uniform time).
@@ -79,19 +80,25 @@ def dpm_solver_sample(
     init_rng, _ = jax.random.split(rng)
     x = x_T if x_T is not None else jax.random.normal(init_rng, shape, dtype)
 
-    def predict_x0(x, i):
+    stateful = model_state is not None
+
+    def predict_x0(x, i, m_state):
         t = jnp.full((n_samples,), t_seq[i], jnp.int32)
-        raw = model_fn(x, t, cond, y)
+        if stateful:
+            # stateful denoiser (DeepCache): fn(x, t, cond, y, state, i)
+            raw, m_state = model_fn(x, t, cond, y, m_state, i)
+        else:
+            raw = model_fn(x, t, cond, y)
         _, x0 = diffusion._to_eps_x0(raw, x.astype(jnp.float32), t)
         if clip:
             x0 = jnp.clip(x0, -1.0, 1.0)
-        return x0
+        return x0, m_state
 
     def step(carry, i):
         # i runs 0..S-1; state at t_seq[i], moving to t_seq[i+1]
-        x, d_prev, lam_prev_h = carry
+        x, d_prev, lam_prev_h, m_state = carry
         xf = x.astype(jnp.float32)
-        d_i = predict_x0(xf, i)
+        d_i, m_state = predict_x0(xf, i, m_state)
 
         lam_i = lambdas[i]
         lam_next = lambdas[i + 1]
@@ -109,10 +116,13 @@ def dpm_solver_sample(
 
         sig_ratio = sigmas[i + 1] / jnp.maximum(sigmas[i], 1e-20)
         x_next = sig_ratio * xf - alphas[i + 1] * (jnp.exp(-h_i) - 1.0) * d_tilde
-        return (x_next.astype(dtype), d_i, lam_i), None
+        return (x_next.astype(dtype), d_i, lam_i, m_state), None
 
     d0 = jnp.zeros(shape, jnp.float32)
-    (x, d_last, _), _ = jax.lax.scan(step, (x, d0, lambdas[0]), jnp.arange(num_steps))
+    state0 = model_state if stateful else jnp.zeros((), dtype)
+    (x, d_last, _, _), _ = jax.lax.scan(
+        step, (x, d0, lambdas[0], state0), jnp.arange(num_steps)
+    )
     # the final state is at t=0 where sigma ~ sqrt(1-acp[0]) ~ 0: return the
     # last x (equivalently the final D for a fully-converged solve)
     return DiffusionOutput(x=x)

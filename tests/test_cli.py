@@ -58,6 +58,7 @@ class TestInferenceCLI:
         # DeepCache: RePaint DDPM with the deep branch recomputed every 2 steps
         ("ddpm", ["--cond_type", "sum", "--deepcache", "2"]),
         ("ddim", ["--sampler_steps", "6", "--deepcache", "3"]),
+        ("dpm", ["--sampler_steps", "6", "--deepcache", "2"]),
     ])
     def test_inference_roundtrip(self, trained, run_dirs, sampler, extra):
         from eo_diffusion_tpu.cli import inference as infer_cli

@@ -74,3 +74,31 @@ class TestDPMSolver:
         model = oracle_for(diffusion, 0.0)
         f = jax.jit(lambda k: dpm_solver_sample(diffusion, model, k, 1, num_steps=5).x)
         assert f(jax.random.PRNGKey(0)).shape == (1, SIZE, SIZE, 3)
+
+
+class TestDPMStateful:
+    def test_stateful_refresh_every_1_matches_plain(self, diffusion):
+        """model_state= support (DeepCache): a stateful oracle that refreshes
+        every step must reproduce the plain trajectory exactly."""
+        plain = oracle_for(diffusion, 0.5)
+
+        def stateful(x, t, c, y, state, i):
+            return plain(x, t, c, y), state
+
+        rng = jax.random.PRNGKey(0)
+        ref = dpm_solver_sample(diffusion, plain, rng, 2, num_steps=10).x
+        out = dpm_solver_sample(diffusion, stateful, rng, 2, num_steps=10,
+                                model_state=jnp.zeros(())).x
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_state_threads_through(self, diffusion):
+        """The carry state must actually update step to step."""
+        plain = oracle_for(diffusion, 0.5)
+        calls = jnp.zeros(())
+
+        def stateful(x, t, c, y, state, i):
+            return plain(x, t, c, y), state + 1.0
+
+        out = dpm_solver_sample(diffusion, stateful, jax.random.PRNGKey(0), 2,
+                                num_steps=7, model_state=calls)
+        assert out.x.shape == (2, SIZE, SIZE, 3)
