@@ -90,6 +90,34 @@ def main():
     except Exception:
         achieved, mfu = None, None
 
+    # rider: DeepCache k=3 throughput on the same computation budget metric
+    # (deep branch recomputed every 3rd step; quality audit on a trained
+    # model in gallery/capstone_r2_metrics.json -- the primary value above
+    # stays the exact full DDIM-50 computation)
+    try:
+        from eo_diffusion_tpu.diffusion.deepcache import deepcache_model_fn
+
+        fn_dc, st0 = deepcache_model_fn(
+            model, params, jnp.zeros((BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.bfloat16),
+            refresh_every=3,
+        )
+
+        def sample_dc(rng):
+            out = diffusion.ddim_sample(
+                fn_dc, rng, BATCH, num_steps=DDIM_STEPS, dtype=jnp.bfloat16,
+                model_state=st0,
+            )
+            return jnp.float32(jnp.sum(out.x))
+
+        fdc = jax.jit(sample_dc)
+        float(fdc(jax.random.PRNGKey(0)))
+        t0 = time.time()
+        for i in range(ITERS):
+            float(fdc(jax.random.PRNGKey(i)))
+        dc_img_s = BATCH / ((time.time() - t0) / ITERS)
+    except Exception:
+        dc_img_s = None
+
     print(
         json.dumps(
             {
@@ -99,6 +127,7 @@ def main():
                 "vs_baseline": round(img_per_sec / RTX4000_EST_IMG_PER_SEC, 2),
                 "achieved_tf_s": None if achieved is None else round(achieved, 1),
                 "mfu_vs_peak": None if mfu is None else round(mfu, 3),
+                "deepcache_k3_img_s": None if dc_img_s is None else round(dc_img_s, 3),
             }
         )
     )

@@ -531,6 +531,12 @@ def _qkv5_bwd(block_q, block_k, res, g):
     """
     qkv5, o, lse = res
     b, three, h, t, d = qkv5.shape
+    if t > _MAX_RESIDENT_KV:
+        # beyond the resident cap the bwd kernel's f32 dk/dv accumulators
+        # would blow scoped VMEM; recompute with XLA einsums (sampling-scale
+        # sequences only -- training never exceeds the cap)
+        _, vjp = jax.vjp(_qkv5_ref_attention, qkv5)
+        return vjp(g)
     to_bthd = lambda x: x.transpose(0, 2, 1, 3)  # [B,H,T,D] -> [B,T,H,D]
     q, k, v = (to_bthd(qkv5[:, i]) for i in range(3))
     dq, dk, dv = _flash_bwd_impl(
