@@ -333,16 +333,28 @@ class GaussianDiffusion:
 
         if y_uncond is not None and guidance_scale != 1.0:
             # label-CFG: wrap the denoiser with a null-class guided combine
-            # (lucidrains classifier_free_guidance.py:596-617)
+            # (lucidrains classifier_free_guidance.py:596-617). With a
+            # stateful denoiser the doubled batch flows through it -- build
+            # the initial state for batch 2*n_samples in that case.
             inner_fn = model_fn
 
-            def model_fn(x, t, c, yy):  # noqa: F811
-                x_in = jnp.concatenate([x, x], axis=0)
-                t_in = jnp.concatenate([t, t], axis=0)
-                y_in = jnp.concatenate([y_uncond, yy], axis=0)
-                c_in = None if c is None else jnp.concatenate([c, c], axis=0)
-                e_u, e_c = jnp.split(inner_fn(x_in, t_in, c_in, y_in), 2, axis=0)
-                return e_u + guidance_scale * (e_c - e_u)
+            if model_state is not None:
+                def model_fn(x, t, c, yy, st, i):  # noqa: F811
+                    x_in = jnp.concatenate([x, x], axis=0)
+                    t_in = jnp.concatenate([t, t], axis=0)
+                    y_in = jnp.concatenate([y_uncond, yy], axis=0)
+                    c_in = None if c is None else jnp.concatenate([c, c], axis=0)
+                    out, st = inner_fn(x_in, t_in, c_in, y_in, st, i)
+                    e_u, e_c = jnp.split(out, 2, axis=0)
+                    return e_u + guidance_scale * (e_c - e_u), st
+            else:
+                def model_fn(x, t, c, yy):  # noqa: F811
+                    x_in = jnp.concatenate([x, x], axis=0)
+                    t_in = jnp.concatenate([t, t], axis=0)
+                    y_in = jnp.concatenate([y_uncond, yy], axis=0)
+                    c_in = None if c is None else jnp.concatenate([c, c], axis=0)
+                    e_u, e_c = jnp.split(inner_fn(x_in, t_in, c_in, y_in), 2, axis=0)
+                    return e_u + guidance_scale * (e_c - e_u)
 
         gt = mask = None
         if cond is not None and self.cond_type == "sum":
@@ -355,11 +367,6 @@ class GaussianDiffusion:
         ts = jnp.arange(self.timesteps - 1, -1, -1)
         n_frames = -(-self.timesteps // log_every) if log_every else 0
         stateful = model_state is not None
-        if stateful:
-            assert y_uncond is None or guidance_scale == 1.0, (
-                "stateful model_fn (DeepCache etc.) is not supported together "
-                "with batch-doubling guidance yet"
-            )
 
         def step(carry, xs):
             t_scalar, i = xs
@@ -456,12 +463,11 @@ class GaussianDiffusion:
 
         use_cfg = uncond is not None and guidance_scale != 1.0
         n_frames = -(-dd.num_steps // log_every) if log_every else 0
+        # stateful model (DeepCache etc.): fn(x, t, cond, y, state, i) ->
+        # (eps, state). With batch-doubling guidance the doubled batch flows
+        # through the stateful fn too -- build the initial state for batch
+        # 2*n_samples in that case (deepcache_model_fn example_x).
         stateful = model_state is not None
-        if stateful:
-            assert not use_cfg and (y_uncond is None or guidance_scale == 1.0), (
-                "stateful model_fn (DeepCache etc.) is not supported together "
-                "with batch-doubling guidance yet"
-            )
 
         def step(carry, xs):
             idx, i = xs
@@ -481,12 +487,18 @@ class GaussianDiffusion:
             else:
                 cond_eff, uncond_eff = cond, uncond
 
+            def call_model(xx, tt, cc, yy, st):
+                if stateful:
+                    return model_fn(xx, tt, cc, yy, st, i)
+                return model_fn(xx, tt, cc, yy), st
+
             if use_cfg:
                 x_in = jnp.concatenate([x, x], axis=0)
                 t_in = jnp.concatenate([t, t], axis=0)
                 c_in = jnp.concatenate([uncond_eff, cond_eff], axis=0)
                 y_in = None if y is None else jnp.concatenate([y, y], axis=0)
-                e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in, y_in), 2, axis=0)
+                out, m_state = call_model(x_in, t_in, c_in, y_in, m_state)
+                e_uncond, e_cond = jnp.split(out, 2, axis=0)
                 raw = e_uncond + guidance_scale * (e_cond - e_uncond)
             elif y_uncond is not None and guidance_scale != 1.0:
                 # label-CFG (lucidrains classifier_free_guidance.py:374-386):
@@ -495,14 +507,11 @@ class GaussianDiffusion:
                 t_in = jnp.concatenate([t, t], axis=0)
                 y_in = jnp.concatenate([y_uncond, y], axis=0)
                 c_in = None if cond_eff is None else jnp.concatenate([cond_eff, cond_eff], axis=0)
-                e_uncond, e_cond = jnp.split(model_fn(x_in, t_in, c_in, y_in), 2, axis=0)
+                out, m_state = call_model(x_in, t_in, c_in, y_in, m_state)
+                e_uncond, e_cond = jnp.split(out, 2, axis=0)
                 raw = e_uncond + guidance_scale * (e_cond - e_uncond)
-            elif stateful:
-                # stateful model (e.g. DeepCache): fn(x, t, cond, y, state, i)
-                # -> (eps, state); i is the ascending scan step index
-                raw, m_state = model_fn(x, t, cond_eff, y, m_state, i)
             else:
-                raw = model_fn(x, t, cond_eff, y)
+                raw, m_state = call_model(x, t, cond_eff, y, m_state)
             xf = x.astype(jnp.float32)
             e_t, pred_x0 = self._to_eps_x0(raw, xf, t)
             if clip:

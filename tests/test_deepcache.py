@@ -141,3 +141,63 @@ class TestCachedSampler:
         # same rng stream -> same init noise; trajectories stay correlated
         err = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-8)
         assert err < 0.5, err
+
+
+class TestCachedGuidance:
+    """DeepCache composes with batch-doubling guidance: the cache rides the
+    doubled batch (state built at batch 2N)."""
+
+    @pytest.fixture(scope="class")
+    def cond_model(self):
+        cfg = UNetConfig(
+            image_size=SIZE, in_channels=6, model_channels=32, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(), channel_mult=(1, 2),
+        )
+        model = UNet(cfg)
+        x = jnp.zeros((2, SIZE, SIZE, 3))
+        c = jnp.zeros((2, SIZE, SIZE, 3))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32), cond=c
+        )
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+        params = jax.tree.unflatten(
+            treedef,
+            [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+             for l, k in zip(leaves, keys)],
+        )
+        return model, params
+
+    def test_cfg_refresh_every_1_matches_plain(self, cond_model):
+        model, params = cond_model
+        d = GaussianDiffusion.create(timesteps=20, image_size=SIZE, in_channels=3,
+                                     cond_type="concat")
+        cond = jax.random.normal(jax.random.PRNGKey(2), (2, SIZE, SIZE, 3))
+        uncond = jnp.zeros_like(cond)
+        plain_fn = lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y)
+        # guidance doubles the batch: build the cache at 2N
+        fn, st0 = deepcache_model_fn(
+            model, params, jnp.zeros((4, SIZE, SIZE, 3)),
+            example_cond=jnp.zeros((4, SIZE, SIZE, 3)), refresh_every=1,
+        )
+        rng = jax.random.PRNGKey(0)
+        ref = d.ddim_sample(plain_fn, rng, 2, num_steps=5, cond=cond,
+                            uncond=uncond, guidance_scale=2.0).x
+        out = d.ddim_sample(fn, rng, 2, num_steps=5, cond=cond,
+                            uncond=uncond, guidance_scale=2.0,
+                            model_state=st0).x
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_cfg_cached_runs(self, cond_model):
+        model, params = cond_model
+        d = GaussianDiffusion.create(timesteps=20, image_size=SIZE, in_channels=3,
+                                     cond_type="concat")
+        cond = jax.random.normal(jax.random.PRNGKey(2), (2, SIZE, SIZE, 3))
+        fn, st0 = deepcache_model_fn(
+            model, params, jnp.zeros((4, SIZE, SIZE, 3)),
+            example_cond=jnp.zeros((4, SIZE, SIZE, 3)), refresh_every=2,
+        )
+        out = d.ddim_sample(fn, jax.random.PRNGKey(0), 2, num_steps=6,
+                            cond=cond, uncond=jnp.zeros_like(cond),
+                            guidance_scale=1.5, model_state=st0).x
+        assert np.isfinite(np.asarray(out)).all()
