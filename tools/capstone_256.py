@@ -1,0 +1,200 @@
+"""256px supervised cloud-removal capstone (the sen12mscr256 use-case).
+
+Trains p(clear | cloudy) with channel-concat conditioning at 256x256 on the
+real chip -- the config whose backward pass needed the round-2 Pallas
+flash-attention backward (T=4096 attention; the XLA-recompute vjp ran 40%
+slower). Then evaluates DDIM-50 cloud removal (SSIM/PSNR vs held-out clear
+ground truth), with and without DeepCache, and writes gallery artifacts.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/capstone_256.py \
+           [--steps 5000] [--skip_train]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(ROOT, "logs", "capstone_256")
+GALLERY = os.path.join(ROOT, "gallery")
+SIZE, BATCH = 256, 8
+N_DATA = 512
+
+
+def build():
+    from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+    from eo_diffusion_tpu.models.unet import UNet, unet_clouds
+
+    # concat conditioning: 3 image + 3 cloudy-view channels
+    cfg = unet_clouds(SIZE, in_channels=6, out_channels=3, dtype=jnp.bfloat16)
+    model = UNet(cfg)
+    diffusion = GaussianDiffusion.create(
+        timesteps=1000, image_size=SIZE, in_channels=3, cond_type="concat"
+    )
+    return model, diffusion
+
+
+def make_data(n=N_DATA, seed=0):
+    """Pregenerate (clear, cloudy) pairs once; float16 to bound RAM."""
+    from eo_diffusion_tpu.data.datasets import SyntheticEO
+
+    ds = SyntheticEO(size=SIZE, length=n, data_range=(-1.0, 1.0),
+                     with_cond_image=True, seed=seed)
+    imgs = np.empty((n, SIZE, SIZE, 3), np.float16)
+    conds = np.empty((n, SIZE, SIZE, 3), np.float16)
+    t0 = time.time()
+    for i in range(n):
+        item = ds[i]
+        imgs[i] = item["image"]
+        conds[i] = item["cond_image"]
+    print(f"generated {n} pairs in {time.time()-t0:.0f}s", flush=True)
+    return imgs, conds
+
+
+def batches(imgs, conds, batch_size, seed=1):
+    rng = np.random.default_rng(seed)
+    n = len(imgs)
+    while True:
+        idx = rng.integers(0, n, batch_size)
+        x, c = imgs[idx].astype(np.float32), conds[idx].astype(np.float32)
+        if rng.random() < 0.5:
+            x, c = x[:, :, ::-1], c[:, :, ::-1]
+        if rng.random() < 0.5:
+            x, c = x[:, ::-1], c[:, ::-1]
+        yield np.ascontiguousarray(x), np.ascontiguousarray(c)
+
+
+def train(steps: int):
+    import optax
+    from eo_diffusion_tpu.train.checkpoint import save_checkpoint
+    from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
+
+    model, diffusion = build()
+    sched = optax.warmup_cosine_decay_schedule(0.0, 2e-4, 500, steps, 1e-5)
+    tx = optax.adamw(sched)
+    x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    c0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32), cond=c0
+    )
+    state = TrainState.create(params, tx)
+    apply_fn = (
+        lambda p, xx, tt, cond=None, y=None, train=False, dropout_rng=None:
+        model.apply(p, xx, tt, cond=cond, y=y, train=train,
+                    rngs=None if dropout_rng is None else {"dropout": dropout_rng})
+    )
+    step_fn = make_train_step(diffusion, apply_fn, tx, ema_decay=0.999,
+                              ema_every=10, use_cond=True)
+    jstep = jax.jit(step_fn, donate_argnums=(0,))
+
+    imgs, conds = make_data()
+    it = batches(imgs, conds, BATCH)
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    loss0 = loss = None
+    for i in range(steps):
+        x, c = next(it)
+        batch = {"image": jnp.asarray(x), "cond": jnp.asarray(c)}
+        rng, srng = jax.random.split(rng)
+        state, m = jstep(state, batch, srng)
+        if i == 0:
+            loss0 = float(m["loss"])
+        if (i + 1) % 500 == 0:
+            loss = float(m["loss"])
+            dt = (time.time() - t0) / (i + 1)
+            print(f"step {i+1}/{steps} loss={loss:.4f} ({dt*1e3:.0f} ms/step, "
+                  f"{BATCH/dt:.1f} img/s)", flush=True)
+    print(f"trained: loss {loss0:.4f} -> {loss:.4f}")
+    save_checkpoint(CKPT, state, name="final")
+
+
+def evaluate():
+    from eo_diffusion_tpu.diffusion.deepcache import deepcache_model_fn
+    from eo_diffusion_tpu.train.checkpoint import restore_params
+    from eo_diffusion_tpu.utils import metrics as M
+    from eo_diffusion_tpu.utils.images import save_image_grid
+
+    model, diffusion = build()
+    x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    c0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32), cond=c0
+    )
+    params, _ = restore_params(os.path.join(CKPT, "final"), params)
+    params = jax.tree.map(jnp.asarray, params)  # thread as args, never close over
+
+    # held-out pairs (seed differs from training)
+    from eo_diffusion_tpu.data.datasets import SyntheticEO
+
+    ds = SyntheticEO(size=SIZE, length=8, data_range=(-1.0, 1.0),
+                     with_cond_image=True, seed=999)
+    gt = jnp.asarray(np.stack([ds[i]["image"] for i in range(8)]))
+    cloudy = jnp.asarray(np.stack([ds[i]["cond_image"] for i in range(8)]))
+
+    results = {}
+
+    def removal(p, rng, c, refresh_every=0):
+        if refresh_every > 1:
+            fn, st0 = deepcache_model_fn(
+                model, p, jnp.zeros((8, SIZE, SIZE, 3), jnp.bfloat16),
+                example_cond=jnp.zeros((8, SIZE, SIZE, 3), jnp.bfloat16),
+                refresh_every=refresh_every,
+            )
+        else:
+            fn = lambda x, t, cc, y: model.apply(p, x, t, cond=cc, y=y)
+            st0 = None
+        out = diffusion.ddim_sample(fn, rng, 8, num_steps=50, cond=c,
+                                    model_state=st0, dtype=jnp.bfloat16)
+        return out.x.astype(jnp.float32)
+
+    import functools
+
+    for label, k in (("ddim50", 0), ("ddim50_dc2", 2)):
+        j = jax.jit(functools.partial(removal, refresh_every=k))
+        x = np.asarray(j(params, jax.random.PRNGKey(5), cloudy))  # compile
+        t0 = time.time()
+        x = np.asarray(j(params, jax.random.PRNGKey(6), cloudy))
+        dt = time.time() - t0
+        s = float(M.ssim(jnp.asarray((x + 1) / 2), (gt + 1) / 2))
+        p_ = float(M.psnr(jnp.asarray((x + 1) / 2), (gt + 1) / 2))
+        results[label] = {"ssim": s, "psnr": p_, "s_per_batch8": dt}
+        print(f"{label}: SSIM={s:.4f} PSNR={p_:.2f} ({dt:.1f}s/8imgs)", flush=True)
+        save_image_grid((x[:4] + 1) / 2,
+                        os.path.join(GALLERY, f"capstone256_{label}.png"), nrow=2)
+
+    save_image_grid((np.asarray(cloudy[:4]) + 1) / 2,
+                    os.path.join(GALLERY, "capstone256_cloudy.png"), nrow=2)
+    save_image_grid((np.asarray(gt[:4]) + 1) / 2,
+                    os.path.join(GALLERY, "capstone256_gt.png"), nrow=2)
+    # baseline: how far is cloudy from clear without any model?
+    s0 = float(M.ssim((cloudy + 1) / 2, (gt + 1) / 2))
+    p0 = float(M.psnr((cloudy + 1) / 2, (gt + 1) / 2))
+    results["identity_baseline"] = {"ssim": s0, "psnr": p0}
+    print(f"identity baseline: SSIM={s0:.4f} PSNR={p0:.2f}")
+
+    with open(os.path.join(GALLERY, "capstone256_metrics.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--skip_train", action="store_true")
+    cli = ap.parse_args()
+    if not cli.skip_train:
+        train(cli.steps)
+    evaluate()

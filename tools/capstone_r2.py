@@ -57,13 +57,33 @@ def data_iter(batch_size, seed=0):
             yield b
 
 
+def fast_train_batches(batch_size, n_images=2048, seed=0):
+    """Pregenerate the synthetic set once (the per-step python generator is
+    the bottleneck at 64px: 478 vs 206 ms/step device time), then serve
+    random flip-augmented batches as pure numpy slicing."""
+    from eo_diffusion_tpu.data.datasets import SyntheticEO
+
+    ds = SyntheticEO(size=SIZE, length=n_images, data_range=(-1.0, 1.0), seed=seed)
+    imgs = np.stack([ds[i]["image"] for i in range(n_images)])
+    rng = np.random.default_rng(seed + 1)
+
+    while True:
+        idx = rng.integers(0, n_images, batch_size)
+        x = imgs[idx]
+        if rng.random() < 0.5:
+            x = x[:, :, ::-1]
+        if rng.random() < 0.5:
+            x = x[:, ::-1]
+        yield {"image": np.ascontiguousarray(x)}
+
+
 def train(steps: int):
     import optax
     from eo_diffusion_tpu.train.checkpoint import save_checkpoint
     from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
 
     model, diffusion = build()
-    sched = optax.warmup_cosine_decay_schedule(0.0, 2e-4, 200, steps, 2e-5)
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, 500, steps, 1e-5)
     tx = optax.adamw(sched)
     x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
@@ -76,7 +96,7 @@ def train(steps: int):
     step_fn = make_train_step(diffusion, apply_fn, tx, ema_decay=0.999, ema_every=10)
     jstep = jax.jit(step_fn, donate_argnums=(0,))
 
-    it = data_iter(BATCH)
+    it = fast_train_batches(BATCH)
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
     loss0 = loss = None
@@ -105,7 +125,10 @@ def evaluate():
     x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
     params, ema_params = restore_params(os.path.join(CKPT, "final"), params)
-    model_fn = lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y)
+    # params MUST thread through jit as explicit arguments: closing over the
+    # restored tree embeds 350MB of weights as constants in the compile
+    # payload (the remote-compile service rejects it with HTTP 413)
+    params = jax.tree.map(jnp.asarray, params)
 
     # real features for KID
     extractor = M.tiny_feature_extractor()
@@ -120,19 +143,27 @@ def evaluate():
         gy = np.abs(np.diff(x, axis=2)).mean()
         return float(gx + gy) / 2
 
-    def eval_sampler(label, fn, state0=None):
+    def eval_sampler(label, refresh_every=0):
         bs = 64
-        feats, imgs, t_first = [], [], None
 
         def run(p, rng):
+            if refresh_every > 1:
+                fn, st0 = deepcache_model_fn(
+                    model, p, jnp.zeros((bs, SIZE, SIZE, 3), jnp.bfloat16),
+                    refresh_every=refresh_every,
+                )
+            else:
+                fn = lambda x, t, c, y: model.apply(p, x, t, cond=c, y=y)
+                st0 = None
             out = diffusion.ddim_sample(fn, rng, bs, num_steps=100,
-                                        model_state=state0, dtype=jnp.bfloat16)
+                                        model_state=st0, dtype=jnp.bfloat16)
             return out.x.astype(jnp.float32)
 
         j = jax.jit(run)
+        feats, imgs, t_first = [], [], None
         for i in range(N_EVAL // bs):
             t0 = time.time()
-            x = np.asarray(j(None, jax.random.PRNGKey(100 + i)))
+            x = np.asarray(j(params, jax.random.PRNGKey(100 + i)))
             dt = time.time() - t0
             if i == 1:
                 t_first = dt  # post-compile timing
@@ -146,13 +177,9 @@ def evaluate():
         grid = (np.concatenate(imgs)[:16] + 1.0) / 2.0
         save_image_grid(grid, os.path.join(GALLERY, f"capstone_r2_{label}.png"), nrow=4)
 
-    eval_sampler("ddim100", model_fn)
+    eval_sampler("ddim100")
     for k in (2, 3):
-        fn, st0 = deepcache_model_fn(
-            model, params, jnp.zeros((64, SIZE, SIZE, 3), jnp.bfloat16),
-            refresh_every=k,
-        )
-        eval_sampler(f"ddim100_dc{k}", fn, st0)
+        eval_sampler(f"ddim100_dc{k}", refresh_every=k)
 
     # RePaint cloud removal on held-out synthetic scenes (the thesis use-case)
     from eo_diffusion_tpu.data.factories import create_synthetic_dataloaders
@@ -166,26 +193,34 @@ def evaluate():
     mask_known = 1.0 - jnp.asarray(batch["segmentation"])  # known = non-cloud
     cond = jnp.concatenate([img, mask_known], axis=-1)
 
-    def repaint(p, rng, fn=model_fn, st0=None):
-        return d_sum.ddpm_sample(fn, rng, img.shape[0], cond=cond,
+    def repaint(p, rng, c, refresh_every=0):
+        if refresh_every > 1:
+            fn, st0 = deepcache_model_fn(
+                model, p, jnp.zeros((img.shape[0], SIZE, SIZE, 3), jnp.bfloat16),
+                refresh_every=refresh_every,
+            )
+        else:
+            fn = lambda x, t, cc, y: model.apply(p, x, t, cond=cc, y=y)
+            st0 = None
+        return d_sum.ddpm_sample(fn, rng, img.shape[0], cond=c,
                                  model_state=st0, dtype=jnp.bfloat16).x.astype(jnp.float32)
 
-    out = np.asarray(jax.jit(repaint)(None, jax.random.PRNGKey(5)))
-    s = float(M.ssim(jnp.asarray((out + 1) / 2), (img + 1) / 2))
-    p_ = float(M.psnr(jnp.asarray((out + 1) / 2), (img + 1) / 2))
-    results["repaint_ddpm1000"] = {"ssim": s, "psnr": p_}
-    print(f"repaint: SSIM={s:.4f} PSNR={p_:.2f}", flush=True)
+    import functools
 
-    fn, st0 = deepcache_model_fn(model, params,
-                                 jnp.zeros((16, SIZE, SIZE, 3), jnp.bfloat16),
-                                 refresh_every=3)
-    out_dc = np.asarray(jax.jit(lambda p, r: d_sum.ddpm_sample(
-        fn, r, img.shape[0], cond=cond, model_state=st0,
-        dtype=jnp.bfloat16).x.astype(jnp.float32))(None, jax.random.PRNGKey(5)))
-    s = float(M.ssim(jnp.asarray((out_dc + 1) / 2), (img + 1) / 2))
-    p_ = float(M.psnr(jnp.asarray((out_dc + 1) / 2), (img + 1) / 2))
-    results["repaint_ddpm1000_dc3"] = {"ssim": s, "psnr": p_}
-    print(f"repaint dc3: SSIM={s:.4f} PSNR={p_:.2f}", flush=True)
+    for label, k in (("repaint_ddpm1000", 0), ("repaint_ddpm1000_dc3", 3)):
+        j = jax.jit(functools.partial(repaint, refresh_every=k))
+        t0 = time.time()
+        out = np.asarray(j(params, jax.random.PRNGKey(5), cond))
+        s = float(M.ssim(jnp.asarray((out + 1) / 2), (img + 1) / 2))
+        p_ = float(M.psnr(jnp.asarray((out + 1) / 2), (img + 1) / 2))
+        results[label] = {"ssim": s, "psnr": p_}
+        print(f"{label}: SSIM={s:.4f} PSNR={p_:.2f} ({time.time()-t0:.0f}s incl compile)",
+              flush=True)
+        if label == "repaint_ddpm1000":
+            save_image_grid((np.asarray(img[:8]) + 1) / 2,
+                            os.path.join(GALLERY, "capstone_r2_repaint_gt.png"), nrow=4)
+            save_image_grid((out[:8] + 1) / 2,
+                            os.path.join(GALLERY, "capstone_r2_repaint_out.png"), nrow=4)
 
     with open(os.path.join(GALLERY, "capstone_r2_metrics.json"), "w") as f:
         json.dump(results, f, indent=1)
