@@ -64,21 +64,9 @@ def make_data(n=N_DATA, seed=0):
     return imgs, conds
 
 
-def batches(imgs, conds, batch_size, seed=1):
-    rng = np.random.default_rng(seed)
-    n = len(imgs)
-    while True:
-        idx = rng.integers(0, n, batch_size)
-        x, c = imgs[idx].astype(np.float32), conds[idx].astype(np.float32)
-        if rng.random() < 0.5:
-            x, c = x[:, :, ::-1], c[:, :, ::-1]
-        if rng.random() < 0.5:
-            x, c = x[:, ::-1], c[:, ::-1]
-        yield np.ascontiguousarray(x), np.ascontiguousarray(c)
-
-
 def train(steps: int):
     import optax
+    from eo_diffusion_tpu.data.device_cache import DeviceDataCache, gather_batch
     from eo_diffusion_tpu.train.checkpoint import save_checkpoint
     from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
 
@@ -98,18 +86,26 @@ def train(steps: int):
     )
     step_fn = make_train_step(diffusion, apply_fn, tx, ema_decay=0.999,
                               ema_every=10, use_cond=True)
-    jstep = jax.jit(step_fn, donate_argnums=(0,))
 
+    # device-resident dataset: the per-step host->device batch transfer costs
+    # 3x through the axon tunnel (768 vs ~250 ms/step); gather on-chip instead
     imgs, conds = make_data()
-    it = batches(imgs, conds, BATCH)
+    cache = DeviceDataCache({"image": imgs, "cond": conds})
+    print(f"device cache: {cache.nbytes()/1e6:.0f} MB", flush=True)
+
+    def step_with_data(state, tensors, rng):
+        d_rng, s_rng = jax.random.split(rng)
+        batch = gather_batch(tensors, d_rng, BATCH)
+        return step_fn(state, batch, s_rng)
+
+    jstep = jax.jit(step_with_data, donate_argnums=(0,))
+
     rng = jax.random.PRNGKey(1)
     t0 = time.time()
     loss0 = loss = None
     for i in range(steps):
-        x, c = next(it)
-        batch = {"image": jnp.asarray(x), "cond": jnp.asarray(c)}
         rng, srng = jax.random.split(rng)
-        state, m = jstep(state, batch, srng)
+        state, m = jstep(state, cache.tensors, srng)
         if i == 0:
             loss0 = float(m["loss"])
         if (i + 1) % 500 == 0:
