@@ -118,11 +118,6 @@ def main(args):
     cond_type = args.cond_type or preset.cond_type
     num_classes = args.num_classes if args.num_classes > 0 else None
 
-    if args.sampler == "dpm" and cond_type == "sum":
-        raise SystemExit(
-            "--sampler dpm has no RePaint compositing path; cond_type='sum' "
-            "would silently sample unconditionally. Use --sampler ddpm/ddim."
-        )
 
     factory = DATASET_FACTORIES[dataset]
     fkw = dict(batch_size=args.batch_size, test=True)
@@ -215,10 +210,13 @@ def main(args):
         if args.sampler == "dpm":
             from eo_diffusion_tpu.diffusion.dpm_solver import dpm_solver_sample
 
+            mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
             out = dpm_solver_sample(
                 diffusion, fn_j, srng, bsz, num_steps=args.sampler_steps,
                 cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
+                mask=mask_j,
+                x0=jnp.asarray(image) if mask_j is not None else None,
                 model_state=st0,
             )
             samples = np.asarray(out.x, np.float32)

@@ -45,12 +45,21 @@ def dpm_solver_sample(
     time_spacing: str = "uniform_lambda",
     dtype=jnp.float32,
     model_state: Any = None,
+    mask: Optional[jax.Array] = None,
+    x0: Optional[jax.Array] = None,
 ) -> DiffusionOutput:
     """Sample with DPM-Solver++(2M) (or 1M with ``order=1`` == DDIM-eta0 in
     lambda-uniform time).
 
     ``time_spacing``: "uniform_lambda" (the paper's half-log-SNR spacing,
     default) or "uniform_t" (DDIM-style stride).
+
+    ``mask``/``x0``: RePaint-style inpainting on the solver trajectory --
+    before each model call the known region (mask == 1) is re-noised to the
+    current level and composited in (the reference's working RePaint lives
+    only in the DDPM loop, model.py:58-60; here it rides every sampler).
+    The multistep D-history stays consistent because the composite happens
+    before the x0-prediction each step.
     """
     assert order in (1, 2), order
     assert time_spacing in ("uniform_lambda", "uniform_t"), time_spacing
@@ -77,27 +86,38 @@ def dpm_solver_sample(
     lambdas = jnp.log(jnp.maximum(alphas, 1e-20)) - jnp.log(jnp.maximum(sigmas, 1e-20))
     t_seq = jnp.asarray(ts)
 
-    init_rng, _ = jax.random.split(rng)
-    x = x_T if x_T is not None else jax.random.normal(init_rng, shape, dtype)
+    init_rng, scan_rng = jax.random.split(rng)
+    x = (x_T.astype(jnp.float32) if x_T is not None
+         else jax.random.normal(init_rng, shape, jnp.float32))
+    if mask is not None:
+        assert x0 is not None, "DPM inpainting requires x0 (the known image)"
 
     stateful = model_state is not None
 
     def predict_x0(x, i, m_state):
         t = jnp.full((n_samples,), t_seq[i], jnp.int32)
+        x_in = x.astype(dtype)  # model-facing cast; the carry stays f32
         if stateful:
             # stateful denoiser (DeepCache): fn(x, t, cond, y, state, i)
-            raw, m_state = model_fn(x, t, cond, y, m_state, i)
+            raw, m_state = model_fn(x_in, t, cond, y, m_state, i)
         else:
-            raw = model_fn(x, t, cond, y)
+            raw = model_fn(x_in, t, cond, y)
         _, x0 = diffusion._to_eps_x0(raw, x.astype(jnp.float32), t)
         if clip:
             x0 = jnp.clip(x0, -1.0, 1.0)
         return x0, m_state
 
-    def step(carry, i):
+    def step(carry, xs):
         # i runs 0..S-1; state at t_seq[i], moving to t_seq[i+1]
+        i, key = xs
         x, d_prev, lam_prev_h, m_state = carry
         xf = x.astype(jnp.float32)
+        if mask is not None:
+            # RePaint composite at the current noise level
+            t = jnp.full((n_samples,), t_seq[i], jnp.int32)
+            noise = jax.random.normal(key, shape, jnp.float32)
+            known = diffusion.q_sample(x0, t, noise)
+            xf = known * mask + (1.0 - mask) * xf
         d_i, m_state = predict_x0(xf, i, m_state)
 
         lam_i = lambdas[i]
@@ -116,13 +136,19 @@ def dpm_solver_sample(
 
         sig_ratio = sigmas[i + 1] / jnp.maximum(sigmas[i], 1e-20)
         x_next = sig_ratio * xf - alphas[i + 1] * (jnp.exp(-h_i) - 1.0) * d_tilde
-        return (x_next.astype(dtype), d_i, lam_i, m_state), None
+        return (x_next, d_i, lam_i, m_state), None
 
     d0 = jnp.zeros(shape, jnp.float32)
     state0 = model_state if stateful else jnp.zeros((), dtype)
+    step_keys = jax.random.split(scan_rng, num_steps)
     (x, d_last, _, _), _ = jax.lax.scan(
-        step, (x, d0, lambdas[0], state0), jnp.arange(num_steps)
+        step, (x, d0, lambdas[0], state0), (jnp.arange(num_steps), step_keys)
     )
+    if mask is not None:
+        # final paste: the solver's last update re-predicts the known region;
+        # RePaint semantics keep it exactly x0 (the DDPM loop gets this for
+        # free because q_sample(x0, t~0) ~ x0 at its last composite)
+        x = x0 * mask + (1.0 - mask) * x
     # the final state is at t=0 where sigma ~ sqrt(1-acp[0]) ~ 0: return the
     # last x (equivalently the final D for a fully-converged solve)
     return DiffusionOutput(x=x)

@@ -79,16 +79,22 @@ class TestInferenceCLI:
             assert os.path.exists(os.path.join(outdir, "metrics.txt"))
         assert os.listdir(os.path.join(outdir, "samples_fid"))
 
-    def test_dpm_repaint_combination_rejected(self):
-        # ADVICE round 1: dpm + cond_type=sum silently sampled unconditionally
-        # while still reporting SSIM/PSNR "of the conditional model"
+    def test_dpm_repaint_roundtrip(self, trained, run_dirs):
+        # ADVICE round 1 flagged dpm+sum as silently unconditional; the DPM
+        # solver now has a RePaint compositing path of its own
         from eo_diffusion_tpu.cli import inference as infer_cli
 
-        args = infer_cli.parse_args(
-            ["--preset", "tiny", "--sampler", "dpm", "--cond_type", "sum"]
-        )
-        with pytest.raises(SystemExit):
-            infer_cli.main(args)
+        step_dirs = sorted(d for d in os.listdir(trained) if d.startswith("steps_"))
+        ckpt = os.path.join(trained, step_dirs[-1])
+        outdir = os.path.join(run_dirs["infer"], "dpm_sum")
+        args = infer_cli.parse_args([
+            "--preset", "tiny", "--ckpt", ckpt, "--sampler", "dpm",
+            "--cond_type", "sum", "--metrics", "--sampler_steps", "5",
+            "--samples_fid", "--n_iter", "0", "--batch_size", "4",
+            "--outdir", outdir,
+        ])
+        infer_cli.main(args)
+        assert os.path.exists(os.path.join(outdir, "metrics.txt"))
 
 
 @pytest.fixture(scope="module")

@@ -102,3 +102,27 @@ class TestDPMStateful:
         out = dpm_solver_sample(diffusion, stateful, jax.random.PRNGKey(0), 2,
                                 num_steps=7, model_state=calls)
         assert out.x.shape == (2, SIZE, SIZE, 3)
+
+
+class TestDPMRePaint:
+    def test_known_region_tracks_x0(self, diffusion):
+        """RePaint on the DPM trajectory: with a perfect oracle for the
+        unknown region, the known (mask=1) region must land on x0."""
+        target = 0.5
+        model = oracle_for(diffusion, target)
+        known = jnp.full((2, SIZE, SIZE, 3), -0.3)
+        mask = jnp.zeros((2, SIZE, SIZE, 1)).at[:, : SIZE // 2].set(1.0)
+        out = dpm_solver_sample(
+            diffusion, model, jax.random.PRNGKey(0), 2, num_steps=20,
+            mask=mask, x0=known,
+        ).x
+        top = np.asarray(out[:, : SIZE // 2])     # known half
+        bottom = np.asarray(out[:, SIZE // 2 :])  # generated half
+        np.testing.assert_allclose(top, -0.3, atol=0.15)
+        np.testing.assert_allclose(bottom, target, atol=0.1)
+
+    def test_mask_requires_x0(self, diffusion):
+        model = oracle_for(diffusion, 0.0)
+        with pytest.raises(AssertionError):
+            dpm_solver_sample(diffusion, model, jax.random.PRNGKey(0), 1,
+                              num_steps=5, mask=jnp.ones((1, SIZE, SIZE, 1)))
