@@ -34,6 +34,35 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 RTX4000_EST_IMG_PER_SEC = 0.102  # see module docstring
 
+
+def _attention_core_flops(cfg, batch: int) -> float:
+    """Analytic FLOPs of the QK^T + PV matmuls per forward (the Pallas
+    kernel reports 0 to XLA cost analysis): 4*T^2*C flops per attention
+    block per sample. The qkv/proj_out Dense layers are XLA ops and already
+    counted."""
+    from eo_diffusion_tpu.models.unet import build_unet_plan
+
+    plan = build_unet_plan(cfg)
+    total = 0.0
+    size = cfg.image_size
+
+    def walk(blocks):
+        nonlocal total, size
+        for block in blocks:
+            for spec in block:
+                if spec.kind == "attn":
+                    t = size * size
+                    total += 4.0 * t * t * spec.out_ch
+                elif spec.kind == "down" or (spec.kind == "res" and spec.down):
+                    size //= 2
+                elif spec.kind == "up" or (spec.kind == "res" and spec.up):
+                    size *= 2
+
+    walk(plan.input_blocks)
+    walk([plan.middle_block])
+    walk(plan.output_blocks)
+    return total * batch
+
 IMAGE_SIZE = 256
 BATCH = 8
 DDIM_STEPS = 50
@@ -75,16 +104,19 @@ def main():
     img_per_sec = BATCH / dt
 
     # self-grounded efficiency: XLA cost-analysis FLOPs of ONE denoiser
-    # forward (the scan body -- cost analysis counts while-loops once) times
-    # the step count, over measured wall time, vs the chip's bf16 peak.
-    # Conservative: Pallas custom calls (the attention core) report 0 flops.
+    # forward (the scan body -- cost analysis counts while-loops once) plus
+    # the analytic FLOPs of the Pallas attention cores (custom calls report
+    # 0 to cost analysis), times the step count, over measured wall time.
     from eo_diffusion_tpu.utils.profiling import flops_of
 
     V5E_PEAK_TF = 197.0
     try:
         xb = jnp.zeros((BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.bfloat16)
         tb = jnp.zeros((BATCH,), jnp.int32)
-        per_step_tf = flops_of(lambda p, x, t: model.apply(p, x, t), params, xb, tb) / 1e12
+        per_step_tf = (
+            flops_of(lambda p, x, t: model.apply(p, x, t), params, xb, tb)
+            + _attention_core_flops(cfg, BATCH)
+        ) / 1e12
         achieved = per_step_tf * DDIM_STEPS / dt
         mfu = achieved / V5E_PEAK_TF
     except Exception:
