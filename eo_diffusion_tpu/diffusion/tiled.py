@@ -132,7 +132,9 @@ def tiled_ddim_sample(
 
     shape = (n_samples, height, width, diffusion.in_channels)
     init_rng, scan_rng = jax.random.split(rng)
-    img = jax.random.normal(init_rng, shape, dtype)
+    # f32 carry like the non-tiled samplers (per-step bf16 quantization of x
+    # accumulates across the chain); ``dtype`` is the model-facing cast
+    img = jax.random.normal(init_rng, shape, jnp.float32)
 
     steps = jnp.asarray(dd.timesteps)
     alphas = jnp.asarray(dd.alphas)
@@ -187,10 +189,10 @@ def tiled_ddim_sample(
         if mask is not None:
             assert x0 is not None
             t_full = jnp.full((n_samples,), t_scalar, jnp.int32)
-            noise_m = jax.random.normal(mk, shape, dtype)
+            noise_m = jax.random.normal(mk, shape, jnp.float32)
             x = diffusion.q_sample(x0, t_full, noise_m) * mask + (1.0 - mask) * x
 
-        x_tiles = unfold(x, grid)
+        x_tiles = unfold(x.astype(dtype), grid)
         raw_tiles = denoise_tiles(x_tiles, t_scalar, key)
         raw = fold(raw_tiles, grid)  # stitched model output (eps/x0/v)
 
@@ -202,7 +204,7 @@ def tiled_ddim_sample(
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
         noise = sigma_t * jax.random.normal(nk, shape, jnp.float32)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-        return (x_prev.astype(dtype), key), None
+        return (x_prev, key), None
 
     idxs = jnp.arange(dd.num_steps - 1, -1, -1)
     (x, _), _ = jax.lax.scan(step, (img, scan_rng), idxs)
