@@ -132,9 +132,12 @@ def main(args):
     _, test_loader = factory(**fkw)
     data_range = test_loader.dataset.data_range
 
-    # derive cond width from the actual test batch (cli/train.py does the
-    # same): the sen12mscr-style "cond_image" is 3 channels, image|mask is 4
-    peek_cond, _ = _build_cond(next(iter(test_loader)), cond_type, image_size)
+    # derive cond width from one dataset item (cli/train.py derives from the
+    # batch the same way): the sen12mscr-style "cond_image" is 3 channels,
+    # image|mask is 4. Peeking dataset[0] directly avoids spinning up (and
+    # abandoning) a prefetch worker + a full decoded batch just for a shape.
+    peek_item = {k: np.asarray(v)[None] for k, v in test_loader.dataset[0].items()}
+    peek_cond, _ = _build_cond(peek_item, cond_type, image_size)
     cond_channels = (peek_cond.shape[-1]
                      if cond_type == "concat" and peek_cond is not None else 0)
     ucfg = preset.unet_config(num_classes=num_classes, bf16=not args.no_bf16,

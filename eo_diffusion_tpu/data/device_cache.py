@@ -46,23 +46,26 @@ def gather_batch(
 ) -> Dict[str, jax.Array]:
     """Pure on-device batch gather: random indices + cast + joint h/v flips.
 
-    All rank>=4 tensors flip together (same draw) so paired tensors (image,
-    cond view, mask) stay aligned -- the reference's torchvision flip
-    augmentation (data.py), on device.
+    Flips are drawn PER SAMPLE (like the loader's per-item torchvision-style
+    augmentation, data.py) but shared across tensors, so paired tensors
+    (image, cond view, mask) stay aligned while the batch isn't locked to
+    one global orientation.
     """
     n = len(next(iter(tensors.values())))
     idx_rng, fh, fv = jax.random.split(rng, 3)
     idx = jax.random.randint(idx_rng, (batch_size,), 0, n)
-    do_h = jax.random.bernoulli(fh)
-    do_v = jax.random.bernoulli(fv)
+    do_h = jax.random.bernoulli(fh, shape=(batch_size,))
+    do_v = jax.random.bernoulli(fv, shape=(batch_size,))
     out = {}
     for k, v in tensors.items():
         b = jnp.take(v, idx, axis=0)
         if jnp.issubdtype(b.dtype, jnp.floating):
             b = b.astype(compute_dtype)
         if augment_flips and b.ndim >= 4:  # [B, H, W, ...]
-            b = jax.lax.cond(do_h, lambda x: jnp.flip(x, axis=2), lambda x: x, b)
-            b = jax.lax.cond(do_v, lambda x: jnp.flip(x, axis=1), lambda x: x, b)
+            sel_h = do_h.reshape((batch_size,) + (1,) * (b.ndim - 1))
+            sel_v = do_v.reshape((batch_size,) + (1,) * (b.ndim - 1))
+            b = jnp.where(sel_h, jnp.flip(b, axis=2), b)
+            b = jnp.where(sel_v, jnp.flip(b, axis=1), b)
         out[k] = b
     return out
 

@@ -583,18 +583,21 @@ class GaussianDiffusion:
         shape = x1.shape
         r1, r2, scan_rng = jax.random.split(rng, 3)
         tb = jnp.full((shape[0],), t, jnp.int32)
-        xt1 = self.q_sample(x1.astype(jnp.float32), tb, jax.random.normal(r1, shape, dtype))
-        xt2 = self.q_sample(x2.astype(jnp.float32), tb, jax.random.normal(r2, shape, dtype))
+        xt1 = self.q_sample(x1.astype(jnp.float32), tb, jax.random.normal(r1, shape, jnp.float32))
+        xt2 = self.q_sample(x2.astype(jnp.float32), tb, jax.random.normal(r2, shape, jnp.float32))
         x = (1.0 - lam) * xt1 + lam * xt2
 
         def step(carry, t_scalar):
+            # f32 carry like the other samplers; ``dtype`` casts the model input
             x_t, key = carry
             key, nk = jax.random.split(key)
-            noise = jax.random.normal(nk, shape, dtype)
+            noise = jax.random.normal(nk, shape, jnp.float32)
             tt = jnp.full((shape[0],), t_scalar, jnp.int32)
-            x_t, _ = self._reverse_step(model_fn, x_t, tt, noise, None, None, clip)
-            return (x_t.astype(dtype), key), None
+            x_in = x_t.astype(dtype)
+            eff_fn = lambda *_a: model_fn(x_in, tt, None, None)
+            x_t, _ = self._reverse_step(eff_fn, x_t, tt, noise, None, None, clip)
+            return (x_t, key), None
 
         ts = jnp.arange(t - 1, -1, -1)
-        (x, _), _ = jax.lax.scan(step, (x.astype(dtype), scan_rng), ts)
+        (x, _), _ = jax.lax.scan(step, (x, scan_rng), ts)
         return DiffusionOutput(x=x)

@@ -186,15 +186,25 @@ class InceptionV3(nn.Module):
 
 
 def preprocess(images01: jax.Array, size: int = 299) -> jax.Array:
-    """[0,1] NHWC RGB -> 299x299, ImageNet-normalized (torchvision transform)."""
+    """[0,1] NHWC RGB -> 299x299, scaled exactly as torchvision's
+    inception_v3 pipeline sees it.
+
+    torchvision forces ``transform_input=True`` for the inception_v3_google
+    weights: the model internally undoes the ImageNet mean/std
+    normalization into ``(x - 0.5) / 0.5`` per channel
+    (x_ch = x_norm * (std_c / 0.5) + (mean_c - 0.5) / 0.5, which
+    algebraically reduces to (x - 0.5) / 0.5). Applying the net transform
+    here keeps the Flax model free of the quirk while matching
+    torch-fidelity's feature pipeline bit-for-bit in spirit -- an
+    ImageNet-normalize-only preprocess would scale channel activations by
+    std_c/0.5 relative to the reference and break published-FID parity.
+    """
     x = jnp.asarray(images01, jnp.float32)
     if x.shape[-1] == 1:
         x = jnp.repeat(x, 3, axis=-1)
     if x.shape[1] != size or x.shape[2] != size:
         x = jax.image.resize(x, (x.shape[0], size, size, x.shape[-1]), "bilinear")
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
-    return (x - mean) / std
+    return (x - 0.5) / 0.5
 
 
 # ---------------------------------------------------------------------------

@@ -566,7 +566,11 @@ def attention_from_qkv(qkv: jax.Array, heads: int, new_order: bool = False,
     on_tpu = jax.default_backend() in ("tpu", "axon")
     bq = min(block_q, t)
     bk = min(block_k, t)
-    aligned = t % bq == 0 and t % bk == 0 and bq % 8 == 0 and d <= 128
+    # the zero-copy kernel holds the whole K/V planes VMEM-resident per grid
+    # cell -- beyond the resident cap (e.g. ds=4 attention at 512px ->
+    # T=16384) dispatch to fused_attention's grid-tiled path instead
+    aligned = (t % bq == 0 and t % bk == 0 and bq % 8 == 0 and d <= 128
+               and t <= _MAX_RESIDENT_KV)
     use_kernel = (impl == "pallas") or (
         impl == "auto" and on_tpu and t >= min_seq and aligned
     )

@@ -53,8 +53,15 @@ class TestArchitecture:
         x = jnp.ones((2, 64, 64, 3)) * 0.5
         y = preprocess(x)
         assert y.shape == (2, 299, 299, 3)
-        expected = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
-        np.testing.assert_allclose(np.asarray(y[0, 0, 0]), expected, rtol=1e-5)
+        # torchvision pipeline = ImageNet mean/std normalize followed by the
+        # in-model transform_input (forced True for the google weights);
+        # the composition reduces to (x - 0.5) / 0.5 per channel
+        mean = np.array([0.485, 0.456, 0.406])
+        std = np.array([0.229, 0.224, 0.225])
+        normed = (0.5 - mean) / std
+        expected = normed * (std / 0.5) + (mean - 0.5) / 0.5
+        np.testing.assert_allclose(np.asarray(y[0, 0, 0]), expected, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(y[0, 0, 0]), 0.0, atol=1e-6)
         # grayscale is tiled to RGB
         g = preprocess(jnp.ones((1, 32, 32, 1)))
         assert g.shape == (1, 299, 299, 3)
