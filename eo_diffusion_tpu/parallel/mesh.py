@@ -25,6 +25,7 @@ __all__ = [
     "data_sharding",
     "replicated",
     "fsdp_param_specs",
+    "tp_param_specs",
     "shard_batch",
 ]
 
@@ -81,6 +82,45 @@ def fsdp_param_specs(params, mesh: Mesh, min_size: int = 2**16, axis: str = "mod
         return P()
 
     return jax.tree.map(spec_for, params)
+
+
+def tp_param_specs(params, mesh: Mesh, axis: str = "model"):
+    """Megatron-style tensor-parallel PartitionSpecs for the UNet's
+    attention projections (SURVEY.md §2.3 TP row).
+
+    Column-parallel on the input projections (``qkv``/``to_q``/``to_kv``
+    Dense kernels shard their output dim + matching bias), row-parallel on
+    the output projections (``proj_out`` kernels shard the input dim; the
+    jit-partitioner inserts the psum). Everything else stays replicated --
+    at this model scale convs don't need TP (SURVEY §2.3), and GSPMD is
+    semantics-preserving either way: annotations never change results, only
+    where collectives land.
+
+    Efficiency note: the sharding propagates through the XLA attention path
+    (einsums contract over unsharded dims); the Pallas kernel is a custom
+    call the partitioner must all-gather around, so TP efficiency at long
+    sequences requires ``attn_impl="xla"`` or a shard_mapped kernel (future
+    work -- documented, not silently slow: the kernel only engages at
+    T>=512).
+    """
+    size = mesh.shape[axis]
+
+    def spec_for(path, p):
+        names = [getattr(k, "key", str(k)) for k in path]
+        in_proj = any(n in ("qkv", "to_q", "to_kv") for n in names)
+        out_proj = any(n == "proj_out" for n in names)
+        leaf = names[-1] if names else ""
+        if size > 1 and in_proj:
+            if leaf == "kernel" and p.ndim == 2 and p.shape[1] % size == 0:
+                return P(None, axis)
+            if leaf == "bias" and p.ndim == 1 and p.shape[0] % size == 0:
+                return P(axis)
+        if size > 1 and out_proj and leaf == "kernel" and p.ndim == 2 \
+                and p.shape[0] % size == 0:
+            return P(axis, None)  # row-parallel; bias stays replicated
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
 def shard_batch(batch, mesh: Mesh):

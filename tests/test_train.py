@@ -462,3 +462,54 @@ class TestDeterminism:
             return losses
 
         np.testing.assert_array_equal(run(), run())
+
+
+class TestTensorParallel:
+    """tp_param_specs: Megatron-style column/row-parallel attention
+    projections over the 'model' axis -- numerics preserved, kernels
+    actually sharded."""
+
+    def _setup(self):
+        from eo_diffusion_tpu.parallel.mesh import make_mesh, tp_param_specs
+        from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+
+        mesh = make_mesh(model=4)  # 2x4 over the virtual 8-device mesh
+        cfg = UNetConfig(image_size=8, in_channels=3, model_channels=32,
+                         out_channels=3, num_res_blocks=1,
+                         attention_resolutions=(1, 2), channel_mult=(1, 2),
+                         num_heads=4)
+        model = UNet(cfg)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)),
+            jnp.zeros((2,), jnp.int32))
+        specs = tp_param_specs(params, mesh)
+        return mesh, model, params, specs
+
+    def test_attention_projections_shard(self):
+        mesh, model, params, specs = self._setup()
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        qkv = [s for p, s in flat if any(getattr(k, "key", "") == "qkv" for k in p)]
+        proj = [s for p, s in flat if any(getattr(k, "key", "") == "proj_out" for k in p)]
+        assert any("model" in str(s) for s in qkv), qkv
+        assert any("model" in str(s) for s in proj), proj
+        # everything non-attention stays replicated
+        other = [s for p, s in flat
+                 if not any(getattr(k, "key", "") in ("qkv", "proj_out") for k in p)]
+        assert all("model" not in str(s) for s in other)
+
+    def test_tp_forward_matches_replicated(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, model, params, specs = self._setup()
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 3))
+        t = jnp.zeros((4,), jnp.int32)
+        ref = model.apply(params, x, t)
+
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                                 is_leaf=lambda s: isinstance(s, P))
+        p_tp = jax.tree.map(jax.device_put, params, shardings)
+        f = jax.jit(lambda p, x, t: model.apply(p, x, t),
+                    in_shardings=(shardings, NamedSharding(mesh, P("data")), None))
+        out = f(p_tp, jax.device_put(x, NamedSharding(mesh, P("data"))), t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
