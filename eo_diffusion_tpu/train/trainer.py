@@ -142,6 +142,10 @@ class TrainerConfig:
     # leaves smaller than this stay replicated under FSDP (sharding tiny
     # tensors costs more in collectives than it saves in HBM)
     fsdp_min_size: int = 2**16
+    # Megatron-style tensor parallelism on the attention projections over
+    # the mesh 'model' axis (parallel/mesh.tp_param_specs); composes with
+    # fsdp (TP specs win where they apply, FSDP covers the rest)
+    tp: bool = False
 
 
 class Trainer:
@@ -238,13 +242,28 @@ class Trainer:
         With ``cfg.fsdp`` every large leaf (params, EMA, Adam moments) is
         sharded ZeRO-style along its largest divisible dim over the 'data'
         axis; XLA inserts the all-gathers at use and reduce-scatters the
-        gradients. Otherwise the state replicates (fastest at the reference
-        model scale, <100M params).
+        gradients. ``cfg.tp`` additionally (or alone) shards the attention
+        projections Megatron-style over the 'model' axis -- TP specs win on
+        the leaves they cover. Otherwise the state replicates (fastest at
+        the reference model scale, <100M params).
         """
+        specs = None
         if self.cfg.fsdp:
             specs = fsdp_param_specs(
                 state, self.mesh, min_size=self.cfg.fsdp_min_size, axis="data"
             )
+        if self.cfg.tp:
+            from eo_diffusion_tpu.parallel.mesh import tp_param_specs
+
+            tp_specs = tp_param_specs(state, self.mesh, axis="model")
+            if specs is None:
+                specs = tp_specs
+            else:
+                specs = jax.tree.map(
+                    lambda t, f: t if t != P() else f, tp_specs, specs,
+                    is_leaf=lambda s: isinstance(s, P),
+                )
+        if specs is not None:
             self._state_shardings = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s), specs,
                 is_leaf=lambda s: isinstance(s, P),

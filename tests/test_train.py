@@ -513,3 +513,38 @@ class TestTensorParallel:
         out = f(p_tp, jax.device_put(x, NamedSharding(mesh, P("data"))), t)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestTPTrainer:
+    """TrainerConfig.tp: Megatron TP through the real Trainer."""
+
+    def _run(self, tp: bool, steps: int = 2):
+        from eo_diffusion_tpu.models.unet import UNetConfig
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+
+        cfg = TrainerConfig(lr=1e-3, batch_size=8, epochs=1, timesteps=10,
+                            model_ema_steps=1, warmup_epochs=1, seed=3, tp=tp)
+        ucfg = UNetConfig(image_size=8, in_channels=3, model_channels=32,
+                          out_channels=3, num_res_blocks=1,
+                          attention_resolutions=(2,), channel_mult=(1, 2),
+                          num_heads=4)
+        model = UNet(ucfg)
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+        mesh = make_mesh(model=4) if tp else None
+        tr = Trainer(cfg, model, diffusion, steps_per_epoch=steps, mesh=mesh)
+        rng = np.random.default_rng(7)
+        batches = [{"image": rng.normal(size=(8, 8, 8, 3)).astype(np.float32) * 0.3}
+                   for _ in range(steps)]
+        state = tr.init(jax.random.PRNGKey(0), batches[0])
+        losses = []
+        for b in batches:
+            state, m = tr.step(state, b)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    def test_tp_state_sharded_and_loss_matches(self):
+        s_rep, l_rep = self._run(tp=False)
+        s_tp, l_tp = self._run(tp=True)
+        np.testing.assert_allclose(l_rep, l_tp, rtol=2e-4, atol=2e-5)
+        shardings = [l.sharding for l in jax.tree.leaves(s_tp.params)]
+        assert any("model" in str(s.spec) for s in shardings), shardings
