@@ -548,3 +548,22 @@ class TestTPTrainer:
         np.testing.assert_allclose(l_rep, l_tp, rtol=2e-4, atol=2e-5)
         shardings = [l.sharding for l in jax.tree.leaves(s_tp.params)]
         assert any("model" in str(s.spec) for s in shardings), shardings
+
+    def test_tp_covers_cross_attention(self):
+        from eo_diffusion_tpu.parallel.mesh import make_mesh, tp_param_specs
+        from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+
+        mesh = make_mesh(model=4)
+        cfg = UNetConfig(image_size=8, in_channels=3, model_channels=32,
+                         out_channels=3, num_res_blocks=1,
+                         attention_resolutions=(2,), channel_mult=(1, 2),
+                         num_heads=4, context_dim=8)
+        model = UNet(cfg)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)),
+            jnp.zeros((2,), jnp.int32), context=jnp.zeros((2, 4, 8)))
+        specs = tp_param_specs(params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        xa = [s for p, s in flat
+              if any(getattr(k, "key", "") in ("to_q", "to_kv") for k in p)]
+        assert xa and any("model" in str(s) for s in xa), xa

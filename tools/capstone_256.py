@@ -31,7 +31,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPT = os.path.join(ROOT, "logs", "capstone_256")
 GALLERY = os.path.join(ROOT, "gallery")
 SIZE, BATCH = 256, 8
-N_DATA = 512
+N_DATA = 1024
 
 
 def build():
