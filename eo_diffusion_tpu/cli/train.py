@@ -52,6 +52,10 @@ def parse_args(argv=None):
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="accumulate gradients over k micro-batches per "
                              "optimizer step (lucidrains gradient_accumulate_every)")
+    parser.add_argument("--grad_clip", type=float, default=0.0,
+                        help="global-norm gradient clipping (0 = off; "
+                             "recommended ~1.0 for small micro-batches at "
+                             "high resolution, e.g. the 256px presets)")
     # new: config registry instead of edit-the-source
     parser.add_argument("--preset", type=str, default="eurosat64")
     parser.add_argument("--dataset", type=str, default=None, help="override preset dataset")
@@ -139,6 +143,7 @@ def main(args):
         num_classes=args.num_classes, cond_type=cond_type,
         ckpt_dir=os.path.join("logs", os.path.split(args.dir)[1]),
         sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
+        grad_clip=args.grad_clip,
     )
     trainer = Trainer(tcfg, model, diffusion, steps_per_epoch)
 

@@ -146,6 +146,12 @@ class TrainerConfig:
     # the mesh 'model' axis (parallel/mesh.tp_param_specs); composes with
     # fsdp (TP specs win where they apply, FSDP covers the rest)
     tp: bool = False
+    # global-norm gradient clipping (0 = off, reference parity). Strongly
+    # recommended for small micro-batches at high resolution: the 256px
+    # concat capstone at micro-batch 8 collapsed (loss 0.016 -> 1.0) right
+    # after lr warmup without it -- the gradient noise is 16x the reference
+    # batch-128 regime.
+    grad_clip: float = 0.0
 
 
 class Trainer:
@@ -185,6 +191,10 @@ class Trainer:
         )
         self.lr_table = sched.table(total_steps)
         self.tx = optax.adamw(sched.as_optax(total_steps))
+        if cfg.grad_clip > 0.0:
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip), self.tx
+            )
         if self.grad_accum > 1:
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=self.grad_accum)
 

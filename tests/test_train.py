@@ -567,3 +567,22 @@ class TestTPTrainer:
         xa = [s for p, s in flat
               if any(getattr(k, "key", "") in ("to_q", "to_kv") for k in p)]
         assert xa and any("model" in str(s) for s in xa), xa
+
+
+class TestGradClip:
+    def test_clip_bounds_update_and_trains(self):
+        cfg = TrainerConfig(lr=2e-3, batch_size=8, epochs=1, timesteps=10,
+                            model_ema_steps=1, warmup_epochs=1, grad_clip=0.5)
+        model = UNet(TINY)
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=8, in_channels=3)
+        tr = Trainer(cfg, model, diffusion, steps_per_epoch=12)
+        rng = np.random.default_rng(1)
+        batch = {"image": (rng.normal(size=(8, 8, 8, 3)) * 0.3).astype(np.float32)}
+        state = tr.init(jax.random.PRNGKey(0), batch)
+        losses = []
+        for _ in range(12):
+            state, m = tr.step(state, batch)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        # clipping must not stop learning on a fixed batch
+        assert losses[-1] < losses[0] * 0.8, losses

@@ -71,8 +71,11 @@ def train(steps: int):
     from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
 
     model, diffusion = build()
-    sched = optax.warmup_cosine_decay_schedule(0.0, 2e-4, 500, steps, 1e-5)
-    tx = optax.adamw(sched)
+    # micro-batch 8 carries 16x the gradient noise of the 64px capstone's
+    # batch 128: peak 2e-4 unclipped collapsed the run right after warmup
+    # (loss 0.016 -> 1.0, observed); clip + 1e-4 is stable
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-4, 500, steps, 1e-5)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
     x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     c0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     params = jax.jit(model.init)(
