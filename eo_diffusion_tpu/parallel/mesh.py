@@ -26,6 +26,7 @@ __all__ = [
     "replicated",
     "fsdp_param_specs",
     "tp_param_specs",
+    "merge_specs",
     "shard_batch",
 ]
 
@@ -104,10 +105,14 @@ def tp_param_specs(params, mesh: Mesh, axis: str = "model"):
     T>=512).
     """
     size = mesh.shape[axis]
+    # attention input-projection layer names across the model families:
+    # unet.py (qkv/to_q/to_kv), encoder_unet.py AttentionPool (qkv_proj),
+    # unet_convnext.py LinearAttention (to_qkv)
+    in_names = ("qkv", "to_q", "to_kv", "qkv_proj", "to_qkv")
 
     def spec_for(path, p):
         names = [getattr(k, "key", str(k)) for k in path]
-        in_proj = any(n in ("qkv", "to_q", "to_kv") for n in names)
+        in_proj = any(n in in_names for n in names)
         out_proj = any(n == "proj_out" for n in names)
         leaf = names[-1] if names else ""
         if size > 1 and in_proj:
@@ -121,6 +126,17 @@ def tp_param_specs(params, mesh: Mesh, axis: str = "model"):
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def merge_specs(primary, fallback):
+    """Combine two PartitionSpec trees: the primary spec wins on every leaf
+    it actually shards; ``P()`` leaves fall through to the fallback (the
+    TP-over-FSDP composition used by the Trainer and the multichip dryrun).
+    """
+    return jax.tree.map(
+        lambda t, f: t if t != P() else f, primary, fallback,
+        is_leaf=lambda s: isinstance(s, P),
+    )
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -34,7 +34,9 @@ from eo_diffusion_tpu.parallel.mesh import (
     data_sharding,
     fsdp_param_specs,
     make_mesh,
+    merge_specs,
     replicated,
+    tp_param_specs,
 )
 from eo_diffusion_tpu.train.ema import adjusted_decay, ema_update_every, warmed_decay
 
@@ -263,16 +265,13 @@ class Trainer:
                 state, self.mesh, min_size=self.cfg.fsdp_min_size, axis="data"
             )
         if self.cfg.tp:
-            from eo_diffusion_tpu.parallel.mesh import tp_param_specs
-
+            assert self.mesh.shape["model"] > 1, (
+                "TrainerConfig.tp=True needs a mesh with a model axis > 1 "
+                "(pass mesh=make_mesh(model=N)); with model=1 TP would "
+                "silently no-op"
+            )
             tp_specs = tp_param_specs(state, self.mesh, axis="model")
-            if specs is None:
-                specs = tp_specs
-            else:
-                specs = jax.tree.map(
-                    lambda t, f: t if t != P() else f, tp_specs, specs,
-                    is_leaf=lambda s: isinstance(s, P),
-                )
+            specs = tp_specs if specs is None else merge_specs(tp_specs, specs)
         if specs is not None:
             self._state_shardings = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s), specs,

@@ -7,7 +7,7 @@ slower). Then evaluates DDIM-50 cloud removal (SSIM/PSNR vs held-out clear
 ground truth), with and without DeepCache, and writes gallery artifacts.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/capstone_256.py \
-           [--steps 5000] [--skip_train]
+           [--steps 9000] [--skip_train]
 """
 
 from __future__ import annotations
@@ -191,7 +191,7 @@ def evaluate():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--steps", type=int, default=9000)
     ap.add_argument("--skip_train", action="store_true")
     cli = ap.parse_args()
     if not cli.skip_train:
