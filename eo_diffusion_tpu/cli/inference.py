@@ -172,7 +172,11 @@ def main(args):
         print("loaded!")
 
     model_fn = lambda x, t, c, y: model.apply(ema_params, x, t, cond=c, y=y)
-    classes = list({"austin": 0, "chicago": 1, "kitsap": 2, "tyrol": 3, "vienna": 4})
+    # per-dataset class vocabulary for samples_fid naming (the reference
+    # hardcodes the Inria cities for every dataset, inference.py:110-111)
+    from eo_diffusion_tpu.data.datasets import class_names
+
+    classes = class_names(dataset, num_classes or 0)
 
     dir_samples = os.path.join(args.outdir, "samples")
     dir_fid = os.path.join(args.outdir, "samples_fid")

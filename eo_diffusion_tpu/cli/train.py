@@ -67,6 +67,14 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--sample_every", type=int, default=1000)
     parser.add_argument("--save_every", type=int, default=1000)
+    parser.add_argument("--preview_sampler", type=str, default="ddpm",
+                        choices=["ddpm", "ddim", "dpm"],
+                        help="sampler for the periodic training previews "
+                             "(ddpm = reference parity, full T-step chain; "
+                             "ddim/dpm cut a 256px preview from ~7 min to "
+                             "seconds)")
+    parser.add_argument("--preview_steps", type=int, default=50,
+                        help="steps for ddim/dpm previews")
     parser.add_argument("--config", type=str, default=None,
                         help="JSON config file; keys override defaults, CLI flags "
                              "override the file (the config-file-driven path the "
@@ -144,6 +152,7 @@ def main(args):
         ckpt_dir=os.path.join("logs", os.path.split(args.dir)[1]),
         sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
         grad_clip=args.grad_clip,
+        preview_sampler=args.preview_sampler, preview_steps=args.preview_steps,
     )
     trainer = Trainer(tcfg, model, diffusion, steps_per_epoch)
 

@@ -45,6 +45,7 @@ __all__ = [
     "SARWakeDataset",
     "EuroSATDataset",
     "get_metadata",
+    "class_names",
     "train_val_split",
     "Subset",
 ]
@@ -541,3 +542,28 @@ def get_metadata(name: str) -> dict:
     if name not in _METADATA:
         raise ValueError(f"{name} dataset not supported!")
     return dict(_METADATA[name])
+
+
+_CLASS_NAMES = {
+    "inria": tuple(INRIA_CLASSES),  # city vocab (reference data_load.py:246-252)
+    "eurosat": ("AnnualCrop", "Forest", "HerbaceousVegetation", "Highway",
+                "Industrial", "Pasture", "PermanentCrop", "Residential",
+                "River", "SeaLake"),
+    "cifar10": ("airplane", "automobile", "bird", "cat", "deer",
+                "dog", "frog", "horse", "ship", "truck"),
+    "mnist": tuple(str(i) for i in range(10)),
+}
+
+
+def class_names(name: str, num_classes: int = 0) -> list:
+    """Human-readable class vocabulary for ``samples_fid`` exports.
+
+    The reference hardcodes the Inria city vocabulary for every dataset
+    (inference.py:110-111, data_load.py:246-252), mislabeling
+    EuroSAT/CIFAR class exports; here each dataset gets its own names with a
+    generic ``class{i}`` fallback."""
+    names = list(_CLASS_NAMES.get(name, ()))
+    n = num_classes or len(names)
+    if len(names) < n:
+        names += [f"class{i}" for i in range(len(names), n)]
+    return names[:n] if n else names

@@ -61,7 +61,10 @@ def gather_batch(
         b = jnp.take(v, idx, axis=0)
         if jnp.issubdtype(b.dtype, jnp.floating):
             b = b.astype(compute_dtype)
-        if augment_flips and b.ndim >= 4:  # [B, H, W, ...]
+        if augment_flips and b.ndim >= 3:  # [B, H, W] or [B, H, W, ...]
+            # ndim==3 covers channel-less per-pixel pairs (mask/segmentation
+            # stored [N,H,W]) -- keying on >=4 would silently leave them
+            # unflipped while the image flips, misaligning the pair
             sel_h = do_h.reshape((batch_size,) + (1,) * (b.ndim - 1))
             sel_v = do_v.reshape((batch_size,) + (1,) * (b.ndim - 1))
             b = jnp.where(sel_h, jnp.flip(b, axis=2), b)
@@ -74,11 +77,15 @@ class DeviceDataCache:
     """Hold a dict of [N, ...] arrays in device memory.
 
     :param tensors: dict of numpy arrays sharing the leading dim.
-    :param store_dtype: dtype for float arrays in HBM (default bfloat16 --
-        halves footprint; int/bool arrays keep their dtype).
+    :param store_dtype: dtype for float arrays in HBM. Default float32 --
+        training numerics match the host loader exactly. Pass
+        ``store_dtype=jnp.bfloat16`` to halve the footprint when the set
+        would not otherwise fit; that quantizes the stored images (and hence
+        the q_sample targets) to bf16, an explicit opt-in (advisor r2).
+        Int/bool arrays keep their dtype either way.
     """
 
-    def __init__(self, tensors: Dict[str, np.ndarray], store_dtype=jnp.bfloat16):
+    def __init__(self, tensors: Dict[str, np.ndarray], store_dtype=jnp.float32):
         ns = {k: len(v) for k, v in tensors.items()}
         assert len(set(ns.values())) == 1, f"mismatched leading dims: {ns}"
         self.n = next(iter(ns.values()))

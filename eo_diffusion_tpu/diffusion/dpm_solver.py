@@ -47,6 +47,9 @@ def dpm_solver_sample(
     model_state: Any = None,
     mask: Optional[jax.Array] = None,
     x0: Optional[jax.Array] = None,
+    guidance_scale: float = 1.0,
+    uncond: Optional[jax.Array] = None,
+    y_uncond: Optional[jax.Array] = None,
 ) -> DiffusionOutput:
     """Sample with DPM-Solver++(2M) (or 1M with ``order=1`` == DDIM-eta0 in
     lambda-uniform time).
@@ -60,6 +63,14 @@ def dpm_solver_sample(
     only in the DDPM loop, model.py:58-60; here it rides every sampler).
     The multistep D-history stays consistent because the composite happens
     before the x0-prediction each step.
+
+    ``guidance_scale``/``uncond``/``y_uncond``: classifier-free guidance by
+    batch-doubling, exactly the combine the ddpm/ddim samplers use
+    (gaussian.py:505-522; reference CFG combine ddim.py:177-181,
+    classifier_free_guidance.py:374-386). ``uncond`` replaces the
+    channel-concat cond on the unconditional half; ``y_uncond`` is the
+    null-class label array for label-CFG. The guided eps feeds the solver's
+    x0 prediction, so the multistep D-history is guided consistently.
     """
     assert order in (1, 2), order
     assert time_spacing in ("uniform_lambda", "uniform_t"), time_spacing
@@ -93,15 +104,34 @@ def dpm_solver_sample(
         assert x0 is not None, "DPM inpainting requires x0 (the known image)"
 
     stateful = model_state is not None
+    use_cfg = uncond is not None and guidance_scale != 1.0
+    use_label_cfg = y_uncond is not None and guidance_scale != 1.0
+
+    def call_model(xx, tt, cc, yy, st, i):
+        if stateful:
+            # stateful denoiser (DeepCache): fn(x, t, cond, y, state, i)
+            return model_fn(xx, tt, cc, yy, st, i)
+        return model_fn(xx, tt, cc, yy), st
 
     def predict_x0(x, i, m_state):
         t = jnp.full((n_samples,), t_seq[i], jnp.int32)
         x_in = x.astype(dtype)  # model-facing cast; the carry stays f32
-        if stateful:
-            # stateful denoiser (DeepCache): fn(x, t, cond, y, state, i)
-            raw, m_state = model_fn(x_in, t, cond, y, m_state, i)
+        if use_cfg or use_label_cfg:
+            # batch-doubled CFG combine (same math as gaussian.py:505-522);
+            # with a stateful denoiser build model_state for batch 2*n
+            x2 = jnp.concatenate([x_in, x_in], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            if use_cfg:
+                c2 = jnp.concatenate([uncond, cond], axis=0)
+                y2 = None if y is None else jnp.concatenate([y, y], axis=0)
+            else:
+                c2 = None if cond is None else jnp.concatenate([cond, cond], axis=0)
+                y2 = jnp.concatenate([y_uncond, y], axis=0)
+            out, m_state = call_model(x2, t2, c2, y2, m_state, i)
+            e_u, e_c = jnp.split(out, 2, axis=0)
+            raw = e_u + guidance_scale * (e_c - e_u)
         else:
-            raw = model_fn(x_in, t, cond, y)
+            raw, m_state = call_model(x_in, t, cond, y, m_state, i)
         _, x0 = diffusion._to_eps_x0(raw, x.astype(jnp.float32), t)
         if clip:
             x0 = jnp.clip(x0, -1.0, 1.0)

@@ -16,7 +16,7 @@ reverse loop compiles to a single program like the non-tiled samplers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,12 +114,29 @@ def tiled_ddim_sample(
     mask: Optional[jax.Array] = None,
     x0: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    model_state: Any = None,
+    guidance_scale: float = 1.0,
+    uncond: Optional[jax.Array] = None,
+    y_uncond: Optional[jax.Array] = None,
 ) -> DiffusionOutput:
     """DDIM sampling of an (height, width) scene with a tile-trained denoiser.
 
     ``cond``/``mask``/``x0`` are full-scene arrays; cond is unfolded alongside
     x so channel-concat conditioning works per tile. RePaint-style masking
     composites on the full scene before each step (like ddim.py:145-148).
+
+    ``guidance_scale``/``uncond``/``y_uncond``: classifier-free guidance with
+    the same batch-doubled combine as the non-tiled samplers
+    (gaussian.py:505-522); ``uncond`` is a full-scene array unfolded alongside
+    ``cond``, ``y_uncond`` the per-sample null-class labels.
+
+    ``model_state``: stateful denoiser support (DeepCache,
+    ``deepcache_model_fn``) -- ``model_fn(x, t, cond, y, state, i) ->
+    (out, state)``. Build the state with ``example_x`` matching the PER-CALL
+    flat tile batch: ``[n*num_tiles, tile, tile, C]`` when ``tile_batch`` is
+    None, else ``[tile_batch, ...]`` (doubled under CFG). With ``tile_batch``
+    chunking each chunk carries its own state copy across steps, so the two
+    flagship accelerations (DeepCache x tiled scenes) compose.
 
     Limitation: self-conditioned diffusions (``self_condition=True``) are not
     supported here -- the per-tile x0-estimate carry is not threaded through
@@ -129,6 +146,9 @@ def tiled_ddim_sample(
     tile = diffusion.image_size
     grid = make_tile_grid(height, width, tile, overlap)
     dd = make_ddim_schedule(diffusion.schedule, num_steps, eta)
+    stateful = model_state is not None
+    use_cfg = uncond is not None and guidance_scale != 1.0
+    use_label_cfg = y_uncond is not None and guidance_scale != 1.0
 
     shape = (n_samples, height, width, diffusion.in_channels)
     init_rng, scan_rng = jax.random.split(rng)
@@ -142,47 +162,90 @@ def tiled_ddim_sample(
     sigmas = jnp.asarray(dd.sigmas)
 
     cond_tiles = unfold(cond, grid) if cond is not None else None
+    uncond_tiles = unfold(uncond, grid) if use_cfg else None
 
-    def denoise_tiles(x_tiles, t_scalar, key):
+    n_flat = n_samples * grid.num_tiles
+    chunked = tile_batch is not None and tile_batch < n_flat
+    if chunked:
+        nb = -(-n_flat // tile_batch)
+        if stateful:
+            # one state copy per chunk, carried across steps (each chunk is a
+            # stable tile subset, so its cached deep features stay coherent)
+            model_state = jax.tree.map(
+                lambda s: jnp.stack([s] * nb), model_state
+            )
+
+    def call_model(xx, tt, cc, yy, st, i):
+        if stateful:
+            return model_fn(xx, tt, cc, yy, st, i)
+        return model_fn(xx, tt, cc, yy), st
+
+    def run_denoiser(xx, tt, cc, uu, yy, yu, st, i):
+        """One denoiser call with the CFG batch-doubled combine."""
+        if use_cfg or use_label_cfg:
+            x2 = jnp.concatenate([xx, xx], axis=0)
+            t2 = jnp.concatenate([tt, tt], axis=0)
+            if use_cfg:
+                c2 = jnp.concatenate([uu, cc], axis=0)
+                y2 = None if yy is None else jnp.concatenate([yy, yy], axis=0)
+            else:
+                c2 = None if cc is None else jnp.concatenate([cc, cc], axis=0)
+                y2 = jnp.concatenate([yu, yy], axis=0)
+            out, st = call_model(x2, t2, c2, y2, st, i)
+            e_u, e_c = jnp.split(out, 2, axis=0)
+            return e_u + guidance_scale * (e_c - e_u), st
+        return call_model(xx, tt, cc, yy, st, i)
+
+    def denoise_tiles(x_tiles, t_scalar, m_state, i):
         """Run the denoiser over [N, nT, t, t, C] tiles (optionally chunked)."""
         n, nt = x_tiles.shape[:2]
         flat = x_tiles.reshape(n * nt, tile, tile, x_tiles.shape[-1])
-        c_flat = (
-            cond_tiles.reshape(n * nt, tile, tile, cond_tiles.shape[-1])
-            if cond_tiles is not None
-            else None
-        )
+        reshape_flat = lambda a: a.reshape(n * nt, tile, tile, a.shape[-1])
+        c_flat = reshape_flat(cond_tiles) if cond_tiles is not None else None
+        u_flat = reshape_flat(uncond_tiles) if uncond_tiles is not None else None
         y_flat = jnp.repeat(y, nt, axis=0) if y is not None else None
+        yu_flat = jnp.repeat(y_uncond, nt, axis=0) if use_label_cfg else None
         ts = jnp.full((flat.shape[0],), t_scalar, jnp.int32)
-        if tile_batch is None or tile_batch >= n * nt:
-            out = model_fn(flat, ts, c_flat, y_flat)
-        else:
-            nb = -(-n * nt // tile_batch)
-            pad = nb * tile_batch - n * nt
-            flat_p = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
-            c_p = (
-                jnp.pad(c_flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
-                if c_flat is not None
-                else None
+        if not chunked:
+            out, m_state = run_denoiser(
+                flat, ts, c_flat, u_flat, y_flat, yu_flat, m_state, i
             )
+        else:
+            pad = nb * tile_batch - n * nt
+            pad4 = lambda a: jnp.pad(a, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            flat_p = pad4(flat)
+            c_p = pad4(c_flat) if c_flat is not None else None
+            u_p = pad4(u_flat) if u_flat is not None else None
             y_p = jnp.pad(y_flat, ((0, pad),)) if y_flat is not None else None
+            yu_p = jnp.pad(yu_flat, ((0, pad),)) if yu_flat is not None else None
             ts_p = jnp.pad(ts, ((0, pad),))
 
-            def chunk(i):
-                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * tile_batch, tile_batch)
-                return model_fn(
-                    sl(flat_p), sl(ts_p),
-                    None if c_p is None else sl(c_p),
-                    None if y_p is None else sl(y_p),
+            def chunk(st_stack, ci):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * tile_batch, tile_batch)
+                opt = lambda a: None if a is None else sl(a)
+                # without a stateful model the carry is a scalar placeholder
+                st_c = st_stack if not stateful else jax.tree.map(
+                    lambda s: jax.lax.dynamic_index_in_dim(s, ci, 0, keepdims=False),
+                    st_stack,
                 )
+                o, st_c = run_denoiser(
+                    sl(flat_p), sl(ts_p), opt(c_p), opt(u_p), opt(y_p), opt(yu_p),
+                    st_c, i,
+                )
+                if stateful:
+                    st_stack = jax.tree.map(
+                        lambda s, sc: jax.lax.dynamic_update_index_in_dim(s, sc, ci, 0),
+                        st_stack, st_c,
+                    )
+                return st_stack, o
 
-            out = jax.lax.map(chunk, jnp.arange(nb)).reshape(
-                nb * tile_batch, tile, tile, -1
-            )[: n * nt]
-        return out.reshape(n, nt, tile, tile, -1)
+            m_state, outs = jax.lax.scan(chunk, m_state, jnp.arange(nb))
+            out = outs.reshape(nb * tile_batch, tile, tile, -1)[: n * nt]
+        return out.reshape(n, nt, tile, tile, -1), m_state
 
-    def step(carry, idx):
-        x, key = carry
+    def step(carry, xs):
+        idx, i = xs
+        x, key, m_state = carry
         key, nk, mk = jax.random.split(key, 3)
         t_scalar = steps[idx]
 
@@ -193,7 +256,7 @@ def tiled_ddim_sample(
             x = diffusion.q_sample(x0, t_full, noise_m) * mask + (1.0 - mask) * x
 
         x_tiles = unfold(x.astype(dtype), grid)
-        raw_tiles = denoise_tiles(x_tiles, t_scalar, key)
+        raw_tiles, m_state = denoise_tiles(x_tiles, t_scalar, m_state, i)
         raw = fold(raw_tiles, grid)  # stitched model output (eps/x0/v)
 
         t_full = jnp.full((n_samples,), t_scalar, jnp.int32)
@@ -204,8 +267,11 @@ def tiled_ddim_sample(
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
         noise = sigma_t * jax.random.normal(nk, shape, jnp.float32)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-        return (x_prev, key), None
+        return (x_prev, key, m_state), None
 
     idxs = jnp.arange(dd.num_steps - 1, -1, -1)
-    (x, _), _ = jax.lax.scan(step, (img, scan_rng), idxs)
+    state0 = model_state if stateful else jnp.zeros((), jnp.float32)
+    (x, _, _), _ = jax.lax.scan(
+        step, (img, scan_rng, state0), (idxs, jnp.arange(dd.num_steps))
+    )
     return DiffusionOutput(x=x)

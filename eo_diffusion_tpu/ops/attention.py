@@ -487,6 +487,15 @@ def _qkv5_ref_attention(qkv5: jax.Array) -> jax.Array:
 
 def _qkv5_fwd_impl(qkv5, block_q: int, block_k: int, return_lse: bool = False):
     b, three, h, t, d = qkv5.shape
+    # the zero-copy kernel holds whole K/V planes (and the fwd's lse for the
+    # flash bwd) VMEM-resident -- beyond the cap it would OOM scoped VMEM at
+    # compile time. attention_from_qkv gates dispatch on the same cap; this
+    # assert keeps direct callers honest (advisor r2: the former bwd-only
+    # fallback was unreachable dead protection).
+    assert t <= _MAX_RESIDENT_KV, (
+        f"fused-qkv kernel requires T <= {_MAX_RESIDENT_KV}, got {t}; use "
+        "attention_from_qkv (which falls back to the grid-tiled kernel)"
+    )
     out_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, iq: (bi, hi, iq, 0))
     out_shape = jax.ShapeDtypeStruct((b, h, t, d), qkv5.dtype)
     if return_lse:
@@ -531,12 +540,7 @@ def _qkv5_bwd(block_q, block_k, res, g):
     """
     qkv5, o, lse = res
     b, three, h, t, d = qkv5.shape
-    if t > _MAX_RESIDENT_KV:
-        # beyond the resident cap the bwd kernel's f32 dk/dv accumulators
-        # would blow scoped VMEM; recompute with XLA einsums (sampling-scale
-        # sequences only -- training never exceeds the cap)
-        _, vjp = jax.vjp(_qkv5_ref_attention, qkv5)
-        return vjp(g)
+    # t <= _MAX_RESIDENT_KV is guaranteed by the forward's cap assert
     to_bthd = lambda x: x.transpose(0, 2, 1, 3)  # [B,H,T,D] -> [B,T,H,D]
     q, k, v = (to_bthd(qkv5[:, i]) for i in range(3))
     dq, dk, dv = _flash_bwd_impl(

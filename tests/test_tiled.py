@@ -127,3 +127,126 @@ class TestTiledSampling:
         )
         out = f(jax.random.PRNGKey(0))
         assert out.shape == (1, 16, 16, 3)
+
+
+class TestTiledStateful:
+    """model_state threading (VERDICT r2 #6): DeepCache composes with the
+    large-scene path."""
+
+    def _diffusion(self):
+        return GaussianDiffusion.create(timesteps=50, image_size=8, in_channels=3)
+
+    def test_stateful_identity_matches_plain(self):
+        d = self._diffusion()
+        plain = lambda x, t, c, y: 0.2 * x
+
+        def stateful(x, t, c, y, state, i):
+            return plain(x, t, c, y), state
+
+        ref = tiled_ddim_sample(d, plain, jax.random.PRNGKey(0), 1, 16, 16,
+                                num_steps=4).x
+        out = tiled_ddim_sample(d, stateful, jax.random.PRNGKey(0), 1, 16, 16,
+                                num_steps=4, model_state=jnp.zeros(())).x
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_stateful_chunked_per_chunk_state(self):
+        """Each tile chunk carries its own state rows across steps: a cache
+        that stores the previous call's input must see ITS OWN chunk's tiles
+        back, not another chunk's."""
+        d = self._diffusion()
+
+        def caching(x, t, c, y, state, i):
+            # every-2nd-step refresh of a cached per-row mean (DeepCache shape)
+            refreshed = jnp.mean(x, axis=(1, 2, 3))
+            new_state = jnp.where(i % 2 == 0, refreshed, state)
+            return 0.2 * x + 0.0 * new_state[:, None, None, None], new_state
+
+        state0 = jnp.zeros((4,))  # per-call flat batch = tile_batch
+        out = tiled_ddim_sample(d, caching, jax.random.PRNGKey(0), 1, 16, 16,
+                                num_steps=4, tile_batch=4, model_state=state0).x
+        assert out.shape == (1, 16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_deepcache_real_model_runs_tiled(self):
+        """End-to-end: deepcache_model_fn on a real tiny UNet through the
+        tiled sampler (whole-batch path)."""
+        import jax.numpy as jnp
+
+        from eo_diffusion_tpu.diffusion.deepcache import deepcache_model_fn
+        from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+
+        cfg = UNetConfig(image_size=8, in_channels=3, model_channels=16,
+                         out_channels=3, num_res_blocks=1,
+                         attention_resolutions=(), channel_mult=(1, 2),
+                         num_heads=1, dtype=jnp.float32)
+        model = UNet(cfg)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 8, 8, 3)),
+                                     jnp.zeros((1,), jnp.int32))
+        d = self._diffusion()
+        g = make_tile_grid(16, 16, 8, overlap=0.5)
+        flat = 1 * g.num_tiles  # n_samples * num_tiles (whole-batch path)
+        fn, st0 = deepcache_model_fn(
+            model, params, jnp.zeros((flat, 8, 8, 3)), refresh_every=2
+        )
+        out = tiled_ddim_sample(d, fn, jax.random.PRNGKey(0), 1, 16, 16,
+                                num_steps=4, model_state=st0).x
+        assert out.shape == (1, 16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTiledGuidance:
+    def _diffusion(self):
+        return GaussianDiffusion.create(timesteps=50, image_size=8, in_channels=3)
+
+    def _cond_model(self):
+        # eps prediction pushed down by the cond mean -> higher cond = brighter
+        return lambda x, t, c, y: 0.2 * x - jnp.mean(c, axis=-1, keepdims=True)
+
+    def test_guidance_shifts_scene(self):
+        d = self._diffusion()
+        model = self._cond_model()
+        cond = jnp.full((1, 16, 16, 1), 1.0)
+        uncond = jnp.zeros_like(cond)
+        plain = tiled_ddim_sample(d, model, jax.random.PRNGKey(0), 1, 16, 16,
+                                  num_steps=5, cond=cond).x
+        guided = tiled_ddim_sample(d, model, jax.random.PRNGKey(0), 1, 16, 16,
+                                   num_steps=5, cond=cond, uncond=uncond,
+                                   guidance_scale=3.0).x
+        assert float(jnp.mean(guided)) > float(jnp.mean(plain))
+
+    def test_guidance_scale_1_matches_plain(self):
+        d = self._diffusion()
+        model = self._cond_model()
+        cond = jnp.full((1, 16, 16, 1), 0.5)
+        plain = tiled_ddim_sample(d, model, jax.random.PRNGKey(0), 1, 16, 16,
+                                  num_steps=4, cond=cond).x
+        g1 = tiled_ddim_sample(d, model, jax.random.PRNGKey(0), 1, 16, 16,
+                               num_steps=4, cond=cond,
+                               uncond=jnp.zeros_like(cond), guidance_scale=1.0).x
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(plain), atol=1e-6)
+
+    def test_guidance_chunked_matches_unchunked(self):
+        d = self._diffusion()
+        model = self._cond_model()
+        cond = jnp.full((1, 16, 16, 1), 0.7)
+        uncond = jnp.zeros_like(cond)
+        a = tiled_ddim_sample(d, model, jax.random.PRNGKey(1), 1, 16, 16,
+                              num_steps=4, cond=cond, uncond=uncond,
+                              guidance_scale=2.0).x
+        b = tiled_ddim_sample(d, model, jax.random.PRNGKey(1), 1, 16, 16,
+                              num_steps=4, cond=cond, uncond=uncond,
+                              guidance_scale=2.0, tile_batch=4).x
+        # unclipped guided toy trajectories blow up to ~1e3; chunking only
+        # reassociates floats, so compare relatively
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    def test_label_guidance_runs(self):
+        d = self._diffusion()
+        model = lambda x, t, c, y: 0.2 * x - 0.1 * (y[:, None, None, None] < 2)
+        out = tiled_ddim_sample(d, model, jax.random.PRNGKey(0), 2, 16, 16,
+                                num_steps=3, y=jnp.zeros((2,), jnp.int32),
+                                y_uncond=jnp.full((2,), 2, jnp.int32),
+                                guidance_scale=2.0).x
+        assert out.shape == (2, 16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()

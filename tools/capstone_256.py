@@ -93,7 +93,8 @@ def train(steps: int):
     # device-resident dataset: the per-step host->device batch transfer costs
     # 3x through the axon tunnel (768 vs ~250 ms/step); gather on-chip instead
     imgs, conds = make_data()
-    cache = DeviceDataCache({"image": imgs, "cond": conds})
+    cache = DeviceDataCache({"image": imgs, "cond": conds},
+                        store_dtype=jnp.bfloat16)  # explicit: halve HBM for the 256px set
     print(f"device cache: {cache.nbytes()/1e6:.0f} MB", flush=True)
 
     def step_with_data(state, tensors, rng):
