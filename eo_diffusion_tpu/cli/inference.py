@@ -60,6 +60,9 @@ def parse_args(argv=None):
     parser.add_argument("--ddim_clip", action="store_true",
                         help="clamp pred_x0 in DDIM steps (stabilizes weak models; "
                              "the reference DDIM never clips)")
+    parser.add_argument("--ae_ckpt", type=str, default=None,
+                        help="latent presets: trained first-stage directory "
+                             "(default: 'ae' beside --ckpt)")
     parser.add_argument("--preset", type=str, default="inria64")
     parser.add_argument("--dataset", type=str, default=None)
     parser.add_argument("--data_root", type=str, default=None)
@@ -112,6 +115,7 @@ def main(args):
     preset = get_preset(args.preset)
     dataset = args.dataset or preset.dataset
     image_size = args.image_size or preset.image_size
+    preset.image_size = image_size  # keep preset.latent_size consistent
     timesteps = args.timesteps or preset.timesteps
     if args.model_base_dim:
         preset.base_dim = args.model_base_dim
@@ -138,18 +142,42 @@ def main(args):
     # abandoning) a prefetch worker + a full decoded batch just for a shape.
     peek_item = {k: np.asarray(v)[None] for k, v in test_loader.dataset[0].items()}
     peek_cond, _ = _build_cond(peek_item, cond_type, image_size)
-    cond_channels = (peek_cond.shape[-1]
-                     if cond_type == "concat" and peek_cond is not None else 0)
+    has_cond = cond_type == "concat" and peek_cond is not None
+    # latent presets: concat cond is first-stage-encoded -> latent_channels
+    cond_channels = ((preset.latent_channels if preset.is_latent
+                      else peek_cond.shape[-1]) if has_cond else 0)
     ucfg = preset.unet_config(num_classes=num_classes, bf16=not args.no_bf16,
                               cond_channels=cond_channels)
     model = UNet(ucfg)
     diffusion = GaussianDiffusion.create(
-        timesteps=timesteps, image_size=image_size,
-        in_channels=preset.in_channels, cond_type=cond_type,
+        timesteps=timesteps,
+        image_size=preset.latent_size if preset.is_latent else image_size,
+        in_channels=preset.latent_channels if preset.is_latent else preset.in_channels,
+        cond_type=cond_type,
     )
+    if preset.is_latent:
+        from eo_diffusion_tpu.diffusion.latent import LatentDiffusion
+        from eo_diffusion_tpu.train import ae_trainer as AET
 
-    x0 = jnp.zeros((1, image_size, image_size, preset.in_channels))
-    init_kw = ({"cond": jnp.zeros((1, image_size, image_size, cond_channels))}
+        assert cond_type != "sum", (
+            "latent presets do not support RePaint-'sum' conditioning "
+            "(pixel-space mask composite); use cond_type='concat'"
+        )
+        ae_dir = args.ae_ckpt or os.path.join(os.path.dirname(args.ckpt), "ae")
+        assert AET.ae_exists(ae_dir), (
+            f"latent preset {preset.name} needs a trained first stage; none at "
+            f"{ae_dir} (train one with cli.train, or pass --ae_ckpt)"
+        )
+        ae_model, ae_params, ae_scale = AET.load_ae(ae_dir)
+        enc, dec = AET.make_codec(ae_model, ae_params)
+        diffusion = LatentDiffusion(diffusion, enc, dec, scale_factor=ae_scale,
+                                    cond_via_encoder=True)
+
+    # model-facing grid (latent for latent presets, pixels otherwise)
+    gsize = preset.latent_size if preset.is_latent else image_size
+    gchan = preset.latent_channels if preset.is_latent else preset.in_channels
+    x0 = jnp.zeros((1, gsize, gsize, gchan))
+    init_kw = ({"cond": jnp.zeros((1, gsize, gsize, cond_channels))}
                if cond_channels else {})
     if num_classes:
         init_kw["y"] = jnp.zeros((1,), jnp.int32)
@@ -206,20 +234,23 @@ def main(args):
         if args.deepcache > 1:
             from eo_diffusion_tpu.diffusion.deepcache import deepcache_model_fn
 
+            # the cached model sees the diffusion grid (latent for latent
+            # presets) and, in latent mode, the first-stage-encoded cond
+            ex_cond = None
+            if cond_type == "concat" and cond is not None:
+                ex_cond = (jnp.zeros((bsz, gsize, gsize, cond_channels))
+                           if preset.is_latent else jnp.asarray(cond))
             fn_j, st0 = deepcache_model_fn(
                 model, ema_params,
-                jnp.zeros((bsz, image_size, image_size, preset.in_channels)),
+                jnp.zeros((bsz, gsize, gsize, gchan)),
                 example_y=jnp.zeros((bsz,), jnp.int32) if y is not None else None,
-                example_cond=(jnp.asarray(cond)
-                              if cond_type == "concat" and cond is not None else None),
+                example_cond=ex_cond,
                 refresh_every=args.deepcache,
             )
         if args.sampler == "dpm":
-            from eo_diffusion_tpu.diffusion.dpm_solver import dpm_solver_sample
-
             mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
-            out = dpm_solver_sample(
-                diffusion, fn_j, srng, bsz, num_steps=args.sampler_steps,
+            out = diffusion.dpm_sample(
+                fn_j, srng, bsz, num_steps=args.sampler_steps,
                 cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
                 mask=mask_j,

@@ -34,19 +34,52 @@ class Preset:
     num_classes: int = 0
     timesteps: int = 1000
     batch_size: int = 128
+    # latent diffusion (CompVis LatentDiffusion slot, reference
+    # diffusion/ddpm.py:628-692): latent_downs > 0 switches the preset to a
+    # two-stage recipe -- a ConvAutoencoder first stage with 2**latent_downs
+    # spatial reduction, then the UNet diffuses the [size/2**d]^2 x
+    # latent_channels grid and samples decode back to pixels.
+    latent_downs: int = 0
+    latent_channels: int = 4
+    ae_base_dim: int = 64
+    ae_steps: int = 2000  # default first-stage training budget (cli/train.py)
+
+    @property
+    def is_latent(self) -> bool:
+        return self.latent_downs > 0
+
+    @property
+    def latent_size(self) -> int:
+        return self.image_size // (2 ** self.latent_downs)
 
     def unet_config(self, num_classes: Optional[int] = None, bf16: bool = True,
                     cond_channels: int = 0) -> UNetConfig:
+        """UNet sized to the diffusion grid: pixels normally, the latent grid
+        for latent presets (in/out channels become latent_channels)."""
+        size = self.latent_size if self.is_latent else self.image_size
+        chans = self.latent_channels if self.is_latent else self.in_channels
         return UNetConfig(
-            image_size=self.image_size,
-            in_channels=self.in_channels + cond_channels,
+            image_size=size,
+            in_channels=chans + cond_channels,
             model_channels=self.base_dim,
-            out_channels=self.in_channels,
+            out_channels=chans,
             num_res_blocks=self.num_res_blocks,
             attention_resolutions=self.attention_resolutions,
             channel_mult=self.dim_mults,
             num_heads=self.num_heads,
             num_classes=num_classes if num_classes else (self.num_classes or None),
+            dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        )
+
+    def ae_config(self, bf16: bool = False):
+        from eo_diffusion_tpu.models.autoencoder import AutoencoderConfig
+
+        assert self.is_latent, f"preset {self.name} is not a latent recipe"
+        return AutoencoderConfig(
+            in_channels=self.in_channels,
+            latent_channels=self.latent_channels,
+            base_channels=self.ae_base_dim,
+            num_down=self.latent_downs,
             dtype=jnp.bfloat16 if bf16 else jnp.float32,
         )
 
@@ -75,6 +108,17 @@ PRESETS = {
     # cloudy view ("cond_image"), i.e. the sen12mscr256 use-case in miniature
     "tiny-cr": Preset("tiny-cr", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
                       cond_type="concat", timesteps=50, batch_size=16),
+    # latent diffusion (CompVis slot, ddpm.py:628-692): 64px images diffused
+    # as 16x16x4 latents behind a trained ConvAutoencoder first stage
+    "latent64": Preset("latent64", "synthetic", 64, 3, 64, (1, 2, 3), (2, 4), 2, 4,
+                       timesteps=1000, batch_size=64,
+                       latent_downs=2, latent_channels=4, ae_base_dim=64,
+                       ae_steps=3000),
+    # tiny latent smoke config (CI / CPU): 16px pixels -> 8x8x4 latents
+    "tiny-latent": Preset("tiny-latent", "synthetic", 16, 3, 32, (1, 2), (), 1, 1,
+                          timesteps=50, batch_size=16,
+                          latent_downs=1, latent_channels=4, ae_base_dim=16,
+                          ae_steps=60),
 }
 
 

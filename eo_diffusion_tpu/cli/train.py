@@ -75,6 +75,14 @@ def parse_args(argv=None):
                              "seconds)")
     parser.add_argument("--preview_steps", type=int, default=50,
                         help="steps for ddim/dpm previews")
+    parser.add_argument("--ae_ckpt", type=str, default=None,
+                        help="latent presets: directory of a trained first "
+                             "stage (train/ae_trainer.save_ae layout); default "
+                             "is <ckpt_dir>/ae, trained in-run if absent")
+    parser.add_argument("--ae_steps", type=int, default=None,
+                        help="latent presets: first-stage training steps when "
+                             "no saved AE exists (default: preset.ae_steps)")
+    parser.add_argument("--ae_lr", type=float, default=2e-3)
     parser.add_argument("--config", type=str, default=None,
                         help="JSON config file; keys override defaults, CLI flags "
                              "override the file (the config-file-driven path the "
@@ -108,11 +116,13 @@ def main(args):
     preset = get_preset(args.preset)
     dataset = args.dataset or preset.dataset
     image_size = args.image_size or preset.image_size
+    preset.image_size = image_size  # keep preset.latent_size consistent
     timesteps = args.timesteps or preset.timesteps
     if args.model_base_dim:
         preset.base_dim = args.model_base_dim
     cond_type = args.cond_type or preset.cond_type
     num_classes = args.num_classes if args.num_classes > 0 else None
+    ckpt_dir = os.path.join("logs", os.path.split(args.dir)[1])
 
     factory = DATASET_FACTORIES[dataset]
     fkw = dict(batch_size=args.batch_size)
@@ -134,14 +144,23 @@ def main(args):
     # (paired image like SEN12MS-CR cloudy view, or image|mask).
     first = next(iter(train_loader))
     batch0 = _to_model_batch(first, cond_type)
-    cond_channels = batch0["cond"].shape[-1] if (cond_type == "concat" and "cond" in batch0) else 0
+    has_cond = cond_type == "concat" and "cond" in batch0
+    # latent presets: the concat cond rides the first stage too, so the UNet
+    # sees latent_channels of conditioning, not the pixel cond width
+    cond_channels = ((preset.latent_channels if preset.is_latent
+                      else batch0["cond"].shape[-1]) if has_cond else 0)
     ucfg = preset.unet_config(num_classes=num_classes, bf16=not args.no_bf16,
                               cond_channels=cond_channels)
     model = UNet(ucfg)
     diffusion = GaussianDiffusion.create(
-        timesteps=timesteps, image_size=image_size,
-        in_channels=preset.in_channels, cond_type=cond_type,
+        timesteps=timesteps,
+        image_size=preset.latent_size if preset.is_latent else image_size,
+        in_channels=preset.latent_channels if preset.is_latent else preset.in_channels,
+        cond_type=cond_type,
     )
+    if preset.is_latent:
+        diffusion = _latent_first_stage(args, preset, diffusion, train_loader,
+                                        ckpt_dir, cond_type)
 
     tcfg = TrainerConfig(
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
@@ -149,7 +168,7 @@ def main(args):
         model_ema_decay=args.model_ema_decay, log_freq=args.log_freq,
         n_samples=args.n_samples, no_clip=args.no_clip,
         num_classes=args.num_classes, cond_type=cond_type,
-        ckpt_dir=os.path.join("logs", os.path.split(args.dir)[1]),
+        ckpt_dir=ckpt_dir,
         sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
         grad_clip=args.grad_clip,
         preview_sampler=args.preview_sampler, preview_steps=args.preview_steps,
@@ -217,14 +236,18 @@ def main(args):
             if global_steps % args.sample_every == 0:
                 cond = mb.get("cond")
                 cond = cond[: args.n_samples] if cond is not None else None
+                # conditioned previews can't exceed the cond rows available
+                # from the current micro-batch
+                n_prev = (min(args.n_samples, len(cond)) if cond is not None
+                          else args.n_samples)
                 samples = trainer.sample(
                     state, jax.random.PRNGKey(global_steps),
-                    n=args.n_samples, cond=cond,
-                    y=None if y_test is None else np.asarray(y_test),
+                    n=n_prev, cond=cond,
+                    y=None if y_test is None else np.asarray(y_test)[:n_prev],
                 )
                 img_path = os.path.join(args.dir, f"steps_{global_steps:08d}.png")
                 save_image_grid(np.asarray(samples), img_path,
-                                nrow=int(math.sqrt(args.n_samples)), data_range=data_range)
+                                nrow=max(int(math.sqrt(n_prev)), 1), data_range=data_range)
                 print(f"saving in {img_path}, epoch {epoch}")
                 if run is not None:
                     # wandb sample galleries (reference ddpm.py:502-539 log_images)
@@ -234,7 +257,7 @@ def main(args):
                 if cond is not None:
                     save_image_grid(np.asarray(cond[..., :3]),
                                     os.path.join(args.dir, f"steps_{global_steps:08d}_cond.png"),
-                                    nrow=int(math.sqrt(args.n_samples)), data_range=data_range)
+                                    nrow=max(int(math.sqrt(n_prev)), 1), data_range=data_range)
             if global_steps % args.save_every == 0:
                 save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step=global_steps)
 
@@ -243,6 +266,57 @@ def main(args):
     print(f"done: {global_steps} steps in {dt:.1f}s ({global_steps/max(dt,1e-9):.2f} steps/s)")
     if run is not None:
         run.finish()
+
+
+class _ImageBatches:
+    """Re-iterable image-batch view of a loader (the AE trainer cycles it)."""
+
+    def __init__(self, loader, limit=None):
+        self.loader, self.limit = loader, limit
+
+    def __iter__(self):
+        for j, b in enumerate(self.loader):
+            if self.limit is not None and j >= self.limit:
+                return
+            yield np.asarray(b["image"], np.float32)
+
+
+def _latent_first_stage(args, preset, inner, train_loader, ckpt_dir, cond_type):
+    """Acquire the first stage (load or train) and wrap the inner diffusion.
+
+    The reference receives its first stage pre-trained from CompVis configs
+    (ddpm.py:628-645 ``instantiate_from_config`` + frozen eval); with no
+    pretrained VAE available, latent presets train a small ConvAutoencoder
+    on the target dataset once and cache it under ``<ckpt_dir>/ae``.
+    """
+    import jax.numpy as jnp
+
+    from eo_diffusion_tpu.diffusion.latent import LatentDiffusion
+    from eo_diffusion_tpu.models.autoencoder import ConvAutoencoder
+    from eo_diffusion_tpu.train import ae_trainer as AET
+
+    ae_dir = args.ae_ckpt or os.path.join(ckpt_dir, "ae")
+    if AET.ae_exists(ae_dir):
+        print(f"loading first stage from {ae_dir}")
+        ae_model, ae_params, ae_scale = AET.load_ae(ae_dir)
+    else:
+        steps = args.ae_steps or preset.ae_steps
+        print(f"training first stage: {steps} steps -> {ae_dir}")
+        acfg = preset.ae_config()
+        ae_model = ConvAutoencoder(acfg)
+        ae_params, ae_scale, _ = AET.train_autoencoder(
+            ae_model, _ImageBatches(train_loader), jax.random.PRNGKey(args.seed),
+            steps=steps, lr=args.ae_lr, log_every=max(steps // 10, 1),
+        )
+        AET.save_ae(ae_dir, acfg, ae_params, ae_scale)
+        print(f"first stage saved (scale_factor {ae_scale:.4f})")
+    enc, dec = AET.make_codec(ae_model, ae_params)
+    assert cond_type != "sum", (
+        "latent presets do not support RePaint-'sum' conditioning: the mask "
+        "composite is pixel-space; use cond_type='concat' (encoded cond)"
+    )
+    return LatentDiffusion(inner, enc, dec, scale_factor=ae_scale,
+                           cond_via_encoder=True)
 
 
 def _to_model_batch(batch, cond_type):

@@ -559,6 +559,16 @@ class GaussianDiffusion:
         )
         return DiffusionOutput(x=x, intermediates=frames if log_every else None)
 
+    def dpm_sample(self, model_fn, rng, n_samples, **kw) -> "DiffusionOutput":
+        """DPM-Solver++(2M) sampling (``diffusion/dpm_solver.py``) as a method,
+        so all three samplers share the call surface (``ddpm_sample`` /
+        ``ddim_sample`` / ``dpm_sample``) and wrappers like
+        :class:`~eo_diffusion_tpu.diffusion.latent.LatentDiffusion` can route
+        uniformly."""
+        from eo_diffusion_tpu.diffusion.dpm_solver import dpm_solver_sample
+
+        return dpm_solver_sample(self, model_fn, rng, n_samples, **kw)
+
     # -- latent interpolation ------------------------------------------------
 
     def interpolate(

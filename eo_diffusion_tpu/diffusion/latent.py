@@ -8,7 +8,11 @@ decode back to pixels. Conditioning images ride the same encoder.
 Functional shape: :class:`LatentDiffusion` holds the inner
 :class:`GaussianDiffusion` (sized to the latent grid) plus ``encode_fn`` /
 ``decode_fn`` closures, so the same jitted samplers/trainers work unchanged
-on latents.
+on latents. It duck-types the ``GaussianDiffusion`` surface the
+:class:`~eo_diffusion_tpu.train.trainer.Trainer` touches (``train_loss``,
+``ddpm/ddim/dpm_sample``, ``cond_type``, ``in_channels``, ``image_size``),
+so ``Trainer(cfg, unet, latent_diffusion, ...)`` trains in latent space and
+its periodic previews decode to pixels automatically.
 """
 
 from __future__ import annotations
@@ -33,12 +37,35 @@ class LatentDiffusion:
     :param decode_fn: z -> x
     :param scale_factor: latent scaling (CompVis scale_factor; 1/std of
         latents keeps the SNR schedule calibrated).
+    :param cond_via_encoder: default for the per-call ``encode_cond`` --
+        ``True`` routes concat conditioning images through the first stage
+        (the CompVis cond-stage-is-first-stage mode, ddpm.py:954), which is
+        what the latent CLIs use; callers can still override per call.
     """
 
     diffusion: GaussianDiffusion
     encode_fn: Callable
     decode_fn: Callable
     scale_factor: float = 1.0
+    cond_via_encoder: bool = False
+
+    # -- GaussianDiffusion surface delegation (latent-space sizes) -----------
+
+    @property
+    def cond_type(self) -> Optional[str]:
+        return self.diffusion.cond_type
+
+    @property
+    def in_channels(self) -> int:
+        return self.diffusion.in_channels
+
+    @property
+    def image_size(self) -> int:
+        return self.diffusion.image_size
+
+    @property
+    def timesteps(self) -> int:
+        return self.diffusion.timesteps
 
     def encode(self, x: jax.Array) -> jax.Array:
         return self.encode_fn(x) * self.scale_factor
@@ -46,23 +73,33 @@ class LatentDiffusion:
     def decode(self, z: jax.Array) -> jax.Array:
         return self.decode_fn(z / self.scale_factor)
 
+    def _cond(self, cond, encode_cond: Optional[bool]):
+        ec = self.cond_via_encoder if encode_cond is None else encode_cond
+        return self.encode(cond) if (cond is not None and ec) else cond
+
     def train_loss(self, model_fn, rng, x0, cond: Optional[jax.Array] = None,
-                   y=None, encode_cond: bool = False):
+                   y=None, encode_cond: Optional[bool] = None):
         """Epsilon/x0/v loss in latent space; ``encode_cond=True`` passes the
         conditioning image through the first stage too (LatentDiffusion's
         concat-mode cond encoding, ddpm.py:954)."""
         z0 = self.encode(x0)
-        c = self.encode(cond) if (cond is not None and encode_cond) else cond
+        c = self._cond(cond, encode_cond)
         return self.diffusion.train_loss(model_fn, rng, z0, cond=c, y=y)
 
     def ddpm_sample(self, model_fn, rng, n_samples, cond=None, y=None,
-                    encode_cond: bool = False, **kw) -> DiffusionOutput:
-        c = self.encode(cond) if (cond is not None and encode_cond) else cond
+                    encode_cond: Optional[bool] = None, **kw) -> DiffusionOutput:
+        c = self._cond(cond, encode_cond)
         out = self.diffusion.ddpm_sample(model_fn, rng, n_samples, cond=c, y=y, **kw)
         return DiffusionOutput(x=self.decode(out.x), intermediates=out.intermediates)
 
     def ddim_sample(self, model_fn, rng, n_samples, cond=None, y=None,
-                    encode_cond: bool = False, **kw) -> DiffusionOutput:
-        c = self.encode(cond) if (cond is not None and encode_cond) else cond
+                    encode_cond: Optional[bool] = None, **kw) -> DiffusionOutput:
+        c = self._cond(cond, encode_cond)
         out = self.diffusion.ddim_sample(model_fn, rng, n_samples, cond=c, y=y, **kw)
+        return DiffusionOutput(x=self.decode(out.x))
+
+    def dpm_sample(self, model_fn, rng, n_samples, cond=None, y=None,
+                   encode_cond: Optional[bool] = None, **kw) -> DiffusionOutput:
+        c = self._cond(cond, encode_cond)
+        out = self.diffusion.dpm_sample(model_fn, rng, n_samples, cond=c, y=y, **kw)
         return DiffusionOutput(x=self.decode(out.x))

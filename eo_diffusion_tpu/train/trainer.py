@@ -244,10 +244,17 @@ class Trainer:
 
     def init(self, rng: jax.Array, sample_batch: dict) -> TrainState:
         x = jnp.asarray(sample_batch["image"][:1])
+        latent = hasattr(self.diffusion, "encode")  # LatentDiffusion duck-type
+        if latent:
+            # the UNet lives in latent space: init with encoded shapes
+            x = self.diffusion.encode(x)
         t = jnp.zeros((1,), jnp.int32)
         kwargs = {}
         if self.cfg.cond_type == "concat" and "cond" in sample_batch:
-            kwargs["cond"] = jnp.asarray(sample_batch["cond"][:1])
+            c = jnp.asarray(sample_batch["cond"][:1])
+            if latent and getattr(self.diffusion, "cond_via_encoder", False):
+                c = self.diffusion.encode(c)
+            kwargs["cond"] = c
         if self.cfg.num_classes > 0:
             kwargs["y"] = jnp.zeros((1,), jnp.int32)
         params = self.model.init(rng, x, t, **kwargs)
@@ -338,11 +345,10 @@ class Trainer:
                         clip=not self.cfg.no_clip, **kw,
                     ).x
                 if sampler == "dpm":
-                    from eo_diffusion_tpu.diffusion.dpm_solver import dpm_solver_sample
-
-                    return dpm_solver_sample(
-                        self.diffusion, model_fn, rng, n,
-                        num_steps=self.cfg.preview_steps,
+                    # method dispatch (not dpm_solver_sample directly) so
+                    # LatentDiffusion wrappers route through their decode
+                    return self.diffusion.dpm_sample(
+                        model_fn, rng, n, num_steps=self.cfg.preview_steps,
                         clip=not self.cfg.no_clip, **kw,
                     ).x
                 return self.diffusion.ddpm_sample(
