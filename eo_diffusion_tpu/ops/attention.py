@@ -26,18 +26,48 @@ and on non-TPU backends.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["fused_attention", "flash_attention", "xla_attention", "attention_from_qkv"]
+__all__ = ["fused_attention", "flash_attention", "xla_attention",
+           "attention_from_qkv", "head_sharded_attention"]
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 # test hook: run the kernel in the Pallas interpreter (CPU-correctness tests)
 _INTERPRET = False
+
+# trace-time tensor-parallel routing (set via head_sharded_attention): when
+# a (mesh, axis) pair is active, attention_from_qkv wraps the fused-qkv
+# Pallas kernel in jax.shard_map over the HEAD dim. GSPMD cannot partition a
+# Mosaic custom call, so without this the jit partitioner must all-gather
+# the full [B,3,H,T,D] activation around the kernel under TP
+# (parallel/mesh.py tp_param_specs efficiency note); heads are
+# embarrassingly parallel, so the shard_mapped kernel needs zero collectives.
+_TP_MESH = None
+
+
+@contextlib.contextmanager
+def head_sharded_attention(mesh, axis: str = "model"):
+    """Route the Pallas attention kernel through ``jax.shard_map`` over the
+    mesh ``axis`` (head-sharded) for any attention traced inside the context.
+
+    Enter this around the FIRST call of a jitted function (tracing time);
+    the routing is baked into the jaxpr, later calls need no context. The
+    Trainer does this automatically when ``TrainerConfig.tp`` is set.
+    Attention ops whose head count doesn't divide ``mesh.shape[axis]`` fall
+    back to the regular dispatch (GSPMD-partitioned XLA path).
+    """
+    global _TP_MESH
+    prev, _TP_MESH = _TP_MESH, (mesh, axis)
+    try:
+        yield
+    finally:
+        _TP_MESH = prev
 
 
 def _scale(d: int) -> float:
@@ -583,6 +613,26 @@ def attention_from_qkv(qkv: jax.Array, heads: int, new_order: bool = False,
             qkv5 = qkv.reshape(b, t, 3, heads, d).transpose(0, 2, 3, 1, 4)
         else:
             qkv5 = qkv.reshape(b, t, heads, 3, d).transpose(0, 3, 2, 1, 4)
+        if _TP_MESH is not None:
+            mesh, axis = _TP_MESH
+            size = dict(mesh.shape).get(axis, 1)
+            if size > 1 and heads % size == 0:
+                from jax.sharding import PartitionSpec as P
+
+                # heads are embarrassingly parallel: each shard runs the
+                # kernel on its local H/size heads with zero collectives
+                # (vs GSPMD all-gathering the whole [B,3,H,T,D] around the
+                # un-partitionable Mosaic custom call)
+                out = jax.shard_map(
+                    lambda x: _qkv5_flash(x, bq, bk),
+                    mesh=mesh,
+                    in_specs=P(None, None, axis, None, None),
+                    out_specs=P(None, axis, None, None),
+                    # pallas_call outputs carry no varying-mesh-axes
+                    # metadata; the specs above are the full contract
+                    check_vma=False,
+                )(qkv5)
+                return out.transpose(0, 2, 1, 3).reshape(b, t, c)
         out = _qkv5_flash(qkv5, bq, bk)  # [B, H, T, D]
         return out.transpose(0, 2, 1, 3).reshape(b, t, c)
     if new_order:

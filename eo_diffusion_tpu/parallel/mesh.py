@@ -98,11 +98,14 @@ def tp_param_specs(params, mesh: Mesh, axis: str = "model"):
     where collectives land.
 
     Efficiency note: the sharding propagates through the XLA attention path
-    (einsums contract over unsharded dims); the Pallas kernel is a custom
-    call the partitioner must all-gather around, so TP efficiency at long
-    sequences requires ``attn_impl="xla"`` or a shard_mapped kernel (future
-    work -- documented, not silently slow: the kernel only engages at
-    T>=512).
+    (einsums contract over unsharded dims). The Pallas kernel is a custom
+    call GSPMD cannot partition -- but under TP the Trainer activates
+    ``ops.attention.head_sharded_attention``, which shard_maps the kernel
+    over the HEAD axis (zero collectives; heads are embarrassingly
+    parallel). A virtual-mesh test asserts the compiled HLO contains no
+    all-gather/all-reduce around the kernel (test_ops.TestHeadShardedTP).
+    Head counts not divisible by the model axis fall back to the
+    GSPMD-partitioned XLA dispatch.
     """
     size = mesh.shape[axis]
     # attention input-projection layer names across the model families:

@@ -232,6 +232,18 @@ class Trainer:
         )
 
         self._step_fn = step_fn
+        # TP: route the Pallas attention kernel through a head-sharded
+        # shard_map at trace time (ops/attention.head_sharded_attention) --
+        # GSPMD cannot partition the Mosaic custom call and would otherwise
+        # all-gather the full attention activation around it
+        if cfg.tp:
+            from eo_diffusion_tpu.ops.attention import head_sharded_attention
+
+            self._attn_ctx = lambda: head_sharded_attention(self.mesh, "model")
+        else:
+            import contextlib
+
+            self._attn_ctx = contextlib.nullcontext
         self._batch_sharding = data_sharding(self.mesh)
         # the jitted step is built once state shapes are known (shard_state):
         # FSDP PartitionSpecs depend on the actual parameter shapes
@@ -309,7 +321,8 @@ class Trainer:
             state = self.shard_state(state)
         self._rng, step_rng = jax.random.split(self._rng)
         batch = jax.tree.map(jnp.asarray, batch)
-        return self._train_step(state, batch, step_rng)
+        with self._attn_ctx():  # effective at trace time only (first call)
+            return self._train_step(state, batch, step_rng)
 
     def current_lr(self, step: int) -> float:
         """LR at a given *micro*-step (table is indexed by optimizer step)."""
@@ -361,4 +374,5 @@ class Trainer:
         cond_j = None if cond is None else jnp.asarray(cond)
         y_j = None if y is None else jnp.asarray(y)
         p = state.ema_params if use_ema else state.params
-        return self._samplers[key](p, rng, cond_j, y_j)
+        with self._attn_ctx():  # effective at trace time only (first call)
+            return self._samplers[key](p, rng, cond_j, y_j)

@@ -239,3 +239,63 @@ class TestSinglePassKernel:
                       argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gf, gx):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestHeadShardedTP:
+    """TP routing for the Pallas kernel (VERDICT r2 #4 / ADVICE r2 medium):
+    under head_sharded_attention the fused-qkv kernel runs shard_mapped over
+    the head axis with ZERO collectives -- no GSPMD all-gather of the full
+    [B,3,H,T,D] activation around the Mosaic custom call."""
+
+    def _qkv_flat(self, b=1, t=512, h=4, d=16):
+        rng = np.random.default_rng(0)
+        return jnp.asarray(rng.normal(size=(b, t, 3 * h * d)), jnp.float32), h
+
+    def test_matches_xla_with_zero_collectives(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+
+        qkv, h = self._qkv_flat()
+        mesh = make_mesh(data=jax.device_count() // 2, model=2)
+        ref = A.attention_from_qkv(qkv, h, impl="xla")
+
+        # legacy head-major channel layout: sharding the last dim over
+        # 'model' IS a contiguous head sharding (what the Megatron
+        # column-parallel qkv projection produces, mesh.tp_param_specs)
+        shd = NamedSharding(mesh, P(None, None, "model"))
+        f = lambda x: A.attention_from_qkv(x, h, impl="pallas")
+        with A.head_sharded_attention(mesh, "model"):
+            lowered = jax.jit(f, in_shardings=shd, out_shardings=shd).lower(qkv)
+        compiled = lowered.compile()
+        out = compiled(jax.device_put(qkv, shd))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+        hlo = compiled.as_text()
+        for coll in ("all-gather", "all-to-all", "collective-permute", "all-reduce"):
+            assert coll not in hlo, f"TP attention emitted a {coll}"
+
+    def test_indivisible_heads_fall_back(self):
+        """3 heads on a model=2 axis: routing declines, plain dispatch runs."""
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+
+        qkv, _ = self._qkv_flat(h=4)
+        qkv = qkv[..., : 3 * 3 * 16]  # 3 heads of d=16
+        mesh = make_mesh(data=jax.device_count() // 2, model=2)
+        ref = A.attention_from_qkv(qkv, 3, impl="xla")
+        with A.head_sharded_attention(mesh, "model"):
+            out = jax.jit(lambda x: A.attention_from_qkv(x, 3, impl="pallas"))(qkv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_gradients_through_sharded_kernel(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+
+        qkv, h = self._qkv_flat(t=256)
+        mesh = make_mesh(data=jax.device_count() // 2, model=2)
+        gx = jax.grad(lambda x: jnp.sum(A.attention_from_qkv(x, h, impl="xla") ** 2))(qkv)
+        loss = lambda x: jnp.sum(A.attention_from_qkv(x, h, impl="pallas") ** 2)
+        with A.head_sharded_attention(mesh, "model"):
+            gp = jax.jit(jax.grad(loss))(qkv)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-3)
