@@ -357,6 +357,73 @@ def _resident_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         dk_ref[...] = dk_ref[...] * scale
 
 
+def _resident_bwd_kernel_tpv(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                             dq_ref, dk_ref, dv_ref, *,
+                             t_real: int, block_k: int, nq: int, scale: float):
+    """Transposed-output variant of :func:`_resident_bwd_kernel` for D < 128.
+
+    Three of the backward's five matmuls produce D-wide outputs (dq, dk, dv)
+    and pad N=D to the 128-lane MXU tile -- 2.67x pass waste at D=48.
+    Emitting them transposed ([D, bq] / [D, bk]) puts D on the sublane-
+    granular row-stream dim instead (same trick as the forward's
+    ``_qkv_layout_kernel_tpv``; measured matmul shapes in
+    tools/probe_attn_matmuls.py). Inputs arrive UNPADDED (D lanes, handled
+    natively by Mosaic); dk/dv accumulate in their transposed f32 output
+    blocks across the sequential q axis exactly like the base kernel.
+    """
+    iq = pl.program_id(1)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[0]            # [bq, d] (pre-scaled)
+    do = do_ref[0]          # [bq, d]
+    lse = lse_ref[0][:, :1]  # [bq, 1] f32
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=1, keepdims=True,
+    )  # [bq, 1]
+
+    t_pad = k_ref.shape[1]
+    dqT = jnp.zeros((q.shape[1], q.shape[0]), jnp.float32)  # [d, bq]
+    for j in range(t_pad // block_k):  # static unroll
+        k = k_ref[0, j * block_k:(j + 1) * block_k]  # [bk, d] (pre-scaled)
+        v = v_ref[0, j * block_k:(j + 1) * block_k]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        if (j + 1) * block_k > t_real:  # mask padded KV columns (tail chunk)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+            s = jnp.where(col < t_real, s, _MASK_VALUE)
+        p = jnp.exp(s - lse)  # [bq, bk] f32
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        ds = p * (dp - delta)
+        p_b = p.astype(v.dtype)
+        ds_b = ds.astype(q.dtype)
+        # dq^T = k^T ds^T : contract bk -> [d, bq]
+        dqT = dqT + jax.lax.dot_general(
+            k, ds_b, (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dv^T = do^T p : contract bq -> [d, bk]
+        dv_ref[0, :, j * block_k:(j + 1) * block_k] += jax.lax.dot_general(
+            do, p_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dk^T = q^T ds : contract bq -> [d, bk]
+        dk_ref[0, :, j * block_k:(j + 1) * block_k] += jax.lax.dot_general(
+            q, ds_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq_ref[0] = (dqT * scale).astype(dq_ref.dtype)
+
+    @pl.when(iq == nq - 1)
+    def _scale_dk():
+        dk_ref[...] = dk_ref[...] * scale
+
+
 def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int = _BWD_BLOCK_K):
     """Pallas flash backward. q/k/v/o/g: [B,T,H,D]; lse: [B*H, T_pad_q, 128]
     (the forward's saved row statistics, padded with the SAME block_q).
@@ -368,7 +435,10 @@ def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int = _BWD_BLOCK_
     qf, kf, vf = fold(q * s), fold(k * s), fold(v)
     of, gf = fold(o), fold(g)
 
-    d_pad = max(128, -(-d // 128) * 128)
+    # transposed-output grad kernel whenever D pads the 128-lane tile (see
+    # _resident_bwd_kernel_tpv): inputs stay UNPADDED on the lane dim
+    tpv = d < 128 and d % 16 == 0
+    d_pad = d if tpv else max(128, -(-d // 128) * 128)
     bq = min(block_q, -(-t // 8) * 8)
     t_pad_q = -(-t // bq) * bq
     nq = t_pad_q // bq
@@ -383,10 +453,27 @@ def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int = _BWD_BLOCK_
 
     q_spec = pl.BlockSpec((1, bq, d_pad), lambda bi, iq: (bi, iq, 0))
     kv_spec = pl.BlockSpec((1, t_pad_k, d_pad), lambda bi, iq: (bi, 0, 0))
+    if tpv:
+        dq_spec = pl.BlockSpec((1, d_pad, bq), lambda bi, iq: (bi, 0, iq))
+        dkv_spec = pl.BlockSpec((1, d_pad, t_pad_k), lambda bi, iq: (bi, 0, 0))
+        out_specs = [dq_spec, dkv_spec, dkv_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((b * h, d_pad, t_pad_q), q.dtype),
+            jax.ShapeDtypeStruct((b * h, d_pad, t_pad_k), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, d_pad, t_pad_k), jnp.float32),
+        ]
+        kern = _resident_bwd_kernel_tpv
+    else:
+        out_specs = [q_spec, kv_spec, kv_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((b * h, t_pad_q, d_pad), q.dtype),
+            # dk/dv double as the cross-q-tile accumulators: f32
+            jax.ShapeDtypeStruct((b * h, t_pad_k, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t_pad_k, d_pad), jnp.float32),
+        ]
+        kern = _resident_bwd_kernel
     dq, dk, dv = pl.pallas_call(
-        functools.partial(
-            _resident_bwd_kernel, t_real=t, block_k=bk, nq=nq, scale=sc
-        ),
+        functools.partial(kern, t_real=t, block_k=bk, nq=nq, scale=sc),
         grid=(b * h, nq),
         in_specs=[
             q_spec,  # q
@@ -396,18 +483,17 @@ def _flash_bwd_impl(q, k, v, o, lse, g, block_q: int, block_k: int = _BWD_BLOCK_
             q_spec,  # o
             pl.BlockSpec((1, bq, 128), lambda bi, iq: (bi, iq, 0)),  # lse
         ],
-        out_specs=[q_spec, kv_spec, kv_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, t_pad_q, d_pad), q.dtype),
-            # dk/dv double as the cross-q-tile accumulators: f32
-            jax.ShapeDtypeStruct((b * h, t_pad_k, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, t_pad_k, d_pad), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=None if _INTERPRET else _compiler_params(two_d=True),
         interpret=_INTERPRET,
     )(qf, kf, vf, gf, of, lse)
 
-    unfold = lambda x: x[:, :t, :d].reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    if tpv:
+        # outputs arrive [B*H, D, T]; one permute back to [B, T, H, D]
+        unfold = lambda x: x[:, :, :t].reshape(b, h, d, t).transpose(0, 3, 1, 2)
+    else:
+        unfold = lambda x: x[:, :t, :d].reshape(b, h, t, d).transpose(0, 2, 1, 3)
     return unfold(dq), unfold(dk).astype(k.dtype), unfold(dv).astype(v.dtype)
 
 
@@ -507,6 +593,57 @@ def _qkv_layout_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
         lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _qkv_layout_kernel_tpv(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
+                           block_k: int, scale: float):
+    """Transposed-PV variant of :func:`_qkv_layout_kernel` for D < 128.
+
+    The PV matmul pads its N=D output lanes to the 128-lane MXU tile --
+    2.67x pass waste at the clouds D=48 (measured: PV [512,2048]x[2048,48]
+    costs exactly the same 2.50 ms as D=128, tools/probe_attn_matmuls.py).
+    Computing it transposed, ``accT[D, bq] = v^T-contract-p``, puts D on the
+    row-stream dim (sublane-granular, 48 streams, no padding): 1.52 ms
+    isolated, core 3.92 -> 3.66 ms (tools/probe_softmax_orient.py). The
+    softmax stays in the fast lane orientation; the output block is written
+    [D, block_q] into a [B, H, D, T] tensor -- the caller's existing
+    [.., T, D] -> [B, T, H, D] epilogue permute becomes a [.., D, T] permute
+    of the same cost. Cross-head lane packing was measured OUT: a shared-p
+    96-lane PV costs the same 2.49 ms as 48 (the padding quantum is the full
+    128-lane tile), and p is head-specific so real packing is impossible.
+    """
+    q = q_ref[0, 0, 0] * scale  # [block_q, D]
+    t_pad = k_ref.shape[3]
+    m = l = accT = None
+    for j in range(t_pad // block_k):  # static unroll
+        k = k_ref[0, 0, 0, j * block_k:(j + 1) * block_k] * scale
+        v = v_ref[0, 0, 0, j * block_k:(j + 1) * block_k]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        m_c = jnp.max(s, axis=1, keepdims=True)
+        if m is None:
+            m_n = m_c
+            p = jnp.exp(s - m_n)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            accT = jax.lax.dot_general(
+                v, p.astype(v.dtype).T, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [D, bq]
+        else:
+            m_n = jnp.maximum(m, m_c)
+            alpha = jnp.exp(m - m_n)
+            p = jnp.exp(s - m_n)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            accT = accT * alpha.T + jax.lax.dot_general(
+                v, p.astype(v.dtype).T, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        m = m_n
+    o_ref[0, 0] = (accT / l.T).astype(o_ref.dtype)  # [D, block_q]
+    if lse_ref is not None:
+        lse = jnp.where(l == 0.0, -_MASK_VALUE, m + jnp.log(jnp.maximum(l, 1e-37)))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
 def _qkv5_ref_attention(qkv5: jax.Array) -> jax.Array:
     """XLA reference for the fused-layout kernel: [B,3,H,T,D] -> [B,H,T,D]."""
     q = qkv5[:, 0].transpose(0, 2, 1, 3)
@@ -526,8 +663,17 @@ def _qkv5_fwd_impl(qkv5, block_q: int, block_k: int, return_lse: bool = False):
         f"fused-qkv kernel requires T <= {_MAX_RESIDENT_KV}, got {t}; use "
         "attention_from_qkv (which falls back to the grid-tiled kernel)"
     )
-    out_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, iq: (bi, hi, iq, 0))
-    out_shape = jax.ShapeDtypeStruct((b, h, t, d), qkv5.dtype)
+    # transposed-PV variant whenever the head dim pads 128 output lanes and
+    # satisfies the bf16 sublane tile (see _qkv_layout_kernel_tpv): +7% core
+    tpv = d < 128 and d % 16 == 0
+    if tpv:
+        kern = _qkv_layout_kernel_tpv
+        out_spec = pl.BlockSpec((1, 1, d, block_q), lambda bi, hi, iq: (bi, hi, 0, iq))
+        out_shape = jax.ShapeDtypeStruct((b, h, d, t), qkv5.dtype)
+    else:
+        kern = _qkv_layout_kernel
+        out_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, iq: (bi, hi, iq, 0))
+        out_shape = jax.ShapeDtypeStruct((b, h, t, d), qkv5.dtype)
     if return_lse:
         out_spec = [out_spec,
                     pl.BlockSpec((1, 1, block_q, 128),
@@ -535,7 +681,7 @@ def _qkv5_fwd_impl(qkv5, block_q: int, block_k: int, return_lse: bool = False):
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, h, t, 128), jnp.float32)]
     out = pl.pallas_call(
-        functools.partial(_qkv_layout_kernel, block_k=block_k, scale=_scale(d)),
+        functools.partial(kern, block_k=block_k, scale=_scale(d)),
         grid=(b, h, t // block_q),
         in_specs=[
             pl.BlockSpec((1, 1, 1, block_q, d), lambda bi, hi, iq: (bi, 0, hi, iq, 0)),
@@ -547,6 +693,13 @@ def _qkv5_fwd_impl(qkv5, block_q: int, block_k: int, return_lse: bool = False):
         compiler_params=None if _INTERPRET else _compiler_params(),
         interpret=_INTERPRET,
     )(qkv5, qkv5, qkv5)
+    if tpv:
+        # restore the [B, H, T, D] contract; this permute fuses with the
+        # caller's [B,H,T,D] -> [B,T,H,D] epilogue into one copy
+        if return_lse:
+            o, lse = out
+            return o.transpose(0, 1, 3, 2), lse
+        return out.transpose(0, 1, 3, 2)
     return out
 
 

@@ -299,3 +299,42 @@ class TestHeadShardedTP:
         with A.head_sharded_attention(mesh, "model"):
             gp = jax.jit(jax.grad(loss))(qkv)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-3)
+
+
+class TestFullLaneHeadDim:
+    """D=128 takes the non-transposed kernels (no lane padding to dodge);
+    keep that path covered now D<128 routes through the tpv variants."""
+
+    def test_fwd_and_grads_at_d128(self):
+        q, k, v = _qkv(b=1, t=64, h=2, d=128)
+        ref = A.xla_attention(q, k, v)
+        out = A.flash_attention(q, k, v, 32, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+        gf = jax.grad(lambda q, k, v: jnp.sum(A.flash_attention(q, k, v, 32, 32) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(lambda q, k, v: jnp.sum(A.xla_attention(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+    def test_qkv5_fwd_at_d128(self):
+        rng = np.random.default_rng(0)
+        qkv5 = jnp.asarray(rng.normal(size=(1, 3, 2, 64, 128)), jnp.float32)
+        ref = A._qkv5_ref_attention(qkv5)
+        out = A._qkv5_flash(qkv5, 32, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_qkv5_fwd_at_d48(self):
+        """The clouds head dim: tpv path, numerics vs XLA."""
+        rng = np.random.default_rng(1)
+        qkv5 = jnp.asarray(rng.normal(size=(1, 3, 2, 64, 48)), jnp.float32)
+        ref = A._qkv5_ref_attention(qkv5)
+        out = A._qkv5_flash(qkv5, 32, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_qkv5_grad_at_d48(self):
+        rng = np.random.default_rng(2)
+        qkv5 = jnp.asarray(rng.normal(size=(1, 3, 2, 64, 48)), jnp.float32)
+        gp = jax.grad(lambda x: jnp.sum(A._qkv5_flash(x, 32, 32) ** 2))(qkv5)
+        gx = jax.grad(lambda x: jnp.sum(A._qkv5_ref_attention(x) ** 2))(qkv5)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-3)
