@@ -32,11 +32,11 @@ SHAPES = [  # (H, Cin, Cout): clouds UNet levels at 256px
 
 
 def conv(x, w):
+    # plain bf16 conv, matching what flax Conv(dtype=bf16) emits in the UNet
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def timed(g, *args):
