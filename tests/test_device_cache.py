@@ -22,10 +22,19 @@ def cache():
 
 class TestDeviceDataCache:
     def test_store_dtype_policy(self, cache):
+        # default store is float32 (training numerics match the host loader;
+        # advisor r2) -- bf16 halving is an explicit opt-in
         c, _ = cache
-        assert c.tensors["image"].dtype == jnp.bfloat16
+        assert c.tensors["image"].dtype == jnp.float32
         assert c.tensors["label"].dtype == jnp.int32
-        assert c.nbytes() == 32 * 8 * 8 * 3 * 2 * 2 + 32 * 4
+        assert c.nbytes() == 32 * 8 * 8 * 3 * 4 * 2 + 32 * 4
+
+    def test_bf16_store_optin(self):
+        imgs = np.random.default_rng(1).normal(size=(4, 8, 8, 3)).astype(np.float32)
+        c = DeviceDataCache({"image": imgs}, store_dtype=jnp.bfloat16)
+        assert c.tensors["image"].dtype == jnp.bfloat16
+        b = c.sample_batch(jax.random.PRNGKey(0), 2)
+        assert b["image"].dtype == jnp.float32  # compute dtype unchanged
 
     def test_batch_shapes_and_dtype(self, cache):
         c, _ = cache
@@ -38,10 +47,10 @@ class TestDeviceDataCache:
         c, imgs = cache
         b = c.sample_batch(jax.random.PRNGKey(1), 4, augment_flips=False)
         got = np.asarray(b["image"], np.float32)
-        # bf16 storage: compare with tolerance against the f32 originals
+        # f32 storage: rows must match the originals exactly
         labels = np.asarray(b["label"])
         for row, lab in zip(got, labels):
-            np.testing.assert_allclose(row, imgs[int(lab)], atol=2e-2)
+            np.testing.assert_array_equal(row, imgs[int(lab)])
 
     def test_flips_stay_joint(self, cache):
         c, _ = cache
