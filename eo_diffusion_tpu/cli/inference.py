@@ -48,8 +48,14 @@ def parse_args(argv=None):
     parser.add_argument("--num_classes", type=int, default=0)
     parser.add_argument("--cond_type", type=str, default=None)
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm"],
-                        help="dpm = DPM-Solver++(2M) second-order multistep sampler")
+                        choices=["ddpm", "ddim", "dpm", "flow"],
+                        help="dpm = DPM-Solver++(2M) second-order multistep "
+                             "sampler; flow = Euler ODE integration (only for "
+                             "flow-process presets, which force it)")
+    parser.add_argument("--flow_method", type=str, default="euler",
+                        choices=["euler", "heun"],
+                        help="flow sampler integrator (heun = 2nd order, "
+                             "2 model calls/step)")
     parser.add_argument("--samples_fid", action="store_true")
     parser.add_argument("--deepcache", type=int, default=1, metavar="K",
                         help="DeepCache (arXiv 2312.00858): recompute the deep "
@@ -105,10 +111,8 @@ def _build_cond(batch, cond_type, image_size, random_label=False, mask_rng=None)
 def main(args):
     import jax.numpy as jnp
 
-    from eo_diffusion_tpu.cli.presets import get_preset
+    from eo_diffusion_tpu.cli.presets import build_denoiser, build_process, get_preset
     from eo_diffusion_tpu.data.factories import DATASET_FACTORIES
-    from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
-    from eo_diffusion_tpu.models.unet import UNet
     from eo_diffusion_tpu.utils import metrics as M
     from eo_diffusion_tpu.utils.images import rescale_to_unit, save_image_grid
 
@@ -146,15 +150,16 @@ def main(args):
     # latent presets: concat cond is first-stage-encoded -> latent_channels
     cond_channels = ((preset.latent_channels if preset.is_latent
                       else peek_cond.shape[-1]) if has_cond else 0)
-    ucfg = preset.unet_config(num_classes=num_classes, bf16=not args.no_bf16,
-                              cond_channels=cond_channels)
-    model = UNet(ucfg)
-    diffusion = GaussianDiffusion.create(
-        timesteps=timesteps,
-        image_size=preset.latent_size if preset.is_latent else image_size,
-        in_channels=preset.latent_channels if preset.is_latent else preset.in_channels,
-        cond_type=cond_type,
-    )
+    ucfg = preset.model_config(num_classes=num_classes, bf16=not args.no_bf16,
+                               cond_channels=cond_channels)
+    model = build_denoiser(ucfg)
+    diffusion = build_process(preset, timesteps, image_size, cond_type=cond_type)
+    if preset.process == "flow" and args.sampler != "flow":
+        print(f"preset {preset.name} is a flow process; using --sampler flow")
+        args.sampler = "flow"
+    assert args.deepcache <= 1 or preset.backbone == "unet", (
+        "DeepCache caches the UNet's deep/shallow split; the DiT backbone "
+        "has no resolution ladder to split")
     if preset.is_latent:
         from eo_diffusion_tpu.diffusion.latent import LatentDiffusion
         from eo_diffusion_tpu.train import ae_trainer as AET
@@ -247,7 +252,16 @@ def main(args):
                 example_cond=ex_cond,
                 refresh_every=args.deepcache,
             )
-        if args.sampler == "dpm":
+        if args.sampler == "flow":
+            out = diffusion.sample(
+                fn_j, srng, bsz, num_steps=args.sampler_steps,
+                method=args.flow_method,
+                cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
+                y=jnp.asarray(y) if y is not None else None,
+                model_state=st0,
+            )
+            samples = np.asarray(out.x, np.float32)
+        elif args.sampler == "dpm":
             mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
             out = diffusion.dpm_sample(
                 fn_j, srng, bsz, num_steps=args.sampler_steps,

@@ -43,6 +43,15 @@ class Preset:
     latent_channels: int = 4
     ae_base_dim: int = 64
     ae_steps: int = 2000  # default first-stage training budget (cli/train.py)
+    # beyond-reference axes: backbone family and training process.
+    # backbone "dit" selects models/dit.DiT (base_dim becomes the hidden
+    # size, depth the block count, patch_size the patchify stride);
+    # process "flow" trains/samples with diffusion/flow.FlowMatching
+    # (rectified flow) instead of the DDPM chain.
+    backbone: str = "unet"  # "unet" | "dit"
+    patch_size: int = 4
+    depth: int = 12
+    process: str = "ddpm"  # "ddpm" | "flow"
 
     @property
     def is_latent(self) -> bool:
@@ -66,6 +75,30 @@ class Preset:
             num_res_blocks=self.num_res_blocks,
             attention_resolutions=self.attention_resolutions,
             channel_mult=self.dim_mults,
+            num_heads=self.num_heads,
+            num_classes=num_classes if num_classes else (self.num_classes or None),
+            dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        )
+
+    def model_config(self, num_classes: Optional[int] = None, bf16: bool = True,
+                     cond_channels: int = 0):
+        """Backbone config for the preset's model family: UNetConfig for
+        "unet", DiTConfig for "dit" (base_dim -> hidden size)."""
+        if self.backbone == "unet":
+            return self.unet_config(num_classes=num_classes, bf16=bf16,
+                                    cond_channels=cond_channels)
+        assert self.backbone == "dit", self.backbone
+        from eo_diffusion_tpu.models.dit import DiTConfig
+
+        size = self.latent_size if self.is_latent else self.image_size
+        chans = self.latent_channels if self.is_latent else self.in_channels
+        return DiTConfig(
+            image_size=size,
+            in_channels=chans + cond_channels,
+            out_channels=chans,
+            patch_size=self.patch_size,
+            hidden_size=self.base_dim,
+            depth=self.depth,
             num_heads=self.num_heads,
             num_classes=num_classes if num_classes else (self.num_classes or None),
             dtype=jnp.bfloat16 if bf16 else jnp.float32,
@@ -119,6 +152,20 @@ PRESETS = {
                           timesteps=50, batch_size=16,
                           latent_downs=1, latent_channels=4, ae_base_dim=16,
                           ae_steps=60),
+    # beyond-reference: DiT-S/4 transformer denoiser at 64px (256 tokens,
+    # head dim 64 -- native tile shapes for the fused attention kernel)
+    "dit64": Preset("dit64", "synthetic", 64, 3, 384, (), (), 0, 6,
+                    batch_size=64, backbone="dit", patch_size=4, depth=12),
+    # beyond-reference: rectified-flow training on the synthetic64 UNet
+    # (samples in 8-32 Euler/Heun steps, no beta schedule)
+    "flow64": Preset("flow64", "synthetic", 64, 3, 64, (1, 2, 3, 4), (4, 8), 1, 4,
+                     batch_size=64, process="flow"),
+    # CI / CPU smoke configs for the two new axes
+    "tiny-dit": Preset("tiny-dit", "synthetic", 16, 3, 64, (), (), 0, 4,
+                       timesteps=50, batch_size=16,
+                       backbone="dit", patch_size=4, depth=2),
+    "tiny-flow": Preset("tiny-flow", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
+                        batch_size=16, process="flow"),
 }
 
 
@@ -126,3 +173,38 @@ def get_preset(name: str) -> Preset:
     if name not in PRESETS:
         raise ValueError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
     return dataclasses.replace(PRESETS[name])
+
+
+def build_denoiser(model_cfg):
+    """Instantiate the backbone for a config built by Preset.model_config."""
+    from eo_diffusion_tpu.models.dit import DiT, DiTConfig
+    from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+
+    if isinstance(model_cfg, DiTConfig):
+        return DiT(model_cfg)
+    assert isinstance(model_cfg, UNetConfig), type(model_cfg)
+    return UNet(model_cfg)
+
+
+def build_process(preset: Preset, timesteps: int, image_size: int,
+                  cond_type=None):
+    """Diffusion/flow process for the preset (the model-facing grid is the
+    latent grid for latent presets)."""
+    size = preset.latent_size if preset.is_latent else image_size
+    chans = preset.latent_channels if preset.is_latent else preset.in_channels
+    if preset.process == "flow":
+        from eo_diffusion_tpu.diffusion.flow import FlowMatching
+
+        assert not preset.is_latent, (
+            "flow presets compose with latent spaces via FlowMatching + a "
+            "codec wrapper; not wired in the CLI yet")
+        assert cond_type != "sum", (
+            "RePaint-'sum' masking is a DDPM-chain mechanism; flow presets "
+            "support cond_type=None/'concat'")
+        return FlowMatching.create(image_size=size, in_channels=chans,
+                                   cond_type=cond_type)
+    assert preset.process == "ddpm", preset.process
+    from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+
+    return GaussianDiffusion.create(timesteps=timesteps, image_size=size,
+                                    in_channels=chans, cond_type=cond_type)

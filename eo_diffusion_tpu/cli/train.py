@@ -68,7 +68,7 @@ def parse_args(argv=None):
     parser.add_argument("--sample_every", type=int, default=1000)
     parser.add_argument("--save_every", type=int, default=1000)
     parser.add_argument("--preview_sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm"],
+                        choices=["ddpm", "ddim", "dpm", "flow"],
                         help="sampler for the periodic training previews "
                              "(ddpm = reference parity, full T-step chain; "
                              "ddim/dpm cut a 256px preview from ~7 min to "
@@ -105,10 +105,8 @@ def parse_args(argv=None):
 
 
 def main(args):
-    from eo_diffusion_tpu.cli.presets import get_preset
+    from eo_diffusion_tpu.cli.presets import build_denoiser, build_process, get_preset
     from eo_diffusion_tpu.data.factories import DATASET_FACTORIES
-    from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
-    from eo_diffusion_tpu.models.unet import UNet
     from eo_diffusion_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
     from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
     from eo_diffusion_tpu.utils.images import save_image_grid
@@ -149,19 +147,17 @@ def main(args):
     # sees latent_channels of conditioning, not the pixel cond width
     cond_channels = ((preset.latent_channels if preset.is_latent
                       else batch0["cond"].shape[-1]) if has_cond else 0)
-    ucfg = preset.unet_config(num_classes=num_classes, bf16=not args.no_bf16,
-                              cond_channels=cond_channels)
-    model = UNet(ucfg)
-    diffusion = GaussianDiffusion.create(
-        timesteps=timesteps,
-        image_size=preset.latent_size if preset.is_latent else image_size,
-        in_channels=preset.latent_channels if preset.is_latent else preset.in_channels,
-        cond_type=cond_type,
-    )
+    mcfg = preset.model_config(num_classes=num_classes, bf16=not args.no_bf16,
+                               cond_channels=cond_channels)
+    model = build_denoiser(mcfg)
+    diffusion = build_process(preset, timesteps, image_size, cond_type=cond_type)
     if preset.is_latent:
         diffusion = _latent_first_stage(args, preset, diffusion, train_loader,
                                         ckpt_dir, cond_type)
 
+    # flow presets sample by ODE integration; the DDPM-chain previews don't
+    # apply (FlowMatching has no ddpm/ddim/dpm samplers)
+    preview_sampler = "flow" if preset.process == "flow" else args.preview_sampler
     tcfg = TrainerConfig(
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
         timesteps=timesteps, model_ema_steps=args.model_ema_steps,
@@ -171,7 +167,7 @@ def main(args):
         ckpt_dir=ckpt_dir,
         sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
         grad_clip=args.grad_clip,
-        preview_sampler=args.preview_sampler, preview_steps=args.preview_steps,
+        preview_sampler=preview_sampler, preview_steps=args.preview_steps,
     )
     trainer = Trainer(tcfg, model, diffusion, steps_per_epoch)
 

@@ -1,0 +1,171 @@
+"""Flow matching / rectified flow (beyond-reference training objective).
+
+The reference trains only DDPM epsilon-MSE (diffusion/model.py:38-44). This
+module adds the continuous-time objective of Lipman et al. ("Flow Matching
+for Generative Modeling", arXiv:2210.02747) / Liu et al. rectified flow
+(arXiv:2209.03003), the formulation production systems (SD3, Flux) have
+moved to: a straight-line probability path
+
+    x_t = (1 - t) * x0 + t * eps,   t in [0, 1]
+
+with the network regressing the constant velocity ``v = eps - x0``. Sampling
+integrates the ODE ``dx/dt = v(x, t)`` from t=1 (noise) to t=0 (data) with
+Euler or Heun steps — typically 8-32 model calls, no schedule tables at all.
+
+API mirrors ``GaussianDiffusion`` (same ``train_loss`` signature for
+``train.trainer.make_train_step``, same ``DiffusionOutput`` + CFG /
+stateful-model / ``log_every`` sampler surface), so the Trainer, DeepCache
+and the CLIs compose without new plumbing. Timesteps are fed to the model
+scaled by ``time_scale`` so the sinusoidal ``timestep_embedding`` operates
+in the same numeric range the backbones were designed for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from eo_diffusion_tpu.diffusion.gaussian import DiffusionOutput, _log_frame
+
+__all__ = ["FlowMatching"]
+
+VelocityFn = Callable[..., jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowMatching:
+    """Rectified-flow process over [0, 1] with straight-line paths."""
+
+    image_size: int
+    in_channels: int
+    cond_type: Optional[str] = None  # None | "concat" (cond passed to model)
+    time_scale: float = 1000.0  # model-facing t = t * time_scale
+    # SD3-style logit-normal time sampling concentrates training where the
+    # task is hardest (mid-path); "uniform" is the plain FM objective.
+    time_sampling: str = "uniform"  # "uniform" | "logit_normal"
+    logit_norm_scale: float = 1.0
+
+    @classmethod
+    def create(cls, image_size: int = 64, in_channels: int = 3,
+               cond_type: Optional[str] = None, **kw) -> "FlowMatching":
+        return cls(image_size=image_size, in_channels=in_channels,
+                   cond_type=cond_type, **kw)
+
+    # -- training -----------------------------------------------------------
+
+    def _sample_t(self, rng: jax.Array, n: int) -> jax.Array:
+        if self.time_sampling == "logit_normal":
+            z = jax.random.normal(rng, (n,), jnp.float32) * self.logit_norm_scale
+            return jax.nn.sigmoid(z)
+        assert self.time_sampling == "uniform", self.time_sampling
+        return jax.random.uniform(rng, (n,), jnp.float32)
+
+    def train_loss(
+        self,
+        model_fn: VelocityFn,
+        rng: jax.Array,
+        x0: jax.Array,
+        cond: Optional[jax.Array] = None,
+        y: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Conditional flow-matching MSE: ||model(x_t, t) - (eps - x0)||^2."""
+        t_rng, n_rng = jax.random.split(rng)
+        n = x0.shape[0]
+        t = self._sample_t(t_rng, n)
+        eps = jax.random.normal(n_rng, x0.shape, jnp.float32)
+        x0f = x0.astype(jnp.float32)
+        tb = t[:, None, None, None]
+        x_t = (1.0 - tb) * x0f + tb * eps
+        target = eps - x0f
+        pred = model_fn(x_t.astype(x0.dtype), t * self.time_scale, cond, y)
+        return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
+
+    # -- sampling -----------------------------------------------------------
+
+    def sample(
+        self,
+        model_fn: VelocityFn,
+        rng: jax.Array,
+        n_samples: int,
+        num_steps: int = 32,
+        method: str = "euler",  # "euler" | "heun"
+        cond: Optional[jax.Array] = None,
+        y: Optional[jax.Array] = None,
+        x_T: Optional[jax.Array] = None,
+        guidance_scale: float = 1.0,
+        uncond: Optional[jax.Array] = None,
+        y_uncond: Optional[jax.Array] = None,
+        log_every: Optional[int] = None,
+        dtype=jnp.float32,
+        model_state: Any = None,
+    ) -> DiffusionOutput:
+        """Integrate the velocity ODE from t=1 to t=0 in one ``lax.scan``.
+
+        Heun (2nd-order) halves the step-count needed for a given error at
+        2 model calls/step; with CFG, cond/uncond ride one doubled batch
+        exactly like ``GaussianDiffusion.ddim_sample``.
+        """
+        assert method in ("euler", "heun"), method
+        shape = (n_samples, self.image_size, self.image_size, self.in_channels)
+        x = (x_T.astype(jnp.float32) if x_T is not None
+             else jax.random.normal(rng, shape, jnp.float32))
+
+        # uniform grid t_i: 1 -> 0 inclusive (num_steps intervals)
+        ts = jnp.linspace(1.0, 0.0, num_steps + 1)
+        use_ccfg = uncond is not None and guidance_scale != 1.0
+        use_ycfg = (not use_ccfg) and y_uncond is not None and guidance_scale != 1.0
+        stateful = model_state is not None
+        n_frames = -(-num_steps // log_every) if log_every else 0
+
+        def call_model(xx, t_scalar, st, i):
+            tt = jnp.full((xx.shape[0],), t_scalar * self.time_scale, jnp.float32)
+            if use_ccfg:
+                x_in = jnp.concatenate([xx, xx], axis=0)
+                t_in = jnp.concatenate([tt, tt], axis=0)
+                c_in = jnp.concatenate([uncond, cond], axis=0)
+                y_in = None if y is None else jnp.concatenate([y, y], axis=0)
+            elif use_ycfg:
+                x_in = jnp.concatenate([xx, xx], axis=0)
+                t_in = jnp.concatenate([tt, tt], axis=0)
+                c_in = None if cond is None else jnp.concatenate([cond, cond], axis=0)
+                y_in = jnp.concatenate([y_uncond, y], axis=0)
+            else:
+                x_in, t_in, c_in, y_in = xx, tt, cond, y
+            if stateful:
+                out, st = model_fn(x_in, t_in, c_in, y_in, st, i)
+            else:
+                out = model_fn(x_in, t_in, c_in, y_in)
+            if use_ccfg or use_ycfg:
+                v_u, v_c = jnp.split(out, 2, axis=0)
+                out = v_u + guidance_scale * (v_c - v_u)
+            return out.astype(jnp.float32), st
+
+        def step(carry, i):
+            x, frames, st = carry
+            t_i, t_next = ts[i], ts[i + 1]
+            dt = t_next - t_i  # negative: integrating toward data
+            v1, st = call_model(x.astype(dtype), t_i, st, i)
+            if method == "heun":
+                x_pred = x + dt * v1
+                v2, st = call_model(x_pred.astype(dtype), t_next, st, i)
+                # final step (t_next == 0): fall back to Euler — the paper's
+                # convention, since v at t=0 adds no correction on a straight
+                # path and saves nothing (we still computed v2; keep the
+                # branch jit-static via jnp.where on the blended slope)
+                v = jnp.where(jnp.equal(i, num_steps - 1), v1, 0.5 * (v1 + v2))
+            else:
+                v = v1
+            x = x + dt * v
+            if log_every:
+                frames = _log_frame(frames, x.astype(dtype), i, log_every)
+            return (x, frames, st), None
+
+        frames0 = (jnp.zeros((n_frames,) + shape, dtype) if log_every
+                   else jnp.zeros((), dtype))
+        state0 = model_state if stateful else jnp.zeros((), dtype)
+        (x, frames, _), _ = jax.lax.scan(
+            step, (x, frames0, state0), jnp.arange(num_steps))
+        return DiffusionOutput(x=x, intermediates=frames if log_every else None)

@@ -1,0 +1,209 @@
+"""DiT: diffusion transformer backbone (beyond-reference model family).
+
+The reference's backbones are all convolutional UNets (SURVEY.md §2
+#3/#16-18). This module adds the transformer denoiser of Peebles & Xie,
+"Scalable Diffusion Models with Transformers" (arXiv:2212.09748) as a
+TPU-first alternative: the entire network is patchify -> N identical
+pre-LN transformer blocks -> unpatchify, i.e. nothing but large dense
+matmuls and the framework's fused Pallas attention — the shape XLA tiles
+best onto the MXU, with none of the UNet's resolution ladder.
+
+Design notes (TPU-first):
+
+* Tokens are ``(size/patch)^2`` (64px/p4 -> 256, 256px/p8 -> 1024) and the
+  head dim is ``hidden/heads`` (64 for the standard S/B configs) — both
+  native tile shapes for the zero-copy fused-qkv kernel in
+  ``ops/attention.py`` (contrast the UNet's intrinsically padded D=48).
+* Conditioning is adaLN-Zero: every block's LayerNorm is modulated by
+  (shift, scale, gate) regressed from ``t``/``y`` embeddings through a
+  zero-init projection, so a fresh DiT is the identity function with a
+  zero output head — the same safe-grafting property as the UNet's
+  zero-init out convs.
+* The call signature matches ``models/unet.UNet`` exactly
+  (``(x, t, cond=None, y=None, train=False)``, NHWC, channel-concat
+  ``cond``), so every sampler, the Trainer, DeepCache-free paths, CFG and
+  the CLIs work unchanged; attention projections are named ``qkv`` /
+  ``proj_out`` so ``parallel.mesh.tp_param_specs`` shards them with no
+  new code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from eo_diffusion_tpu.nn.primitives import Dense, ZeroDense, timestep_embedding
+
+__all__ = ["DiTConfig", "DiT", "dit_s", "dit_b"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    image_size: int
+    in_channels: int
+    out_channels: int
+    patch_size: int = 4
+    hidden_size: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    num_classes: Optional[int] = None
+    class_dropout_prob: float = 0.0
+    dtype: Any = jnp.float32  # compute/activation dtype (params stay f32)
+    attn_impl: str = "auto"
+
+    @property
+    def label_vocab(self) -> Optional[int]:
+        if self.num_classes is None:
+            return None
+        return self.num_classes + (1 if self.class_dropout_prob > 0 else 0)
+
+    @property
+    def grid(self) -> int:
+        assert self.image_size % self.patch_size == 0, (
+            self.image_size, self.patch_size)
+        return self.image_size // self.patch_size
+
+    @property
+    def tokens(self) -> int:
+        return self.grid * self.grid
+
+
+def posemb_sincos_2d(h: int, w: int, dim: int) -> jax.Array:
+    """Fixed 2D sin-cos positional embedding [h*w, dim] (DiT uses
+    non-learned positions; half the channels encode rows, half columns)."""
+    assert dim % 4 == 0, dim
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    emb_y = timestep_embedding(ys.reshape(-1), dim // 2)
+    emb_x = timestep_embedding(xs.reshape(-1), dim // 2)
+    return jnp.concatenate([emb_y, emb_x], axis=-1)  # [h*w, dim] f32
+
+
+def _modulated_ln(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    """LayerNorm (no learned affine, f32 statistics) followed by the adaLN
+    modulation ``x * (1 + scale) + shift``; returns x's dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    out = normed * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    return out.astype(x.dtype)
+
+
+class DiTBlock(nn.Module):
+    """Pre-LN transformer block with adaLN-Zero conditioning.
+
+    The six modulation vectors come from a zero-init projection of the
+    conditioning embedding, so at init both residual branches are gated
+    shut (exact identity)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float
+    dtype: Any
+    attn_impl: str
+
+    @nn.compact
+    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+        from eo_diffusion_tpu.ops.attention import attention_from_qkv
+
+        d = self.hidden_size
+        mod = ZeroDense(6 * d, name="ada_mod")(nn.silu(c.astype(jnp.float32)))
+        (shift_a, scale_a, gate_a,
+         shift_m, scale_m, gate_m) = jnp.split(mod, 6, axis=-1)
+
+        h = _modulated_ln(x, shift_a, scale_a)
+        qkv = Dense(3 * d, dtype=self.dtype, name="qkv")(h)
+        a = attention_from_qkv(qkv, self.num_heads, new_order=True,
+                               impl=self.attn_impl)
+        a = Dense(d, dtype=self.dtype, name="proj_out")(a)
+        x = x + gate_a[:, None, :].astype(x.dtype) * a
+
+        h = _modulated_ln(x, shift_m, scale_m)
+        h = Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_in")(h)
+        h = nn.gelu(h, approximate=True)
+        h = Dense(d, dtype=self.dtype, name="mlp_out")(h)
+        return x + gate_m[:, None, :].astype(x.dtype) * h
+
+
+class DiT(nn.Module):
+    """Diffusion transformer denoiser; drop-in for ``models/unet.UNet``."""
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        cond: Optional[jax.Array] = None,
+        y: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        cfg = self.cfg
+        if cond is not None:
+            # channel-concat conditioning, same entry as the UNet
+            # (reference unet_openai.py:754-756 semantics)
+            x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
+        n, hgt, wid, ch = x.shape
+        assert hgt == wid == cfg.image_size, (x.shape, cfg.image_size)
+        assert ch == cfg.in_channels, (ch, cfg.in_channels)
+        p, g, d = cfg.patch_size, cfg.grid, cfg.hidden_size
+
+        # patchify as one dense matmul: [N, g, p, g, p, C] -> [N, T, p*p*C]
+        tok = x.reshape(n, g, p, g, p, ch).transpose(0, 1, 3, 2, 4, 5)
+        tok = tok.reshape(n, g * g, p * p * ch)
+        h = Dense(d, dtype=cfg.dtype, name="patch_embed")(tok)
+        h = h + posemb_sincos_2d(g, g, d).astype(h.dtype)[None]
+
+        # conditioning embedding (f32): timestep MLP (+ class table)
+        temb = timestep_embedding(t, 256)
+        temb = Dense(d, name="t_embed_0")(temb)
+        temb = Dense(d, name="t_embed_1")(nn.silu(temb))
+        c = temb
+        if cfg.num_classes is not None:
+            assert y is not None, "class-conditional DiT requires y"
+            if cfg.class_dropout_prob > 0 and train:
+                rng = self.make_rng("dropout")
+                drop = jax.random.bernoulli(
+                    rng, cfg.class_dropout_prob, (y.shape[0],))
+                y = jnp.where(drop, cfg.num_classes, y)
+            c = c + nn.Embed(cfg.label_vocab, d, name="label_embed",
+                             dtype=jnp.float32)(y)
+
+        for i in range(cfg.depth):
+            h = DiTBlock(d, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+                         cfg.attn_impl, name=f"block_{i}")(h, c)
+
+        mod = ZeroDense(2 * d, name="final_mod")(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        h = _modulated_ln(h, shift, scale)
+        out = ZeroDense(p * p * cfg.out_channels, dtype=cfg.dtype,
+                        name="final_proj")(h)
+
+        out = out.reshape(n, g, g, p, p, cfg.out_channels)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, hgt, wid, cfg.out_channels)
+        return out
+
+
+def dit_s(image_size: int, in_channels: int = 3, patch_size: int = 4,
+          **kw) -> DiTConfig:
+    """DiT-S/4: 384-wide, 12 blocks, 6 heads (~33M params)."""
+    return DiTConfig(image_size=image_size, in_channels=in_channels,
+                     out_channels=kw.pop("out_channels", in_channels),
+                     patch_size=patch_size, hidden_size=384, depth=12,
+                     num_heads=6, **kw)
+
+
+def dit_b(image_size: int, in_channels: int = 3, patch_size: int = 8,
+          **kw) -> DiTConfig:
+    """DiT-B/8: 768-wide, 12 blocks, 12 heads (~130M params)."""
+    return DiTConfig(image_size=image_size, in_channels=in_channels,
+                     out_channels=kw.pop("out_channels", in_channels),
+                     patch_size=patch_size, hidden_size=768, depth=12,
+                     num_heads=12, **kw)

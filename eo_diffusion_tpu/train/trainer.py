@@ -339,7 +339,7 @@ class Trainer:
                cond=None, y=None, use_ema: bool = True):
         n = n or self.cfg.n_samples
         sampler = self.cfg.preview_sampler
-        assert sampler in ("ddpm", "ddim", "dpm"), sampler
+        assert sampler in ("ddpm", "ddim", "dpm", "flow"), sampler
         key = (n, cond is not None, y is not None, sampler)
         if key not in self._samplers:
             def _sample(params, rng, cond, y):
@@ -352,6 +352,13 @@ class Trainer:
                     ci = self.diffusion.in_channels
                     kw = dict(cond=None, y=y, x0=cond[..., :ci],
                               mask=cond[..., ci : ci + 1])
+                if sampler == "flow":
+                    # FlowMatching process (diffusion/flow.py): Euler ODE
+                    # integration; no DDPM-chain kwargs apply
+                    return self.diffusion.sample(
+                        model_fn, rng, n, num_steps=self.cfg.preview_steps,
+                        cond=cond, y=y,
+                    ).x
                 if sampler == "ddim":
                     return self.diffusion.ddim_sample(
                         model_fn, rng, n, num_steps=self.cfg.preview_steps,

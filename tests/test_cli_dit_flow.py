@@ -1,0 +1,104 @@
+"""CLI round-trips for the beyond-reference axes: the DiT backbone preset
+and the rectified-flow process preset, train -> checkpoint -> inference
+through the argparse entry points."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def run_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_dit_flow")
+    return {
+        "dit_samples": str(root / "results_dit"),
+        "flow_samples": str(root / "results_flow"),
+        "infer": str(root / "infer"),
+        "root": str(root),
+    }
+
+
+def _train(preset, sample_dir):
+    from eo_diffusion_tpu.cli import train as train_cli
+
+    cwd = os.getcwd()
+    os.chdir(os.path.dirname(sample_dir))
+    try:
+        args = train_cli.parse_args([
+            "--preset", preset, "--epochs", "1", "--steps_per_epoch", "3",
+            "--batch_size", "8", "--lr", "2e-3",
+            "--dir", sample_dir, "--sample_every", "2",
+            "--save_every", "3", "--log_freq", "1", "--n_samples", "4",
+        ])
+        train_cli.main(args)
+    finally:
+        os.chdir(cwd)
+    ckpt_root = os.path.join(os.path.dirname(sample_dir), "logs",
+                             os.path.basename(sample_dir))
+    steps = sorted(d for d in os.listdir(ckpt_root) if d.startswith("steps_"))
+    assert steps, ckpt_root
+    return os.path.join(ckpt_root, steps[-1])
+
+
+@pytest.fixture(scope="module")
+def dit_ckpt(run_dirs):
+    return _train("tiny-dit", run_dirs["dit_samples"])
+
+
+@pytest.fixture(scope="module")
+def flow_ckpt(run_dirs):
+    return _train("tiny-flow", run_dirs["flow_samples"])
+
+
+class TestDiTCLI:
+    def test_preview_grids_written(self, dit_ckpt, run_dirs):
+        pngs = [f for f in os.listdir(run_dirs["dit_samples"]) if f.endswith(".png")]
+        assert pngs, "DiT training produced no preview grid"
+
+    @pytest.mark.parametrize("sampler,extra", [
+        ("ddim", ["--sampler_steps", "5"]),
+        ("dpm", ["--sampler_steps", "5"]),
+    ])
+    def test_inference_roundtrip(self, dit_ckpt, run_dirs, sampler, extra):
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        outdir = os.path.join(run_dirs["infer"], f"dit_{sampler}")
+        args = infer_cli.parse_args([
+            "--preset", "tiny-dit", "--ckpt", dit_ckpt, "--sampler", sampler,
+            "--save", "--samples_fid", "--n_iter", "0", "--batch_size", "4",
+            "--outdir", outdir, *extra,
+        ])
+        infer_cli.main(args)
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
+
+    def test_deepcache_rejected_for_dit(self, dit_ckpt, run_dirs):
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        args = infer_cli.parse_args([
+            "--preset", "tiny-dit", "--ckpt", dit_ckpt, "--deepcache", "2",
+            "--n_iter", "0", "--batch_size", "2",
+            "--outdir", os.path.join(run_dirs["infer"], "dit_dc"),
+        ])
+        with pytest.raises(AssertionError, match="DeepCache"):
+            infer_cli.main(args)
+
+
+class TestFlowCLI:
+    def test_preview_grids_written(self, flow_ckpt, run_dirs):
+        pngs = [f for f in os.listdir(run_dirs["flow_samples"]) if f.endswith(".png")]
+        assert pngs, "flow training produced no preview grid"
+
+    @pytest.mark.parametrize("method", ["euler", "heun"])
+    def test_inference_roundtrip(self, flow_ckpt, run_dirs, method):
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        outdir = os.path.join(run_dirs["infer"], f"flow_{method}")
+        # --sampler ddpm is overridden to flow by the preset's process
+        args = infer_cli.parse_args([
+            "--preset", "tiny-flow", "--ckpt", flow_ckpt,
+            "--sampler_steps", "6", "--flow_method", method,
+            "--save", "--samples_fid", "--n_iter", "0", "--batch_size", "4",
+            "--outdir", outdir,
+        ])
+        infer_cli.main(args)
+        assert os.listdir(os.path.join(outdir, "samples_fid"))

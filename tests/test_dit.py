@@ -1,0 +1,184 @@
+"""DiT backbone tests (models/dit.py — beyond-reference model family).
+
+Covers the adaLN-Zero contract (exact identity/zero output at init), the
+UNet-compatible call surface (cond concat, class labels + CFG null row),
+learning on a tiny config, sampler integration, and TP sharding of the
+qkv/proj_out projections via the existing tp_param_specs matcher.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from eo_diffusion_tpu.models.dit import DiT, DiTConfig, dit_b, dit_s, posemb_sincos_2d
+
+
+def tiny_cfg(**kw):
+    base = dict(image_size=16, in_channels=3, out_channels=3, patch_size=4,
+                hidden_size=64, depth=2, num_heads=4)
+    base.update(kw)
+    return DiTConfig(**base)
+
+
+def init_model(cfg, **init_kw):
+    m = DiT(cfg)
+    x = jnp.zeros((2, cfg.image_size, cfg.image_size,
+                   cfg.in_channels - init_kw.get("cond", jnp.zeros((2, 1, 1, 0))).shape[-1]
+                   if "cond" in init_kw else cfg.in_channels), jnp.float32)
+    t = jnp.zeros((2,), jnp.int32)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t, **init_kw)
+    return m, params, x, t
+
+
+class TestForward:
+    def test_shape_and_zero_init(self):
+        m, params, x, t = init_model(tiny_cfg())
+        out = m.apply(params, x + 1.0, t)
+        assert out.shape == x.shape
+        # adaLN-Zero + zero-init head: a fresh DiT predicts exactly zero
+        assert float(jnp.abs(out).max()) == 0.0
+
+    def test_params_f32_under_bf16_compute(self):
+        cfg = tiny_cfg(dtype=jnp.bfloat16)
+        m = DiT(cfg)
+        x = jnp.zeros((1, 16, 16, 3), jnp.bfloat16)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+        assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
+        out = m.apply(params, x, jnp.zeros((1,), jnp.int32))
+        assert out.dtype == jnp.bfloat16
+
+    def test_cond_concat(self):
+        cfg = tiny_cfg(in_channels=6)  # 3 image + 3 cond channels
+        m = DiT(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        c = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3))
+        t = jnp.zeros((2,), jnp.int32)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t, cond=c)
+        assert m.apply(params, x, t, cond=c).shape == (2, 16, 16, 3)
+
+    def test_float_timesteps_accepted(self):
+        # flow-matching feeds fractional t * time_scale
+        m, params, x, t = init_model(tiny_cfg())
+        out = m.apply(params, x, jnp.array([13.7, 999.2], jnp.float32))
+        assert out.shape == x.shape
+
+    def test_posemb_distinct_rows(self):
+        pe = posemb_sincos_2d(4, 4, 64)
+        assert pe.shape == (16, 64)
+        d = np.linalg.norm(np.asarray(pe)[:, None] - np.asarray(pe)[None], axis=-1)
+        assert (d + np.eye(16) * 1e9).min() > 1e-3  # no two positions collide
+
+    def test_factory_configs(self):
+        s = dit_s(64)
+        b = dit_b(256)
+        assert s.tokens == 256 and s.hidden_size // s.num_heads == 64
+        assert b.tokens == 1024 and b.hidden_size // b.num_heads == 64
+
+
+class TestClassConditioning:
+    def test_label_changes_output_after_perturb(self):
+        cfg = tiny_cfg(num_classes=5, class_dropout_prob=0.1)
+        m = DiT(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        t = jnp.full((2,), 10, jnp.int32)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t,
+                                 y=jnp.zeros((2,), jnp.int32))
+        # zero-init gates hide label influence at init; nudge the head
+        params = jax.tree.map(
+            lambda p: p + 0.05 * jax.random.normal(jax.random.PRNGKey(3), p.shape),
+            params)
+        o0 = m.apply(params, x, t, y=jnp.array([0, 0]))
+        o1 = m.apply(params, x, t, y=jnp.array([3, 3]))
+        assert float(jnp.abs(o0 - o1).max()) > 1e-6
+
+    def test_null_row_exists_for_cfg(self):
+        cfg = tiny_cfg(num_classes=5, class_dropout_prob=0.1)
+        assert cfg.label_vocab == 6
+        m = DiT(cfg)
+        x = jnp.zeros((1, 16, 16, 3))
+        t = jnp.zeros((1,), jnp.int32)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t,
+                                 y=jnp.zeros((1,), jnp.int32))
+        emb = params["params"]["label_embed"]["embedding"]
+        assert emb.shape[0] == 6
+        # the null index (== num_classes) is a valid label at apply time
+        m.apply(params, x, t, y=jnp.array([5]))
+
+    def test_train_mode_dropout_needs_rng(self):
+        cfg = tiny_cfg(num_classes=5, class_dropout_prob=0.5)
+        m = DiT(cfg)
+        x = jnp.zeros((4, 16, 16, 3))
+        t = jnp.zeros((4,), jnp.int32)
+        y = jnp.zeros((4,), jnp.int32)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t, y=y)
+        m.apply(params, x, t, y=y, train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)})
+
+
+class TestLearning:
+    def test_fits_eps_on_fixed_target(self):
+        """A tiny DiT must learn to predict a fixed target from noise input
+        (gradient flows through patchify, blocks, adaLN and the head)."""
+        cfg = tiny_cfg()
+        m = DiT(cfg)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (8, 16, 16, 3))
+        target = jnp.tile(jnp.linspace(-1, 1, 16)[None, :, None, None], (8, 1, 16, 3))
+        t = jnp.zeros((8,), jnp.int32)
+        params = jax.jit(m.init)(rng, x, t)
+        tx = optax.adam(2e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt):
+            def loss_fn(p):
+                return jnp.mean((m.apply(p, x, t) - target) ** 2)
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            u, opt = tx.update(g, opt, params)
+            return optax.apply_updates(params, u), opt, loss
+
+        l0 = None
+        for _ in range(60):
+            params, opt, loss = step(params, opt)
+            l0 = float(loss) if l0 is None else l0
+        assert float(loss) < 0.25 * l0, (l0, float(loss))
+
+
+class TestSamplerIntegration:
+    def test_ddim_sample_runs(self):
+        from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+
+        cfg = tiny_cfg()
+        m = DiT(cfg)
+        x = jnp.zeros((1, 16, 16, 3))
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+        diff = GaussianDiffusion.create(timesteps=20, image_size=16, in_channels=3)
+        fn = lambda xx, tt, c, y: m.apply(params, xx, tt, cond=c, y=y)
+        out = jax.jit(lambda r: diff.ddim_sample(fn, r, 2, num_steps=5).x)(
+            jax.random.PRNGKey(1))
+        assert out.shape == (2, 16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTensorParallel:
+    def test_tp_specs_shard_qkv_and_proj(self):
+        from jax.sharding import PartitionSpec as P
+
+        from eo_diffusion_tpu.parallel.mesh import make_mesh, tp_param_specs
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device mesh")
+        mesh = make_mesh(jax.devices()[:4], model=2)
+        cfg = tiny_cfg()
+        m = DiT(cfg)
+        x = jnp.zeros((1, 16, 16, 3))
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32))
+        specs = tp_param_specs(params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(
+            specs, is_leaf=lambda s: isinstance(s, P))[0]
+        qkv_k = [s for p, s in flat if "qkv" in str(p) and "kernel" in str(p)]
+        out_k = [s for p, s in flat if "proj_out" in str(p) and "kernel" in str(p)]
+        assert qkv_k and all(s == P(None, "model") for s in qkv_k)
+        assert out_k and all(s == P("model", None) for s in out_k)
