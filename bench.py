@@ -150,6 +150,32 @@ def main():
     except Exception:
         dc_img_s = None
 
+    # rider: the beyond-reference DiT-B/8 family at the same 256px DDIM-50
+    # protocol (tools/probe_dit_tpu.py has the full fwd/bwd numbers) -- the
+    # primary value stays the reference-parity clouds UNet
+    try:
+        from eo_diffusion_tpu.models.dit import DiT, dit_b
+
+        dcfg = dit_b(IMAGE_SIZE, dtype=jnp.bfloat16)
+        dmodel = DiT(dcfg)
+        dparams = jax.jit(dmodel.init)(
+            jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
+
+        def sample_dit(dparams, rng):
+            fn = lambda x, t, c, y: dmodel.apply(dparams, x, t, cond=c, y=y)
+            out = diffusion.ddim_sample(fn, rng, BATCH, num_steps=DDIM_STEPS,
+                                        dtype=jnp.bfloat16)
+            return jnp.float32(jnp.sum(out.x))
+
+        fdit = jax.jit(sample_dit)
+        float(fdit(dparams, jax.random.PRNGKey(0)))
+        t0 = time.time()
+        for i in range(ITERS):
+            float(fdit(dparams, jax.random.PRNGKey(i)))
+        dit_img_s = BATCH / ((time.time() - t0) / ITERS)
+    except Exception:
+        dit_img_s = None
+
     print(
         json.dumps(
             {
@@ -160,6 +186,7 @@ def main():
                 "achieved_tf_s": None if achieved is None else round(achieved, 1),
                 "mfu_vs_peak": None if mfu is None else round(mfu, 3),
                 "deepcache_k3_img_s": None if dc_img_s is None else round(dc_img_s, 3),
+                "dit_b8_img_s": None if dit_img_s is None else round(dit_img_s, 3),
             }
         )
     )
