@@ -166,6 +166,12 @@ PRESETS = {
                        backbone="dit", patch_size=4, depth=2),
     "tiny-flow": Preset("tiny-flow", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
                         batch_size=16, process="flow"),
+    # latent rectified flow (FlowMatching inside LatentDiffusion): 16px
+    # pixels -> 8x8x4 latents, ODE sampling in latent space
+    "tiny-latent-flow": Preset("tiny-latent-flow", "synthetic", 16, 3, 32,
+                               (1, 2), (), 1, 1, batch_size=16, process="flow",
+                               latent_downs=1, latent_channels=4,
+                               ae_base_dim=16, ae_steps=60),
 }
 
 
@@ -195,9 +201,6 @@ def build_process(preset: Preset, timesteps: int, image_size: int,
     if preset.process == "flow":
         from eo_diffusion_tpu.diffusion.flow import FlowMatching
 
-        assert not preset.is_latent, (
-            "flow presets compose with latent spaces via FlowMatching + a "
-            "codec wrapper; not wired in the CLI yet")
         assert cond_type != "sum", (
             "RePaint-'sum' masking is a DDPM-chain mechanism; flow presets "
             "support cond_type=None/'concat'")

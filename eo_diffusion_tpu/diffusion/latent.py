@@ -103,3 +103,13 @@ class LatentDiffusion:
         c = self._cond(cond, encode_cond)
         out = self.diffusion.dpm_sample(model_fn, rng, n_samples, cond=c, y=y, **kw)
         return DiffusionOutput(x=self.decode(out.x))
+
+    def sample(self, model_fn, rng, n_samples, cond=None, y=None,
+               encode_cond: Optional[bool] = None, **kw) -> DiffusionOutput:
+        """Flow-process delegation: when the inner process is a
+        ``diffusion.flow.FlowMatching`` (latent rectified flow — beyond the
+        reference's pixel/DDPM-only LatentDiffusion), integrate the ODE in
+        latent space and decode."""
+        c = self._cond(cond, encode_cond)
+        out = self.diffusion.sample(model_fn, rng, n_samples, cond=c, y=y, **kw)
+        return DiffusionOutput(x=self.decode(out.x))

@@ -83,6 +83,25 @@ class TestDiTCLI:
             infer_cli.main(args)
 
 
+class TestLatentFlowCLI:
+    """Latent rectified flow: FlowMatching inside LatentDiffusion, through
+    the CLIs (first stage trained in-run, ODE sampling in latent space)."""
+
+    def test_train_infer_roundtrip(self, run_dirs):
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        sample_dir = os.path.join(run_dirs["root"], "results_lflow")
+        ckpt = _train("tiny-latent-flow", sample_dir)
+        outdir = os.path.join(run_dirs["infer"], "latent_flow")
+        args = infer_cli.parse_args([
+            "--preset", "tiny-latent-flow", "--ckpt", ckpt,
+            "--sampler_steps", "6", "--save", "--samples_fid",
+            "--n_iter", "0", "--batch_size", "4", "--outdir", outdir,
+        ])
+        infer_cli.main(args)
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
+
+
 class TestFlowCLI:
     def test_preview_grids_written(self, flow_ckpt, run_dirs):
         pngs = [f for f in os.listdir(run_dirs["flow_samples"]) if f.endswith(".png")]
