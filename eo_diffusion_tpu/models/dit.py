@@ -131,11 +131,79 @@ class DiTBlock(nn.Module):
 
 
 class DiT(nn.Module):
-    """Diffusion transformer denoiser; drop-in for ``models/unet.UNet``."""
+    """Diffusion transformer denoiser; drop-in for ``models/unet.UNet``.
+
+    Structured as setup-defined stages (``embed`` -> ``block_i`` x depth ->
+    ``final``) so ``parallel/pipeline.py`` can run the uniform block stack
+    pipeline-parallel over a 'stage' mesh axis while reusing these exact
+    modules/params; ``__call__`` is the plain sequential composition."""
 
     cfg: DiTConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.hidden_size
+        self.patch_embed = Dense(d, dtype=cfg.dtype, name="patch_embed")
+        self.t_embed_0 = Dense(d, name="t_embed_0")
+        self.t_embed_1 = Dense(d, name="t_embed_1")
+        if cfg.num_classes is not None:
+            self.label_embed = nn.Embed(cfg.label_vocab, d, name="label_embed",
+                                        dtype=jnp.float32)
+        self.blocks = [
+            DiTBlock(d, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+                     cfg.attn_impl, name=f"block_{i}")
+            for i in range(cfg.depth)
+        ]
+        self.final_mod = ZeroDense(2 * d, name="final_mod")
+        self.final_proj = ZeroDense(cfg.patch_size**2 * cfg.out_channels,
+                                    dtype=cfg.dtype, name="final_proj")
+
+    def embed(self, x: jax.Array, cond: Optional[jax.Array] = None) -> jax.Array:
+        """Patchify (+ channel-concat cond, same entry as the UNet,
+        reference unet_openai.py:754-756 semantics) + positions: [N,T,D]."""
+        cfg = self.cfg
+        if cond is not None:
+            x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
+        n, hgt, wid, ch = x.shape
+        assert hgt == wid == cfg.image_size, (x.shape, cfg.image_size)
+        assert ch == cfg.in_channels, (ch, cfg.in_channels)
+        p, g = cfg.patch_size, cfg.grid
+        # patchify as one dense matmul: [N, g, p, g, p, C] -> [N, T, p*p*C]
+        tok = x.reshape(n, g, p, g, p, ch).transpose(0, 1, 3, 2, 4, 5)
+        tok = tok.reshape(n, g * g, p * p * ch)
+        h = self.patch_embed(tok)
+        return h + posemb_sincos_2d(g, g, cfg.hidden_size).astype(h.dtype)[None]
+
+    def condition(self, t: jax.Array, y: Optional[jax.Array] = None,
+                  train: bool = False) -> jax.Array:
+        """Conditioning embedding (f32): timestep MLP (+ class table with
+        CFG label dropout to the learned null class in train mode)."""
+        cfg = self.cfg
+        temb = self.t_embed_0(timestep_embedding(t, 256))
+        c = self.t_embed_1(nn.silu(temb))
+        if cfg.num_classes is not None:
+            assert y is not None, "class-conditional DiT requires y"
+            if cfg.class_dropout_prob > 0 and train:
+                rng = self.make_rng("dropout")
+                drop = jax.random.bernoulli(
+                    rng, cfg.class_dropout_prob, (y.shape[0],))
+                y = jnp.where(drop, cfg.num_classes, y)
+            c = c + self.label_embed(y)
+        return c
+
+    def final(self, h: jax.Array, c: jax.Array) -> jax.Array:
+        """adaLN + zero-init head + unpatchify: [N,T,D] -> [N,H,W,C_out]."""
+        cfg = self.cfg
+        p, g = cfg.patch_size, cfg.grid
+        mod = self.final_mod(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        h = _modulated_ln(h, shift, scale)
+        out = self.final_proj(h)
+        n = out.shape[0]
+        out = out.reshape(n, g, g, p, p, cfg.out_channels)
+        return out.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, g * p, g * p, cfg.out_channels)
+
     def __call__(
         self,
         x: jax.Array,
@@ -144,51 +212,11 @@ class DiT(nn.Module):
         y: Optional[jax.Array] = None,
         train: bool = False,
     ) -> jax.Array:
-        cfg = self.cfg
-        if cond is not None:
-            # channel-concat conditioning, same entry as the UNet
-            # (reference unet_openai.py:754-756 semantics)
-            x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
-        n, hgt, wid, ch = x.shape
-        assert hgt == wid == cfg.image_size, (x.shape, cfg.image_size)
-        assert ch == cfg.in_channels, (ch, cfg.in_channels)
-        p, g, d = cfg.patch_size, cfg.grid, cfg.hidden_size
-
-        # patchify as one dense matmul: [N, g, p, g, p, C] -> [N, T, p*p*C]
-        tok = x.reshape(n, g, p, g, p, ch).transpose(0, 1, 3, 2, 4, 5)
-        tok = tok.reshape(n, g * g, p * p * ch)
-        h = Dense(d, dtype=cfg.dtype, name="patch_embed")(tok)
-        h = h + posemb_sincos_2d(g, g, d).astype(h.dtype)[None]
-
-        # conditioning embedding (f32): timestep MLP (+ class table)
-        temb = timestep_embedding(t, 256)
-        temb = Dense(d, name="t_embed_0")(temb)
-        temb = Dense(d, name="t_embed_1")(nn.silu(temb))
-        c = temb
-        if cfg.num_classes is not None:
-            assert y is not None, "class-conditional DiT requires y"
-            if cfg.class_dropout_prob > 0 and train:
-                rng = self.make_rng("dropout")
-                drop = jax.random.bernoulli(
-                    rng, cfg.class_dropout_prob, (y.shape[0],))
-                y = jnp.where(drop, cfg.num_classes, y)
-            c = c + nn.Embed(cfg.label_vocab, d, name="label_embed",
-                             dtype=jnp.float32)(y)
-
-        for i in range(cfg.depth):
-            h = DiTBlock(d, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
-                         cfg.attn_impl, name=f"block_{i}")(h, c)
-
-        mod = ZeroDense(2 * d, name="final_mod")(nn.silu(c))
-        shift, scale = jnp.split(mod, 2, axis=-1)
-        h = _modulated_ln(h, shift, scale)
-        out = ZeroDense(p * p * cfg.out_channels, dtype=cfg.dtype,
-                        name="final_proj")(h)
-
-        out = out.reshape(n, g, g, p, p, cfg.out_channels)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
-            n, hgt, wid, cfg.out_channels)
-        return out
+        h = self.embed(x, cond)
+        c = self.condition(t, y, train)
+        for block in self.blocks:
+            h = block(h, c)
+        return self.final(h, c)
 
 
 def dit_s(image_size: int, in_channels: int = 3, patch_size: int = 4,
