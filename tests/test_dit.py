@@ -162,6 +162,43 @@ class TestSamplerIntegration:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestTrainerTP:
+    """DiT through the real Trainer with TrainerConfig.tp: loss parity vs
+    the replicated run + 'model'-sharded qkv leaves (the same contract
+    test_train.TestTPTrainer establishes for the UNet)."""
+
+    def _run(self, tp: bool, steps: int = 2):
+        from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+        from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
+
+        if tp and len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        cfg = TrainerConfig(lr=1e-3, batch_size=8, epochs=1, timesteps=10,
+                            model_ema_steps=1, warmup_epochs=1, seed=3, tp=tp)
+        model = DiT(tiny_cfg())
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=16,
+                                             in_channels=3)
+        mesh = make_mesh(model=4) if tp else None
+        tr = Trainer(cfg, model, diffusion, steps_per_epoch=steps, mesh=mesh)
+        rng = np.random.default_rng(7)
+        batches = [{"image": rng.normal(size=(8, 16, 16, 3)).astype(np.float32) * 0.3}
+                   for _ in range(steps)]
+        state = tr.init(jax.random.PRNGKey(0), batches[0])
+        losses = []
+        for b in batches:
+            state, m = tr.step(state, b)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    def test_tp_state_sharded_and_loss_matches(self):
+        s_rep, l_rep = self._run(tp=False)
+        s_tp, l_tp = self._run(tp=True)
+        np.testing.assert_allclose(l_rep, l_tp, rtol=2e-4, atol=2e-5)
+        shardings = [l.sharding for l in jax.tree.leaves(s_tp.params)]
+        assert any("model" in str(s.spec) for s in shardings), shardings
+
+
 class TestTensorParallel:
     def test_tp_specs_shard_qkv_and_proj(self):
         from jax.sharding import PartitionSpec as P
