@@ -29,6 +29,8 @@ from __future__ import annotations
 import contextlib
 import functools
 import math
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -738,7 +740,8 @@ _qkv5_flash.defvjp(_qkv5_fwd, _qkv5_bwd)
 
 def attention_from_qkv(qkv: jax.Array, heads: int, new_order: bool = False,
                        impl: str = "auto", min_seq: int = 512,
-                       block_q: int = 512, block_k: int = 2048) -> jax.Array:
+                       block_q: Optional[int] = None,
+                       block_k: int = 2048) -> jax.Array:
     """Self-attention straight from the fused projection: [B,T,3C] -> [B,T,C].
 
     ``new_order`` selects the reference's qkv channel layout
@@ -746,11 +749,19 @@ def attention_from_qkv(qkv: jax.Array, heads: int, new_order: bool = False,
     unet_openai.py:456-519). On TPU with an aligned sequence the zero-copy
     fused-layout kernel runs; otherwise q/k/v are sliced and dispatched to
     :func:`fused_attention`.
+
+    ``block_q=None`` auto-sizes: the whole T as one q block at T <= 1024
+    (measured +9% core at the DiT T=1024/d=64 shape — fewer grid cells to
+    amortize the per-cell softmax/pipeline prologue; same 4 MB VMEM scores
+    footprint), 512 beyond. Row blocks are independent, so the choice does
+    not change results.
     """
     b, t, c3 = qkv.shape
     c = c3 // 3
     d = c // heads
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    if block_q is None:
+        block_q = t if t <= 1024 else 512
     bq = min(block_q, t)
     bk = min(block_k, t)
     # the zero-copy kernel holds the whole K/V planes VMEM-resident per grid
