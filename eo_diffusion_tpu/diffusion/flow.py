@@ -149,13 +149,17 @@ class FlowMatching:
             dt = t_next - t_i  # negative: integrating toward data
             v1, st = call_model(x.astype(dtype), t_i, st, i)
             if method == "heun":
-                x_pred = x + dt * v1
-                v2, st = call_model(x_pred.astype(dtype), t_next, st, i)
-                # final step (t_next == 0): fall back to Euler — the paper's
-                # convention, since v at t=0 adds no correction on a straight
-                # path and saves nothing (we still computed v2; keep the
-                # branch jit-static via jnp.where on the blended slope)
-                v = jnp.where(jnp.equal(i, num_steps - 1), v1, 0.5 * (v1 + v2))
+                # final step (t_next == 0): Euler — the standard convention;
+                # lax.cond actually skips the second model call there (at
+                # 8-step Heun that's 1/16th of the sampling compute)
+                def _heun(st):
+                    x_pred = x + dt * v1
+                    v2, st = call_model(x_pred.astype(dtype), t_next, st, i)
+                    return 0.5 * (v1 + v2), st
+
+                v, st = jax.lax.cond(
+                    jnp.equal(i, num_steps - 1),
+                    lambda st: (v1, st), _heun, st)
             else:
                 v = v1
             x = x + dt * v
