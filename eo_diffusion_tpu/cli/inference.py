@@ -157,6 +157,9 @@ def main(args):
     if preset.process == "flow" and args.sampler != "flow":
         print(f"preset {preset.name} is a flow process; using --sampler flow")
         args.sampler = "flow"
+    assert not (args.sampler == "flow" and preset.process != "flow"), (
+        f"--sampler flow requires a flow-process preset; {preset.name} "
+        f"trained the DDPM chain (use ddpm/ddim/dpm)")
     assert args.deepcache <= 1 or preset.backbone == "unet", (
         "DeepCache caches the UNet's deep/shallow split; the DiT backbone "
         "has no resolution ladder to split")

@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from eo_diffusion_tpu.diffusion.gaussian import DiffusionOutput, GaussianDiffusion
+from eo_diffusion_tpu.diffusion.gaussian import (
+    DiffusionOutput,
+    GaussianDiffusion,
+    cfg_combine,
+    cfg_double_inputs,
+)
 
 __all__ = ["dpm_solver_sample"]
 
@@ -104,8 +109,6 @@ def dpm_solver_sample(
         assert x0 is not None, "DPM inpainting requires x0 (the known image)"
 
     stateful = model_state is not None
-    use_cfg = uncond is not None and guidance_scale != 1.0
-    use_label_cfg = y_uncond is not None and guidance_scale != 1.0
 
     def call_model(xx, tt, cc, yy, st, i):
         if stateful:
@@ -116,22 +119,12 @@ def dpm_solver_sample(
     def predict_x0(x, i, m_state):
         t = jnp.full((n_samples,), t_seq[i], jnp.int32)
         x_in = x.astype(dtype)  # model-facing cast; the carry stays f32
-        if use_cfg or use_label_cfg:
-            # batch-doubled CFG combine (same math as gaussian.py:505-522);
-            # with a stateful denoiser build model_state for batch 2*n
-            x2 = jnp.concatenate([x_in, x_in], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
-            if use_cfg:
-                c2 = jnp.concatenate([uncond, cond], axis=0)
-                y2 = None if y is None else jnp.concatenate([y, y], axis=0)
-            else:
-                c2 = None if cond is None else jnp.concatenate([cond, cond], axis=0)
-                y2 = jnp.concatenate([y_uncond, y], axis=0)
-            out, m_state = call_model(x2, t2, c2, y2, m_state, i)
-            e_u, e_c = jnp.split(out, 2, axis=0)
-            raw = e_u + guidance_scale * (e_c - e_u)
-        else:
-            raw, m_state = call_model(x_in, t, cond, y, m_state, i)
+        # batch-doubled CFG via the shared policy helper (gaussian.py);
+        # with a stateful denoiser the doubled batch flows through it
+        x2, t2, c2, y2, doubled = cfg_double_inputs(
+            x_in, t, cond, y, uncond, y_uncond, guidance_scale)
+        out, m_state = call_model(x2, t2, c2, y2, m_state, i)
+        raw = cfg_combine(out, guidance_scale) if doubled else out
         _, x0 = diffusion._to_eps_x0(raw, x.astype(jnp.float32), t)
         if clip:
             x0 = jnp.clip(x0, -1.0, 1.0)

@@ -28,7 +28,12 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from eo_diffusion_tpu.diffusion.gaussian import DiffusionOutput, _log_frame
+from eo_diffusion_tpu.diffusion.gaussian import (
+    DiffusionOutput,
+    _log_frame,
+    cfg_combine,
+    cfg_double_inputs,
+)
 
 __all__ = ["FlowMatching"]
 
@@ -115,32 +120,19 @@ class FlowMatching:
 
         # uniform grid t_i: 1 -> 0 inclusive (num_steps intervals)
         ts = jnp.linspace(1.0, 0.0, num_steps + 1)
-        use_ccfg = uncond is not None and guidance_scale != 1.0
-        use_ycfg = (not use_ccfg) and y_uncond is not None and guidance_scale != 1.0
         stateful = model_state is not None
         n_frames = -(-num_steps // log_every) if log_every else 0
 
         def call_model(xx, t_scalar, st, i):
             tt = jnp.full((xx.shape[0],), t_scalar * self.time_scale, jnp.float32)
-            if use_ccfg:
-                x_in = jnp.concatenate([xx, xx], axis=0)
-                t_in = jnp.concatenate([tt, tt], axis=0)
-                c_in = jnp.concatenate([uncond, cond], axis=0)
-                y_in = None if y is None else jnp.concatenate([y, y], axis=0)
-            elif use_ycfg:
-                x_in = jnp.concatenate([xx, xx], axis=0)
-                t_in = jnp.concatenate([tt, tt], axis=0)
-                c_in = None if cond is None else jnp.concatenate([cond, cond], axis=0)
-                y_in = jnp.concatenate([y_uncond, y], axis=0)
-            else:
-                x_in, t_in, c_in, y_in = xx, tt, cond, y
+            x_in, t_in, c_in, y_in, doubled = cfg_double_inputs(
+                xx, tt, cond, y, uncond, y_uncond, guidance_scale)
             if stateful:
                 out, st = model_fn(x_in, t_in, c_in, y_in, st, i)
             else:
                 out = model_fn(x_in, t_in, c_in, y_in)
-            if use_ccfg or use_ycfg:
-                v_u, v_c = jnp.split(out, 2, axis=0)
-                out = v_u + guidance_scale * (v_c - v_u)
+            if doubled:
+                out = cfg_combine(out, guidance_scale)
             return out.astype(jnp.float32), st
 
         def step(carry, i):

@@ -33,7 +33,42 @@ from eo_diffusion_tpu.core.schedules import (
     make_schedule,
 )
 
-__all__ = ["GaussianDiffusion", "DiffusionOutput"]
+__all__ = ["GaussianDiffusion", "DiffusionOutput", "cfg_double_inputs",
+           "cfg_combine"]
+
+
+def cfg_double_inputs(x, t, cond, y, uncond=None, y_uncond=None,
+                      guidance_scale: float = 1.0):
+    """Classifier-free-guidance batch doubling — the single policy point
+    shared by every sampler (ddim/ddpm/dpm/tiled/flow).
+
+    Image-CFG (``uncond``, reference ddim.py:177-181) takes precedence over
+    label-CFG (``y_uncond``, lucidrains classifier_free_guidance.py:374-386)
+    when both are passed; a simultaneous image+label combine is deliberately
+    not offered (no reference path has one). Returns
+    ``(x_in, t_in, c_in, y_in, doubled)`` — when ``doubled`` is False the
+    inputs pass through untouched and no combine is needed.
+    """
+    use_c = uncond is not None and guidance_scale != 1.0
+    use_y = (not use_c) and y_uncond is not None and guidance_scale != 1.0
+    if not (use_c or use_y):
+        return x, t, cond, y, False
+    x_in = jnp.concatenate([x, x], axis=0)
+    t_in = jnp.concatenate([t, t], axis=0)
+    if use_c:
+        c_in = jnp.concatenate([uncond, cond], axis=0)
+        y_in = None if y is None else jnp.concatenate([y, y], axis=0)
+    else:
+        c_in = None if cond is None else jnp.concatenate([cond, cond], axis=0)
+        y_in = jnp.concatenate([y_uncond, y], axis=0)
+    return x_in, t_in, c_in, y_in, True
+
+
+def cfg_combine(out, guidance_scale: float):
+    """Guided combine of a batch-doubled model output:
+    ``e_uncond + scale * (e_cond - e_uncond)`` (reference ddim.py:180)."""
+    e_u, e_c = jnp.split(out, 2, axis=0)
+    return e_u + guidance_scale * (e_c - e_u)
 
 # A denoiser: (x_t [N,H,W,C], t [N], cond, y) -> eps_pred [N,H,W,C].
 DenoiseFn = Callable[..., jax.Array]
@@ -345,21 +380,16 @@ class GaussianDiffusion:
 
             if model_state is not None:
                 def model_fn(x, t, c, yy, st, i):  # noqa: F811
-                    x_in = jnp.concatenate([x, x], axis=0)
-                    t_in = jnp.concatenate([t, t], axis=0)
-                    y_in = jnp.concatenate([y_uncond, yy], axis=0)
-                    c_in = None if c is None else jnp.concatenate([c, c], axis=0)
+                    x_in, t_in, c_in, y_in, _ = cfg_double_inputs(
+                        x, t, c, yy, None, y_uncond, guidance_scale)
                     out, st = inner_fn(x_in, t_in, c_in, y_in, st, i)
-                    e_u, e_c = jnp.split(out, 2, axis=0)
-                    return e_u + guidance_scale * (e_c - e_u), st
+                    return cfg_combine(out, guidance_scale), st
             else:
                 def model_fn(x, t, c, yy):  # noqa: F811
-                    x_in = jnp.concatenate([x, x], axis=0)
-                    t_in = jnp.concatenate([t, t], axis=0)
-                    y_in = jnp.concatenate([y_uncond, yy], axis=0)
-                    c_in = None if c is None else jnp.concatenate([c, c], axis=0)
-                    e_u, e_c = jnp.split(inner_fn(x_in, t_in, c_in, y_in), 2, axis=0)
-                    return e_u + guidance_scale * (e_c - e_u)
+                    x_in, t_in, c_in, y_in, _ = cfg_double_inputs(
+                        x, t, c, yy, None, y_uncond, guidance_scale)
+                    return cfg_combine(inner_fn(x_in, t_in, c_in, y_in),
+                                       guidance_scale)
 
         gt = mask = None
         if cond is not None and self.cond_type == "sum":
@@ -470,7 +500,6 @@ class GaussianDiffusion:
         alphas_prev = jnp.asarray(dd.alphas_prev)
         sigmas = jnp.asarray(dd.sigmas)
 
-        use_cfg = uncond is not None and guidance_scale != 1.0
         n_frames = -(-dd.num_steps // log_every) if log_every else 0
         # stateful model (DeepCache etc.): fn(x, t, cond, y, state, i) ->
         # (eps, state). With batch-doubling guidance the doubled batch flows
@@ -502,26 +531,10 @@ class GaussianDiffusion:
                     return model_fn(xx, tt, cc, yy, st, i)
                 return model_fn(xx, tt, cc, yy), st
 
-            if use_cfg:
-                x_in = jnp.concatenate([x_m, x_m], axis=0)
-                t_in = jnp.concatenate([t, t], axis=0)
-                c_in = jnp.concatenate([uncond_eff, cond_eff], axis=0)
-                y_in = None if y is None else jnp.concatenate([y, y], axis=0)
-                out, m_state = call_model(x_in, t_in, c_in, y_in, m_state)
-                e_uncond, e_cond = jnp.split(out, 2, axis=0)
-                raw = e_uncond + guidance_scale * (e_cond - e_uncond)
-            elif y_uncond is not None and guidance_scale != 1.0:
-                # label-CFG (lucidrains classifier_free_guidance.py:374-386):
-                # null-class pass + guided combine
-                x_in = jnp.concatenate([x_m, x_m], axis=0)
-                t_in = jnp.concatenate([t, t], axis=0)
-                y_in = jnp.concatenate([y_uncond, y], axis=0)
-                c_in = None if cond_eff is None else jnp.concatenate([cond_eff, cond_eff], axis=0)
-                out, m_state = call_model(x_in, t_in, c_in, y_in, m_state)
-                e_uncond, e_cond = jnp.split(out, 2, axis=0)
-                raw = e_uncond + guidance_scale * (e_cond - e_uncond)
-            else:
-                raw, m_state = call_model(x_m, t, cond_eff, y, m_state)
+            x_in, t_in, c_in, y_in, doubled = cfg_double_inputs(
+                x_m, t, cond_eff, y, uncond_eff, y_uncond, guidance_scale)
+            out, m_state = call_model(x_in, t_in, c_in, y_in, m_state)
+            raw = cfg_combine(out, guidance_scale) if doubled else out
             xf = x.astype(jnp.float32)
             e_t, pred_x0 = self._to_eps_x0(raw, xf, t)
             if clip:

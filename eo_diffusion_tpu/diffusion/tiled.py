@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from eo_diffusion_tpu.core.schedules import make_ddim_schedule
-from eo_diffusion_tpu.diffusion.gaussian import DiffusionOutput, GaussianDiffusion
+from eo_diffusion_tpu.diffusion.gaussian import (
+    DiffusionOutput,
+    GaussianDiffusion,
+    cfg_combine,
+    cfg_double_inputs,
+)
 
 __all__ = ["TileGrid", "make_tile_grid", "unfold", "fold", "tiled_ddim_sample"]
 
@@ -181,20 +186,12 @@ def tiled_ddim_sample(
         return model_fn(xx, tt, cc, yy), st
 
     def run_denoiser(xx, tt, cc, uu, yy, yu, st, i):
-        """One denoiser call with the CFG batch-doubled combine."""
-        if use_cfg or use_label_cfg:
-            x2 = jnp.concatenate([xx, xx], axis=0)
-            t2 = jnp.concatenate([tt, tt], axis=0)
-            if use_cfg:
-                c2 = jnp.concatenate([uu, cc], axis=0)
-                y2 = None if yy is None else jnp.concatenate([yy, yy], axis=0)
-            else:
-                c2 = None if cc is None else jnp.concatenate([cc, cc], axis=0)
-                y2 = jnp.concatenate([yu, yy], axis=0)
-            out, st = call_model(x2, t2, c2, y2, st, i)
-            e_u, e_c = jnp.split(out, 2, axis=0)
-            return e_u + guidance_scale * (e_c - e_u), st
-        return call_model(xx, tt, cc, yy, st, i)
+        """One denoiser call with the CFG batch-doubled combine (shared
+        policy helper, gaussian.py)."""
+        x2, t2, c2, y2, doubled = cfg_double_inputs(
+            xx, tt, cc, yy, uu, yu, guidance_scale)
+        out, st = call_model(x2, t2, c2, y2, st, i)
+        return (cfg_combine(out, guidance_scale) if doubled else out), st
 
     def denoise_tiles(x_tiles, t_scalar, m_state, i):
         """Run the denoiser over [N, nT, t, t, C] tiles (optionally chunked)."""

@@ -176,18 +176,18 @@ class DiT(nn.Module):
 
     def condition(self, t: jax.Array, y: Optional[jax.Array] = None,
                   train: bool = False) -> jax.Array:
-        """Conditioning embedding (f32): timestep MLP (+ class table with
-        CFG label dropout to the learned null class in train mode)."""
+        """Conditioning embedding (f32): timestep MLP (+ class table).
+
+        ``class_dropout_prob > 0`` only reserves the learned null row
+        (index == num_classes); the CFG label *dropout itself* is owned by
+        the train step (train/trainer.make_train_step), the same single
+        owner as for the UNet — the module never drops labels, so there is
+        exactly one dropout mechanism regardless of backbone."""
         cfg = self.cfg
         temb = self.t_embed_0(timestep_embedding(t, 256))
         c = self.t_embed_1(nn.silu(temb))
         if cfg.num_classes is not None:
             assert y is not None, "class-conditional DiT requires y"
-            if cfg.class_dropout_prob > 0 and train:
-                rng = self.make_rng("dropout")
-                drop = jax.random.bernoulli(
-                    rng, cfg.class_dropout_prob, (y.shape[0],))
-                y = jnp.where(drop, cfg.num_classes, y)
             c = c + self.label_embed(y)
         return c
 

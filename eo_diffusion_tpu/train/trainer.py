@@ -227,7 +227,11 @@ class Trainer:
             ema_every=cfg.model_ema_steps * self.grad_accum,
             class_conditional=cfg.num_classes > 0,
             use_cond=cfg.cond_type == "concat",
-            class_dropout_prob=getattr(getattr(model, "config", None), "class_dropout_prob", 0.0),
+            # the module config attribute is .config (UNet) or .cfg (DiT);
+            # the train step is the single owner of CFG label dropout
+            class_dropout_prob=getattr(
+                getattr(model, "config", None) or getattr(model, "cfg", None),
+                "class_dropout_prob", 0.0),
             num_classes=cfg.num_classes,
         )
 

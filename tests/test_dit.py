@@ -106,15 +106,49 @@ class TestClassConditioning:
         # the null index (== num_classes) is a valid label at apply time
         m.apply(params, x, t, y=jnp.array([5]))
 
-    def test_train_mode_dropout_needs_rng(self):
-        cfg = tiny_cfg(num_classes=5, class_dropout_prob=0.5)
+    def test_train_step_owns_label_dropout(self):
+        """The module never drops labels (single-owner convention); the
+        Trainer reads class_dropout_prob from DiT.cfg and make_train_step
+        applies the dropout — null-row gradient must be nonzero under
+        prob=1 (every label dropped to the null class)."""
+        from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+        from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
+
+        cfg = tiny_cfg(num_classes=5, class_dropout_prob=1.0)
         m = DiT(cfg)
         x = jnp.zeros((4, 16, 16, 3))
         t = jnp.zeros((4,), jnp.int32)
         y = jnp.zeros((4,), jnp.int32)
         params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t, y=y)
-        m.apply(params, x, t, y=y, train=True,
-                rngs={"dropout": jax.random.PRNGKey(1)})
+        # module-level: train=True must NOT drop (output independent of rngs)
+        a = m.apply(params, x, t, y=y, train=True)
+        b = m.apply(params, x, t, y=y)
+        assert float(jnp.abs(a - b).max()) == 0.0
+
+        import optax
+        tx = optax.sgd(1.0)
+        # zero-init gates/head block all gradients at init; nudge params so
+        # the conditioning path carries gradient
+        params = jax.tree.map(
+            lambda p: p + 0.05 * jax.random.normal(jax.random.PRNGKey(9), p.shape),
+            params)
+        state = TrainState.create(params, tx)
+        apply_fn = (lambda p, xx, tt, cond=None, y=None, train=False,
+                    dropout_rng=None: m.apply(p, xx, tt, cond=cond, y=y))
+        diff = GaussianDiffusion.create(timesteps=10, image_size=16,
+                                        in_channels=3)
+        step = jax.jit(make_train_step(
+            diff, apply_fn, tx, ema_decay=0.9, ema_every=1,
+            class_conditional=True, class_dropout_prob=1.0, num_classes=5))
+        data = jax.random.normal(jax.random.PRNGKey(2), (4, 16, 16, 3))
+        state2, _ = step(state, {"image": data, "label": y},
+                         jax.random.PRNGKey(3))
+        emb0 = state.params["params"]["label_embed"]["embedding"]
+        emb1 = state2.params["params"]["label_embed"]["embedding"]
+        delta = jnp.abs(emb1 - emb0)
+        # with prob=1 every sample trains the null row (index 5) and only it
+        assert float(delta[5].max()) > 0.0
+        assert float(delta[:5].max()) == 0.0
 
 
 class TestLearning:
