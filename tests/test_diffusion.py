@@ -347,3 +347,56 @@ class TestDDIMIntermediates:
                                       np.asarray(full.x))
         np.testing.assert_array_equal(np.asarray(full.intermediates[::3]),
                                       np.asarray(strided.intermediates))
+
+
+class TestCFGHelpers:
+    """cfg_double_inputs / cfg_combine: the single CFG policy point shared
+    by all five samplers (ddim/ddpm/dpm/tiled/flow)."""
+
+    def test_passthrough_when_disabled(self):
+        from eo_diffusion_tpu.diffusion.gaussian import cfg_double_inputs
+
+        x = jnp.ones((2, 4, 4, 1))
+        t = jnp.zeros((2,), jnp.int32)
+        for kw in [dict(), dict(uncond=jnp.zeros_like(x), guidance_scale=1.0),
+                   dict(y_uncond=jnp.zeros((2,), jnp.int32), guidance_scale=1.0)]:
+            xi, ti, ci, yi, doubled = cfg_double_inputs(x, t, None, None, **kw)
+            assert not doubled
+            assert xi.shape[0] == 2
+
+    def test_image_cfg_doubling_and_precedence(self):
+        from eo_diffusion_tpu.diffusion.gaussian import cfg_double_inputs
+
+        x = jnp.ones((2, 4, 4, 1))
+        t = jnp.zeros((2,), jnp.int32)
+        cond = jnp.full((2, 4, 4, 1), 2.0)
+        uncond = jnp.zeros_like(cond)
+        y = jnp.array([1, 2])
+        y_un = jnp.array([5, 5])
+        xi, ti, ci, yi, doubled = cfg_double_inputs(
+            x, t, cond, y, uncond=uncond, y_uncond=y_un, guidance_scale=2.0)
+        assert doubled and xi.shape[0] == 4 and ti.shape[0] == 4
+        # image-CFG wins: cond half is [uncond | cond], labels just doubled
+        np.testing.assert_array_equal(np.asarray(ci[:2]), np.asarray(uncond))
+        np.testing.assert_array_equal(np.asarray(ci[2:]), np.asarray(cond))
+        np.testing.assert_array_equal(np.asarray(yi), [1, 2, 1, 2])
+
+    def test_label_cfg_doubling(self):
+        from eo_diffusion_tpu.diffusion.gaussian import cfg_double_inputs
+
+        x = jnp.ones((2, 4, 4, 1))
+        t = jnp.zeros((2,), jnp.int32)
+        y = jnp.array([1, 2])
+        y_un = jnp.array([5, 5])
+        xi, ti, ci, yi, doubled = cfg_double_inputs(
+            x, t, None, y, y_uncond=y_un, guidance_scale=2.0)
+        assert doubled and ci is None
+        np.testing.assert_array_equal(np.asarray(yi), [5, 5, 1, 2])
+
+    def test_combine_math(self):
+        from eo_diffusion_tpu.diffusion.gaussian import cfg_combine
+
+        e_u = jnp.full((2, 1), 1.0)
+        e_c = jnp.full((2, 1), 3.0)
+        out = cfg_combine(jnp.concatenate([e_u, e_c], axis=0), 2.0)
+        np.testing.assert_allclose(np.asarray(out), 5.0)  # 1 + 2*(3-1)
