@@ -57,6 +57,13 @@ def parse_args(argv=None):
                         help="flow sampler integrator (heun = 2nd order, "
                              "2 model calls/step)")
     parser.add_argument("--samples_fid", action="store_true")
+    parser.add_argument("--guidance_scale", type=float, default=1.0,
+                        help="classifier-free guidance scale (>1 enables). "
+                             "Class-conditional models guide against the "
+                             "learned null class (train with "
+                             "class_dropout_prob > 0); concat-conditioned "
+                             "models guide against a zero conditioning "
+                             "image. All samplers support it.")
     parser.add_argument("--deepcache", type=int, default=1, metavar="K",
                         help="DeepCache (arXiv 2312.00858): recompute the deep "
                              "UNet branch only every K sampler steps (K>1 "
@@ -237,6 +244,25 @@ def main(args):
              if num_classes else None)
         catg = classes[int(y[0])] if y is not None else "sample"
 
+        # classifier-free guidance kwargs (shared combine, gaussian.py
+        # cfg_double_inputs): label-CFG against the learned null class when
+        # class-conditional, else image-CFG against a zero conditioning view
+        gkw = {}
+        if args.guidance_scale != 1.0:
+            gkw["guidance_scale"] = args.guidance_scale
+            if num_classes and y is not None:
+                gkw["y_uncond"] = np.full((bsz,), num_classes, np.int64)
+            elif cond_type == "concat" and cond is not None:
+                if args.sampler == "ddpm":
+                    print("note: ddpm has no image-CFG path; guidance ignored")
+                    gkw = {}
+                else:
+                    gkw["uncond"] = np.zeros_like(cond)
+            else:
+                print("note: --guidance_scale needs class- or concat-"
+                      "conditioning; ignored")
+                gkw = {}
+
         rng, srng = jax.random.split(rng)
         fn_j, st0 = model_fn, None
         if args.deepcache > 1:
@@ -261,7 +287,7 @@ def main(args):
                 method=args.flow_method,
                 cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
-                model_state=st0,
+                model_state=st0, **gkw,
             )
             samples = np.asarray(out.x, np.float32)
         elif args.sampler == "dpm":
@@ -272,7 +298,7 @@ def main(args):
                 y=jnp.asarray(y) if y is not None else None,
                 mask=mask_j,
                 x0=jnp.asarray(image) if mask_j is not None else None,
-                model_state=st0,
+                model_state=st0, **gkw,
             )
             samples = np.asarray(out.x, np.float32)
         elif args.sampler == "ddpm":
@@ -281,7 +307,7 @@ def main(args):
                 cond=jnp.asarray(cond) if cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
                 clip=not args.no_clip,
-                model_state=st0,
+                model_state=st0, **gkw,
             )
             samples = np.asarray(out.x, np.float32)
         else:
@@ -293,7 +319,7 @@ def main(args):
                 mask=mask_j,
                 x0=jnp.asarray(image) if mask_j is not None else None,
                 clip=args.ddim_clip,
-                model_state=st0,
+                model_state=st0, **gkw,
             )
             samples = np.asarray(out.x, np.float32)
 

@@ -155,6 +155,47 @@ class TestConcatCondCLI:
         assert any(f.endswith("_gt.png") for f in sample_files)
 
 
+class TestGuidanceCLI:
+    def test_image_cfg_roundtrip(self, trained_cr, run_dirs_cr):
+        """--guidance_scale on a concat-conditioned model: image-CFG against
+        a zero conditioning view through the ddim path."""
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        step_dirs = sorted(d for d in os.listdir(trained_cr) if d.startswith("steps_"))
+        ckpt = os.path.join(trained_cr, step_dirs[-1])
+        outdir = os.path.join(run_dirs_cr["infer"], "cfg")
+        args = infer_cli.parse_args([
+            "--preset", "tiny-cr", "--ckpt", ckpt, "--sampler", "ddim",
+            "--sampler_steps", "5", "--guidance_scale", "2.0",
+            "--save", "--samples_fid", "--n_iter", "0", "--batch_size", "4",
+            "--outdir", outdir,
+        ])
+        infer_cli.main(args)
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
+
+    def test_guidance_changes_samples(self, trained_cr, run_dirs_cr):
+        """guided != unguided output for the same seed (the flag is live)."""
+        import numpy as np
+        from PIL import Image
+
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        step_dirs = sorted(d for d in os.listdir(trained_cr) if d.startswith("steps_"))
+        ckpt = os.path.join(trained_cr, step_dirs[-1])
+        outs = {}
+        for label, extra in [("plain", []), ("guided", ["--guidance_scale", "3.0"])]:
+            outdir = os.path.join(run_dirs_cr["infer"], f"cfg_{label}")
+            args = infer_cli.parse_args([
+                "--preset", "tiny-cr", "--ckpt", ckpt, "--sampler", "ddim",
+                "--sampler_steps", "5", "--save", "--n_iter", "0",
+                "--batch_size", "4", "--outdir", outdir, *extra,
+            ])
+            infer_cli.main(args)
+            f = os.path.join(outdir, "samples", "sample_0.png")
+            outs[label] = np.asarray(Image.open(f), np.float32)
+        assert np.abs(outs["plain"] - outs["guided"]).max() > 0
+
+
 class TestWandbLogging:
     def test_scalars_and_gallery_logged_via_stub(self, tmp_path, monkeypatch):
         """--wandb path with a stubbed module (VERDICT r2 weak #8): scalar
