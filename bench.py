@@ -153,6 +153,7 @@ def main():
     # rider: the beyond-reference DiT-B/8 family at the same 256px DDIM-50
     # protocol (tools/probe_dit_tpu.py has the full fwd/bwd numbers) -- the
     # primary value stays the reference-parity clouds UNet
+    dit_img_s = flow_img_s = None
     try:
         from eo_diffusion_tpu.models.dit import DiT, dit_b
 
@@ -173,8 +174,29 @@ def main():
         for i in range(ITERS):
             float(fdit(dparams, jax.random.PRNGKey(i)))
         dit_img_s = BATCH / ((time.time() - t0) / ITERS)
+
+        # modern-stack rider: the same DiT under rectified flow, Heun-8
+        # (15 model calls; trained-quality grounding in
+        # gallery/dit256_metrics.json — Heun-8 KID 0.0003 at this exact
+        # resolution/model)
+        from eo_diffusion_tpu.diffusion.flow import FlowMatching
+
+        fm = FlowMatching.create(image_size=IMAGE_SIZE, in_channels=3)
+
+        def sample_flow(dparams, rng):
+            fn = lambda x, t, c, y: dmodel.apply(dparams, x, t, cond=c, y=y)
+            out = fm.sample(fn, rng, BATCH, num_steps=8, method="heun",
+                            dtype=jnp.bfloat16)
+            return jnp.float32(jnp.sum(out.x))
+
+        fflow = jax.jit(sample_flow)
+        float(fflow(dparams, jax.random.PRNGKey(0)))
+        t0 = time.time()
+        for i in range(ITERS):
+            float(fflow(dparams, jax.random.PRNGKey(i)))
+        flow_img_s = BATCH / ((time.time() - t0) / ITERS)
     except Exception:
-        dit_img_s = None
+        pass
 
     print(
         json.dumps(
@@ -187,6 +209,7 @@ def main():
                 "mfu_vs_peak": None if mfu is None else round(mfu, 3),
                 "deepcache_k3_img_s": None if dc_img_s is None else round(dc_img_s, 3),
                 "dit_b8_img_s": None if dit_img_s is None else round(dit_img_s, 3),
+                "dit_flow_heun8_img_s": None if flow_img_s is None else round(flow_img_s, 3),
             }
         )
     )
