@@ -282,11 +282,14 @@ def main(args):
                 refresh_every=args.deepcache,
             )
         if args.sampler == "flow":
+            mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
             out = diffusion.sample(
                 fn_j, srng, bsz, num_steps=args.sampler_steps,
                 method=args.flow_method,
                 cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
+                mask=mask_j,
+                x0=jnp.asarray(image) if mask_j is not None else None,
                 model_state=st0, **gkw,
             )
             samples = np.asarray(out.x, np.float32)

@@ -201,9 +201,9 @@ def build_process(preset: Preset, timesteps: int, image_size: int,
     if preset.process == "flow":
         from eo_diffusion_tpu.diffusion.flow import FlowMatching
 
-        assert cond_type != "sum", (
-            "RePaint-'sum' masking is a DDPM-chain mechanism; flow presets "
-            "support cond_type=None/'concat'")
+        # cond_type="sum" is sampling-time-only masked inpainting (the model
+        # stays unconditional) and maps onto FlowMatching.sample's mask/x0
+        # path; "concat" conditions the model like the DDPM presets
         return FlowMatching.create(image_size=size, in_channels=chans,
                                    cond_type=cond_type)
     assert preset.process == "ddpm", preset.process

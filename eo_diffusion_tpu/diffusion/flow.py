@@ -103,6 +103,8 @@ class FlowMatching:
         guidance_scale: float = 1.0,
         uncond: Optional[jax.Array] = None,
         y_uncond: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        x0: Optional[jax.Array] = None,
         log_every: Optional[int] = None,
         dtype=jnp.float32,
         model_state: Any = None,
@@ -112,8 +114,18 @@ class FlowMatching:
         Heun (2nd-order) halves the step-count needed for a given error at
         2 model calls/step; with CFG, cond/uncond ride one doubled batch
         exactly like ``GaussianDiffusion.ddim_sample``.
+
+        ``mask``/``x0``: RePaint-style inpainting on the flow path — before
+        each step the known region (mask == 1) is re-placed on the
+        straight-line path at the current time, ``(1-t)*x0 + t*eps``, and
+        composited in (the flow analog of the reference's DDPM re-noising
+        composite, model.py:58-60; exact on this path because the marginal
+        at time t IS the linear interpolation). The model stays
+        unconditional, matching ``cond_type="sum"`` semantics.
         """
         assert method in ("euler", "heun"), method
+        if mask is not None:
+            assert x0 is not None, "flow inpainting requires x0 (known image)"
         shape = (n_samples, self.image_size, self.image_size, self.in_channels)
         x = (x_T.astype(jnp.float32) if x_T is not None
              else jax.random.normal(rng, shape, jnp.float32))
@@ -135,10 +147,17 @@ class FlowMatching:
                 out = cfg_combine(out, guidance_scale)
             return out.astype(jnp.float32), st
 
+        mask_rng = jax.random.fold_in(rng, 7)
+
         def step(carry, i):
             x, frames, st = carry
             t_i, t_next = ts[i], ts[i + 1]
             dt = t_next - t_i  # negative: integrating toward data
+            if mask is not None:
+                eps = jax.random.normal(jax.random.fold_in(mask_rng, i),
+                                        shape, jnp.float32)
+                known = (1.0 - t_i) * x0.astype(jnp.float32) + t_i * eps
+                x = mask * known + (1.0 - mask) * x
             v1, st = call_model(x.astype(dtype), t_i, st, i)
             if method == "heun":
                 # final step (t_next == 0): Euler — the standard convention;
@@ -164,4 +183,9 @@ class FlowMatching:
         state0 = model_state if stateful else jnp.zeros((), dtype)
         (x, frames, _), _ = jax.lax.scan(
             step, (x, frames0, state0), jnp.arange(num_steps))
+        if mask is not None:
+            # final paste: at t=0 the known region is exactly x0 (the last
+            # in-loop composite happened at t > 0; RePaint semantics keep
+            # the known pixels verbatim, like the DPM solver's final paste)
+            x = mask * x0.astype(jnp.float32) + (1.0 - mask) * x
         return DiffusionOutput(x=x, intermediates=frames if log_every else None)

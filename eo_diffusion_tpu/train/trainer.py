@@ -357,11 +357,12 @@ class Trainer:
                     kw = dict(cond=None, y=y, x0=cond[..., :ci],
                               mask=cond[..., ci : ci + 1])
                 if sampler == "flow":
-                    # FlowMatching process (diffusion/flow.py): Euler ODE
-                    # integration; no DDPM-chain kwargs apply
+                    # FlowMatching process (diffusion/flow.py): ODE
+                    # integration; the "sum" rewrite above maps (gt|mask)
+                    # cond onto the explicit mask/x0 inpainting path
                     return self.diffusion.sample(
                         model_fn, rng, n, num_steps=self.cfg.preview_steps,
-                        cond=cond, y=y,
+                        **kw,
                     ).x
                 if sampler == "ddim":
                     return self.diffusion.ddim_sample(

@@ -107,6 +107,21 @@ class TestFlowCLI:
         pngs = [f for f in os.listdir(run_dirs["flow_samples"]) if f.endswith(".png")]
         assert pngs, "flow training produced no preview grid"
 
+    def test_sum_inpainting_roundtrip(self, flow_ckpt, run_dirs):
+        """Cloud-removal use-case on the flow stack: cond_type=sum maps to
+        FlowMatching.sample's mask/x0 RePaint path through the CLI."""
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        outdir = os.path.join(run_dirs["infer"], "flow_sum")
+        args = infer_cli.parse_args([
+            "--preset", "tiny-flow", "--ckpt", flow_ckpt,
+            "--cond_type", "sum", "--metrics",
+            "--sampler_steps", "6", "--save", "--samples_fid",
+            "--n_iter", "0", "--batch_size", "4", "--outdir", outdir,
+        ])
+        infer_cli.main(args)
+        assert os.path.exists(os.path.join(outdir, "metrics.txt"))
+
     @pytest.mark.parametrize("method", ["euler", "heun"])
     def test_inference_roundtrip(self, flow_ckpt, run_dirs, method):
         from eo_diffusion_tpu.cli import inference as infer_cli

@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from eo_diffusion_tpu.diffusion.flow import FlowMatching
 
@@ -100,6 +101,26 @@ class TestSampling:
         guided = fm.sample(v, jax.random.PRNGKey(0), 8, num_steps=32,
                            cond=cond_c, uncond=cond_u, guidance_scale=2.0).x
         assert float(plain.mean()) < float(guided.mean())
+
+    def test_inpainting_keeps_known_region(self):
+        """RePaint-style mask/x0 on the flow path: the known half must be
+        exactly x0 (final paste), the free half must still integrate to the
+        field's target."""
+        mu = 0.5
+        fm = FlowMatching.create(image_size=4, in_channels=1)
+        x0 = jnp.full((4, 4, 4, 1), -0.9)
+        mask = jnp.zeros((4, 4, 4, 1)).at[:, :2].set(1.0)  # top half known
+        out = fm.sample(_perfect_velocity(mu), jax.random.PRNGKey(0), 4,
+                        num_steps=32, mask=mask, x0=x0).x
+        np.testing.assert_array_equal(np.asarray(out[:, :2]),
+                                      np.asarray(x0[:, :2]))
+        assert float(jnp.abs(out[:, 2:] - mu).max()) < 0.1
+
+    def test_inpainting_requires_x0(self):
+        fm = FlowMatching.create(image_size=4, in_channels=1)
+        with pytest.raises(AssertionError, match="x0"):
+            fm.sample(_perfect_velocity(0.0), jax.random.PRNGKey(0), 2,
+                      num_steps=4, mask=jnp.ones((2, 4, 4, 1)))
 
     def test_stateful_model_hook(self):
         calls = {"n": 0}

@@ -74,10 +74,12 @@ class TestProcessDispatch:
         assert isinstance(proc, FlowMatching)
         assert proc.image_size == p.latent_size
 
-    def test_flow_rejects_sum_conditioning(self):
+    def test_flow_sum_conditioning_builds(self):
+        # "sum" = sampling-time-only mask inpainting; supported on the flow
+        # path via FlowMatching.sample(mask=, x0=)
         p = get_preset("tiny-flow")
-        with pytest.raises(AssertionError, match="sum"):
-            build_process(p, timesteps=50, image_size=8, cond_type="sum")
+        proc = build_process(p, timesteps=50, image_size=8, cond_type="sum")
+        assert proc.cond_type == "sum"
 
 
 class TestRegistryInvariants:
