@@ -55,6 +55,12 @@ class DiTConfig:
     class_dropout_prob: float = 0.0
     dtype: Any = jnp.float32  # compute/activation dtype (params stay f32)
     attn_impl: str = "auto"
+    # cross-attention conditioning (the LatentDiffusion 'crossattn' slot,
+    # completing the conditioning-key matrix for this family like
+    # UNetConfig.context_dim does for the UNet): when > 0 every block gains
+    # a zero-init cross-attention over `context` tokens after its
+    # self-attention (the PixArt/SD3-style placement)
+    context_dim: int = 0
 
     @property
     def label_vocab(self) -> Optional[int]:
@@ -94,21 +100,55 @@ def _modulated_ln(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array
     return out.astype(x.dtype)
 
 
+class CrossAttentionTokens(nn.Module):
+    """Cross-attention from tokens to context tokens [N, L, Dc].
+
+    Zero-init output projection: a fresh module is an exact identity, so
+    the slot can be added to pretrained DiT checkpoints safely (same
+    contract as the UNet's CrossAttentionBlock, models/unet.py). Projection
+    names (to_q/to_kv/proj_out) match parallel.mesh.tp_param_specs."""
+
+    num_heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        b, t, d = x.shape
+        heads = self.num_heads
+        ch = d // heads
+        h = _modulated_ln(x, jnp.zeros((b, d), jnp.float32),
+                          jnp.zeros((b, d), jnp.float32))  # plain LN
+        q = Dense(d, dtype=self.dtype, name="to_q")(h).reshape(b, t, heads, ch)
+        kv = Dense(2 * d, dtype=self.dtype, name="to_kv")(
+            context.astype(h.dtype))
+        kv = kv.reshape(b, context.shape[1], 2, heads, ch)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.float32(ch))).astype(q.dtype)
+        w = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(v.dtype)
+        a = jnp.einsum("bhts,bshc->bthc", w, v).reshape(b, t, d)
+        return ZeroDense(d, dtype=self.dtype, name="proj_out")(a)
+
+
 class DiTBlock(nn.Module):
     """Pre-LN transformer block with adaLN-Zero conditioning.
 
     The six modulation vectors come from a zero-init projection of the
     conditioning embedding, so at init both residual branches are gated
-    shut (exact identity)."""
+    shut (exact identity). With ``context_dim > 0`` a zero-init
+    cross-attention over context tokens sits between self-attention and
+    the MLP."""
 
     hidden_size: int
     num_heads: int
     mlp_ratio: float
     dtype: Any
     attn_impl: str
+    context_dim: int = 0
 
     @nn.compact
-    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, c: jax.Array,
+                 context: Optional[jax.Array] = None) -> jax.Array:
         from eo_diffusion_tpu.ops.attention import attention_from_qkv
 
         d = self.hidden_size
@@ -122,6 +162,11 @@ class DiTBlock(nn.Module):
                                impl=self.attn_impl)
         a = Dense(d, dtype=self.dtype, name="proj_out")(a)
         x = x + gate_a[:, None, :].astype(x.dtype) * a
+
+        if self.context_dim:
+            assert context is not None, "context_dim > 0 requires context"
+            x = x + CrossAttentionTokens(self.num_heads, self.dtype,
+                                         name="cross")(x, context)
 
         h = _modulated_ln(x, shift_m, scale_m)
         h = Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_in")(h)
@@ -151,7 +196,7 @@ class DiT(nn.Module):
                                         dtype=jnp.float32)
         self.blocks = [
             DiTBlock(d, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
-                     cfg.attn_impl, name=f"block_{i}")
+                     cfg.attn_impl, cfg.context_dim, name=f"block_{i}")
             for i in range(cfg.depth)
         ]
         self.final_mod = ZeroDense(2 * d, name="final_mod")
@@ -210,12 +255,13 @@ class DiT(nn.Module):
         t: jax.Array,
         cond: Optional[jax.Array] = None,
         y: Optional[jax.Array] = None,
+        context: Optional[jax.Array] = None,
         train: bool = False,
     ) -> jax.Array:
         h = self.embed(x, cond)
         c = self.condition(t, y, train)
         for block in self.blocks:
-            h = block(h, c)
+            h = block(h, c, context)
         return self.final(h, c)
 
 

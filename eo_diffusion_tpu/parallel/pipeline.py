@@ -139,6 +139,9 @@ def pp_dit_apply(
     from eo_diffusion_tpu.models.dit import DiT, DiTBlock
 
     cfg = model.cfg
+    assert cfg.context_dim == 0, (
+        "pp_dit_apply does not thread cross-attention context through the "
+        "pipeline riders yet; use the sequential forward for context models")
     h = model.apply(params, x, cond, method=DiT.embed)
     c = model.apply(params, t, y, method=DiT.condition)
     stacked = stack_block_params(params, cfg.depth)

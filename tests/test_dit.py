@@ -151,6 +151,50 @@ class TestClassConditioning:
         assert float(delta[:5].max()) == 0.0
 
 
+class TestCrossAttention:
+    def test_identity_at_init_and_context_sensitivity(self):
+        """context_dim > 0: zero-init cross-attn is an exact no-op at init;
+        after a nudge the output depends on the context tokens."""
+        cfg = tiny_cfg(context_dim=12)
+        m = DiT(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+        t = jnp.full((2,), 7, jnp.int32)
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 12))
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t, context=ctx)
+        # fresh model: zero output head regardless of context
+        assert float(jnp.abs(m.apply(params, x, t, context=ctx)).max()) == 0.0
+        params = jax.tree.map(
+            lambda p: p + 0.05 * jax.random.normal(jax.random.PRNGKey(3), p.shape),
+            params)
+        o1 = m.apply(params, x, t, context=ctx)
+        o2 = m.apply(params, x, t, context=ctx[:, ::-1] * 2.0)
+        assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+    def test_wrapper_crossattn_and_hybrid_keys(self):
+        """The ConditioningWrapper key matrix covers the DiT family too."""
+        from eo_diffusion_tpu.models.wrapper import ConditioningWrapper
+
+        cfg = tiny_cfg(in_channels=6, context_dim=12)
+        m = DiT(cfg)
+        x = jnp.zeros((2, 16, 16, 3))
+        t = jnp.zeros((2,), jnp.int32)
+        ctx = jnp.zeros((2, 5, 12))
+        cond = jnp.zeros((2, 16, 16, 3))
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t, cond=cond,
+                                 context=ctx)
+        w = ConditioningWrapper(m, "hybrid")
+        out = w(params, x, t, {"c_concat": cond, "c_crossattn": ctx})
+        assert out.shape == (2, 16, 16, 3)
+
+    def test_context_required_when_configured(self):
+        cfg = tiny_cfg(context_dim=12)
+        m = DiT(cfg)
+        x = jnp.zeros((1, 16, 16, 3))
+        t = jnp.zeros((1,), jnp.int32)
+        with pytest.raises(AssertionError, match="context"):
+            jax.jit(m.init)(jax.random.PRNGKey(0), x, t)
+
+
 class TestLearning:
     def test_fits_eps_on_fixed_target(self):
         """A tiny DiT must learn to predict a fixed target from noise input
