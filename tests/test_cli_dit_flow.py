@@ -122,17 +122,23 @@ class TestFlowCLI:
         infer_cli.main(args)
         assert os.path.exists(os.path.join(outdir, "metrics.txt"))
 
-    @pytest.mark.parametrize("method", ["euler", "heun"])
-    def test_inference_roundtrip(self, flow_ckpt, run_dirs, method):
+    @pytest.mark.parametrize("method,extra", [
+        ("euler", []),
+        ("heun", []),
+        # DeepCache's stateful-model hook rides the flow ODE loop too
+        ("euler", ["--deepcache", "2"]),
+    ])
+    def test_inference_roundtrip(self, flow_ckpt, run_dirs, method, extra):
         from eo_diffusion_tpu.cli import inference as infer_cli
 
-        outdir = os.path.join(run_dirs["infer"], f"flow_{method}")
+        name = f"flow_{method}" + ("_dc" if extra else "")
+        outdir = os.path.join(run_dirs["infer"], name)
         # --sampler ddpm is overridden to flow by the preset's process
         args = infer_cli.parse_args([
             "--preset", "tiny-flow", "--ckpt", flow_ckpt,
             "--sampler_steps", "6", "--flow_method", method,
             "--save", "--samples_fid", "--n_iter", "0", "--batch_size", "4",
-            "--outdir", outdir,
+            "--outdir", outdir, *extra,
         ])
         infer_cli.main(args)
         assert os.listdir(os.path.join(outdir, "samples_fid"))
