@@ -30,7 +30,8 @@ from eo_diffusion_tpu.diffusion.gaussian import (
     cfg_double_inputs,
 )
 
-__all__ = ["TileGrid", "make_tile_grid", "unfold", "fold", "tiled_ddim_sample"]
+__all__ = ["TileGrid", "make_tile_grid", "unfold", "fold",
+           "make_tiled_denoiser", "tiled_ddim_sample", "tiled_flow_sample"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +104,107 @@ def fold(tiles: jax.Array, grid: TileGrid) -> jax.Array:
     return out / norm[None]
 
 
+def make_tiled_denoiser(
+    model_fn: Callable,
+    grid: TileGrid,
+    tile: int,
+    n_samples: int,
+    cond: Optional[jax.Array] = None,
+    y: Optional[jax.Array] = None,
+    guidance_scale: float = 1.0,
+    uncond: Optional[jax.Array] = None,
+    y_uncond: Optional[jax.Array] = None,
+    tile_batch: Optional[int] = None,
+    model_state: Any = None,
+    t_dtype=jnp.int32,
+):
+    """Build the per-step tile denoiser shared by the tiled samplers.
+
+    Returns ``(denoise_tiles, state0)`` where
+    ``denoise_tiles(x_tiles [N,nT,t,t,C], t_scalar, m_state, i) ->
+    (raw_tiles, m_state)`` runs the model over the flat tile batch
+    (optionally in ``tile_batch`` chunks inside a scan) with the shared CFG
+    batch-doubled combine (gaussian.cfg_double_inputs); full-scene
+    ``cond``/``uncond`` are unfolded once here. ``t_dtype`` is int32 for
+    the DDPM-chain samplers and float32 for the flow ODE (t arrives
+    pre-scaled).
+    """
+    stateful = model_state is not None
+    use_cfg = uncond is not None and guidance_scale != 1.0
+    use_label_cfg = y_uncond is not None and guidance_scale != 1.0
+    cond_tiles = unfold(cond, grid) if cond is not None else None
+    uncond_tiles = unfold(uncond, grid) if use_cfg else None
+
+    n_flat = n_samples * grid.num_tiles
+    chunked = tile_batch is not None and tile_batch < n_flat
+    nb = -(-n_flat // tile_batch) if chunked else 1
+    if chunked and stateful:
+        # one state copy per chunk, carried across steps (each chunk is a
+        # stable tile subset, so its cached deep features stay coherent)
+        model_state = jax.tree.map(lambda s: jnp.stack([s] * nb), model_state)
+
+    def call_model(xx, tt, cc, yy, st, i):
+        if stateful:
+            return model_fn(xx, tt, cc, yy, st, i)
+        return model_fn(xx, tt, cc, yy), st
+
+    def run_denoiser(xx, tt, cc, uu, yy, yu, st, i):
+        x2, t2, c2, y2, doubled = cfg_double_inputs(
+            xx, tt, cc, yy, uu, yu, guidance_scale)
+        out, st = call_model(x2, t2, c2, y2, st, i)
+        return (cfg_combine(out, guidance_scale) if doubled else out), st
+
+    def denoise_tiles(x_tiles, t_scalar, m_state, i):
+        """Run the denoiser over [N, nT, t, t, C] tiles (optionally chunked)."""
+        n, nt = x_tiles.shape[:2]
+        flat = x_tiles.reshape(n * nt, tile, tile, x_tiles.shape[-1])
+        reshape_flat = lambda a: a.reshape(n * nt, tile, tile, a.shape[-1])
+        c_flat = reshape_flat(cond_tiles) if cond_tiles is not None else None
+        u_flat = reshape_flat(uncond_tiles) if uncond_tiles is not None else None
+        y_flat = jnp.repeat(y, nt, axis=0) if y is not None else None
+        yu_flat = jnp.repeat(y_uncond, nt, axis=0) if use_label_cfg else None
+        ts = jnp.full((flat.shape[0],), t_scalar, t_dtype)
+        if not chunked:
+            out, m_state = run_denoiser(
+                flat, ts, c_flat, u_flat, y_flat, yu_flat, m_state, i
+            )
+        else:
+            pad = nb * tile_batch - n * nt
+            pad4 = lambda a: jnp.pad(a, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            flat_p = pad4(flat)
+            c_p = pad4(c_flat) if c_flat is not None else None
+            u_p = pad4(u_flat) if u_flat is not None else None
+            y_p = jnp.pad(y_flat, ((0, pad),)) if y_flat is not None else None
+            yu_p = jnp.pad(yu_flat, ((0, pad),)) if yu_flat is not None else None
+            ts_p = jnp.pad(ts, ((0, pad),))
+
+            def chunk(st_stack, ci):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * tile_batch, tile_batch)
+                opt = lambda a: None if a is None else sl(a)
+                # without a stateful model the carry is a scalar placeholder
+                st_c = st_stack if not stateful else jax.tree.map(
+                    lambda s: jax.lax.dynamic_index_in_dim(s, ci, 0, keepdims=False),
+                    st_stack,
+                )
+                o, st_c = run_denoiser(
+                    sl(flat_p), sl(ts_p), opt(c_p), opt(u_p), opt(y_p), opt(yu_p),
+                    st_c, i,
+                )
+                if stateful:
+                    st_stack = jax.tree.map(
+                        lambda s, sc: jax.lax.dynamic_update_index_in_dim(s, sc, ci, 0),
+                        st_stack, st_c,
+                    )
+                return st_stack, o
+
+            m_state, outs = jax.lax.scan(chunk, m_state, jnp.arange(nb))
+            out = outs.reshape(nb * tile_batch, tile, tile, -1)[: n * nt]
+        return out.reshape(n, nt, tile, tile, -1), m_state
+
+    state0 = model_state if stateful else jnp.zeros((), jnp.float32)
+    return denoise_tiles, state0
+
+
 def tiled_ddim_sample(
     diffusion: GaussianDiffusion,
     model_fn: Callable,
@@ -151,10 +253,6 @@ def tiled_ddim_sample(
     tile = diffusion.image_size
     grid = make_tile_grid(height, width, tile, overlap)
     dd = make_ddim_schedule(diffusion.schedule, num_steps, eta)
-    stateful = model_state is not None
-    use_cfg = uncond is not None and guidance_scale != 1.0
-    use_label_cfg = y_uncond is not None and guidance_scale != 1.0
-
     shape = (n_samples, height, width, diffusion.in_channels)
     init_rng, scan_rng = jax.random.split(rng)
     # f32 carry like the non-tiled samplers (per-step bf16 quantization of x
@@ -166,79 +264,11 @@ def tiled_ddim_sample(
     alphas_prev = jnp.asarray(dd.alphas_prev)
     sigmas = jnp.asarray(dd.sigmas)
 
-    cond_tiles = unfold(cond, grid) if cond is not None else None
-    uncond_tiles = unfold(uncond, grid) if use_cfg else None
-
-    n_flat = n_samples * grid.num_tiles
-    chunked = tile_batch is not None and tile_batch < n_flat
-    if chunked:
-        nb = -(-n_flat // tile_batch)
-        if stateful:
-            # one state copy per chunk, carried across steps (each chunk is a
-            # stable tile subset, so its cached deep features stay coherent)
-            model_state = jax.tree.map(
-                lambda s: jnp.stack([s] * nb), model_state
-            )
-
-    def call_model(xx, tt, cc, yy, st, i):
-        if stateful:
-            return model_fn(xx, tt, cc, yy, st, i)
-        return model_fn(xx, tt, cc, yy), st
-
-    def run_denoiser(xx, tt, cc, uu, yy, yu, st, i):
-        """One denoiser call with the CFG batch-doubled combine (shared
-        policy helper, gaussian.py)."""
-        x2, t2, c2, y2, doubled = cfg_double_inputs(
-            xx, tt, cc, yy, uu, yu, guidance_scale)
-        out, st = call_model(x2, t2, c2, y2, st, i)
-        return (cfg_combine(out, guidance_scale) if doubled else out), st
-
-    def denoise_tiles(x_tiles, t_scalar, m_state, i):
-        """Run the denoiser over [N, nT, t, t, C] tiles (optionally chunked)."""
-        n, nt = x_tiles.shape[:2]
-        flat = x_tiles.reshape(n * nt, tile, tile, x_tiles.shape[-1])
-        reshape_flat = lambda a: a.reshape(n * nt, tile, tile, a.shape[-1])
-        c_flat = reshape_flat(cond_tiles) if cond_tiles is not None else None
-        u_flat = reshape_flat(uncond_tiles) if uncond_tiles is not None else None
-        y_flat = jnp.repeat(y, nt, axis=0) if y is not None else None
-        yu_flat = jnp.repeat(y_uncond, nt, axis=0) if use_label_cfg else None
-        ts = jnp.full((flat.shape[0],), t_scalar, jnp.int32)
-        if not chunked:
-            out, m_state = run_denoiser(
-                flat, ts, c_flat, u_flat, y_flat, yu_flat, m_state, i
-            )
-        else:
-            pad = nb * tile_batch - n * nt
-            pad4 = lambda a: jnp.pad(a, ((0, pad), (0, 0), (0, 0), (0, 0)))
-            flat_p = pad4(flat)
-            c_p = pad4(c_flat) if c_flat is not None else None
-            u_p = pad4(u_flat) if u_flat is not None else None
-            y_p = jnp.pad(y_flat, ((0, pad),)) if y_flat is not None else None
-            yu_p = jnp.pad(yu_flat, ((0, pad),)) if yu_flat is not None else None
-            ts_p = jnp.pad(ts, ((0, pad),))
-
-            def chunk(st_stack, ci):
-                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * tile_batch, tile_batch)
-                opt = lambda a: None if a is None else sl(a)
-                # without a stateful model the carry is a scalar placeholder
-                st_c = st_stack if not stateful else jax.tree.map(
-                    lambda s: jax.lax.dynamic_index_in_dim(s, ci, 0, keepdims=False),
-                    st_stack,
-                )
-                o, st_c = run_denoiser(
-                    sl(flat_p), sl(ts_p), opt(c_p), opt(u_p), opt(y_p), opt(yu_p),
-                    st_c, i,
-                )
-                if stateful:
-                    st_stack = jax.tree.map(
-                        lambda s, sc: jax.lax.dynamic_update_index_in_dim(s, sc, ci, 0),
-                        st_stack, st_c,
-                    )
-                return st_stack, o
-
-            m_state, outs = jax.lax.scan(chunk, m_state, jnp.arange(nb))
-            out = outs.reshape(nb * tile_batch, tile, tile, -1)[: n * nt]
-        return out.reshape(n, nt, tile, tile, -1), m_state
+    denoise_tiles, state0 = make_tiled_denoiser(
+        model_fn, grid, tile, n_samples, cond=cond, y=y,
+        guidance_scale=guidance_scale, uncond=uncond, y_uncond=y_uncond,
+        tile_batch=tile_batch, model_state=model_state,
+    )
 
     def step(carry, xs):
         idx, i = xs
@@ -267,8 +297,90 @@ def tiled_ddim_sample(
         return (x_prev, key, m_state), None
 
     idxs = jnp.arange(dd.num_steps - 1, -1, -1)
-    state0 = model_state if stateful else jnp.zeros((), jnp.float32)
     (x, _, _), _ = jax.lax.scan(
         step, (img, scan_rng, state0), (idxs, jnp.arange(dd.num_steps))
     )
+    return DiffusionOutput(x=x)
+
+
+def tiled_flow_sample(
+    flow,
+    model_fn: Callable,
+    rng: jax.Array,
+    n_samples: int,
+    height: int,
+    width: int,
+    num_steps: int = 16,
+    method: str = "heun",
+    overlap: float = 0.5,
+    tile_batch: Optional[int] = None,
+    cond: Optional[jax.Array] = None,
+    y: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    x0: Optional[jax.Array] = None,
+    guidance_scale: float = 1.0,
+    uncond: Optional[jax.Array] = None,
+    y_uncond: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+    model_state: Any = None,
+) -> DiffusionOutput:
+    """Tiled large-scene sampling on the flow ODE (diffusion/flow.py).
+
+    Same fold/unfold + smooth-weight stitching as :func:`tiled_ddim_sample`
+    (shared :func:`make_tiled_denoiser`), but the stitched model output is a
+    VELOCITY field integrated with Euler/Heun steps — at Heun-8 a scene
+    costs ~15 stitched evaluations instead of DDIM-50's 50, which is where
+    the large-scene speedup comes from. ``mask``/``x0``: RePaint-style
+    full-scene inpainting via straight-line re-placement (flow.sample
+    semantics). The velocity stitching is exact in the overlap limit:
+    velocities are linear objects, so the weighted average of per-tile
+    velocities is itself the stitched field's velocity.
+    """
+    assert method in ("euler", "heun"), method
+    if mask is not None:
+        assert x0 is not None, "flow inpainting requires x0 (known image)"
+    tile = flow.image_size
+    grid = make_tile_grid(height, width, tile, overlap)
+    shape = (n_samples, height, width, flow.in_channels)
+    init_rng, mask_rng = jax.random.split(jax.random.fold_in(rng, 3))
+    x = jax.random.normal(init_rng, shape, jnp.float32)
+
+    denoise_tiles, state0 = make_tiled_denoiser(
+        model_fn, grid, tile, n_samples, cond=cond, y=y,
+        guidance_scale=guidance_scale, uncond=uncond, y_uncond=y_uncond,
+        tile_batch=tile_batch, model_state=model_state, t_dtype=jnp.float32,
+    )
+
+    ts = jnp.linspace(1.0, 0.0, num_steps + 1)
+
+    def velocity(x, t_scalar, m_state, i):
+        x_tiles = unfold(x.astype(dtype), grid)
+        v_tiles, m_state = denoise_tiles(
+            x_tiles, t_scalar * flow.time_scale, m_state, i)
+        return fold(v_tiles, grid), m_state  # stitched full-scene velocity
+
+    def step(carry, i):
+        x, st = carry
+        t_i, t_next = ts[i], ts[i + 1]
+        dt = t_next - t_i
+        if mask is not None:
+            eps = jax.random.normal(jax.random.fold_in(mask_rng, i),
+                                    shape, jnp.float32)
+            known = (1.0 - t_i) * x0.astype(jnp.float32) + t_i * eps
+            x = mask * known + (1.0 - mask) * x
+        v1, st = velocity(x, t_i, st, i)
+        if method == "heun":
+            def _heun(st):
+                v2, st = velocity(x + dt * v1, t_next, st, i)
+                return 0.5 * (v1 + v2), st
+
+            v, st = jax.lax.cond(jnp.equal(i, num_steps - 1),
+                                 lambda st: (v1, st), _heun, st)
+        else:
+            v = v1
+        return (x + dt * v, st), None
+
+    (x, _), _ = jax.lax.scan(step, (x, state0), jnp.arange(num_steps))
+    if mask is not None:
+        x = mask * x0.astype(jnp.float32) + (1.0 - mask) * x
     return DiffusionOutput(x=x)
