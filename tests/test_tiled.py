@@ -306,3 +306,25 @@ class TestTiledFlow:
         np.testing.assert_array_equal(np.asarray(out[:, :8]),
                                       np.asarray(x0[:, :8]))
         assert float(jnp.abs(out[:, 8:] - mu).max()) < 0.1
+
+
+class TestTiledDiT:
+    def test_dit_tile_model_composes(self):
+        """The tiled samplers are model-agnostic: a DiT tile denoiser rides
+        the same fold/unfold path as the UNet."""
+        from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+        from eo_diffusion_tpu.diffusion.tiled import tiled_ddim_sample
+        from eo_diffusion_tpu.models.dit import DiT, DiTConfig
+
+        cfg = DiTConfig(image_size=8, in_channels=1, out_channels=1,
+                        patch_size=4, hidden_size=64, depth=1, num_heads=4)
+        m = DiT(cfg)
+        params = jax.jit(m.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 8, 8, 1)),
+                                 jnp.zeros((1,), jnp.int32))
+        d = GaussianDiffusion.create(timesteps=20, image_size=8, in_channels=1)
+        fn = lambda x, t, c, y: m.apply(params, x, t, cond=c, y=y)
+        out = tiled_ddim_sample(d, fn, jax.random.PRNGKey(1), 1, 16, 16,
+                                num_steps=3).x
+        assert out.shape == (1, 16, 16, 1)
+        assert np.isfinite(np.asarray(out)).all()
