@@ -46,6 +46,9 @@ def parse_args(argv=None):
     parser.add_argument("--random_label", action="store_true")
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--num_classes", type=int, default=0)
+    parser.add_argument("--class_dropout", type=float, default=0.0,
+                        help="must match training: builds the null-class "
+                             "embedding row so label-CFG checkpoints load")
     parser.add_argument("--cond_type", type=str, default=None)
     parser.add_argument("--sampler", type=str, default="ddpm",
                         choices=["ddpm", "ddim", "dpm", "flow"],
@@ -158,7 +161,8 @@ def main(args):
     cond_channels = ((preset.latent_channels if preset.is_latent
                       else peek_cond.shape[-1]) if has_cond else 0)
     ucfg = preset.model_config(num_classes=num_classes, bf16=not args.no_bf16,
-                               cond_channels=cond_channels)
+                               cond_channels=cond_channels,
+                               class_dropout_prob=args.class_dropout)
     model = build_denoiser(ucfg)
     diffusion = build_process(preset, timesteps, image_size, cond_type=cond_type)
     if preset.process == "flow" and args.sampler != "flow":
@@ -251,7 +255,15 @@ def main(args):
         if args.guidance_scale != 1.0:
             gkw["guidance_scale"] = args.guidance_scale
             if num_classes and y is not None:
-                gkw["y_uncond"] = np.full((bsz,), num_classes, np.int64)
+                # label-CFG needs the learned null row (index num_classes),
+                # which only exists when the model was built/trained with
+                # class_dropout_prob > 0 (--class_dropout here must match)
+                if (getattr(ucfg, "label_vocab", 0) or 0) <= num_classes:
+                    print("note: label-CFG needs a null-class row (train "
+                          "with --class_dropout > 0); guidance ignored")
+                    gkw = {}
+                else:
+                    gkw["y_uncond"] = np.full((bsz,), num_classes, np.int64)
             elif cond_type == "concat" and cond is not None:
                 if args.sampler == "ddpm":
                     print("note: ddpm has no image-CFG path; guidance ignored")
@@ -269,15 +281,20 @@ def main(args):
             from eo_diffusion_tpu.diffusion.deepcache import deepcache_model_fn
 
             # the cached model sees the diffusion grid (latent for latent
-            # presets) and, in latent mode, the first-stage-encoded cond
+            # presets) and, in latent mode, the first-stage-encoded cond.
+            # CFG batch-doubling flows THROUGH the stateful fn, so the
+            # cached-feature batch must be built doubled when guidance is on
+            ex_b = bsz * (2 if gkw else 1)
             ex_cond = None
             if cond_type == "concat" and cond is not None:
                 ex_cond = (jnp.zeros((bsz, gsize, gsize, cond_channels))
                            if preset.is_latent else jnp.asarray(cond))
+                if gkw:
+                    ex_cond = jnp.concatenate([ex_cond, ex_cond], axis=0)
             fn_j, st0 = deepcache_model_fn(
                 model, ema_params,
-                jnp.zeros((bsz, gsize, gsize, gchan)),
-                example_y=jnp.zeros((bsz,), jnp.int32) if y is not None else None,
+                jnp.zeros((ex_b, gsize, gsize, gchan)),
+                example_y=jnp.zeros((ex_b,), jnp.int32) if y is not None else None,
                 example_cond=ex_cond,
                 refresh_every=args.deepcache,
             )

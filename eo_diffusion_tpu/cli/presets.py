@@ -81,12 +81,18 @@ class Preset:
         )
 
     def model_config(self, num_classes: Optional[int] = None, bf16: bool = True,
-                     cond_channels: int = 0):
+                     cond_channels: int = 0, class_dropout_prob: float = 0.0):
         """Backbone config for the preset's model family: UNetConfig for
-        "unet", DiTConfig for "dit" (base_dim -> hidden size)."""
+        "unet", DiTConfig for "dit" (base_dim -> hidden size).
+        ``class_dropout_prob > 0`` reserves the null-class embedding row for
+        classifier-free guidance (train-step label dropout owns the drop)."""
         if self.backbone == "unet":
-            return self.unet_config(num_classes=num_classes, bf16=bf16,
-                                    cond_channels=cond_channels)
+            cfg = self.unet_config(num_classes=num_classes, bf16=bf16,
+                                   cond_channels=cond_channels)
+            if class_dropout_prob > 0:
+                cfg = dataclasses.replace(
+                    cfg, class_dropout_prob=class_dropout_prob)
+            return cfg
         assert self.backbone == "dit", self.backbone
         from eo_diffusion_tpu.models.dit import DiTConfig
 
@@ -101,6 +107,7 @@ class Preset:
             depth=self.depth,
             num_heads=self.num_heads,
             num_classes=num_classes if num_classes else (self.num_classes or None),
+            class_dropout_prob=class_dropout_prob,
             dtype=jnp.bfloat16 if bf16 else jnp.float32,
         )
 

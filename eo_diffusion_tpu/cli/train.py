@@ -48,6 +48,10 @@ def parse_args(argv=None):
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--num_classes", type=int, default=0)
+    parser.add_argument("--class_dropout", type=float, default=0.0,
+                        help="CFG label-dropout probability (reserves the "
+                             "learned null-class row; enables "
+                             "--guidance_scale at inference)")
     parser.add_argument("--cond_type", type=str, default=None)
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="accumulate gradients over k micro-batches per "
@@ -148,7 +152,8 @@ def main(args):
     cond_channels = ((preset.latent_channels if preset.is_latent
                       else batch0["cond"].shape[-1]) if has_cond else 0)
     mcfg = preset.model_config(num_classes=num_classes, bf16=not args.no_bf16,
-                               cond_channels=cond_channels)
+                               cond_channels=cond_channels,
+                               class_dropout_prob=args.class_dropout)
     model = build_denoiser(mcfg)
     diffusion = build_process(preset, timesteps, image_size, cond_type=cond_type)
     if preset.is_latent:

@@ -93,23 +93,35 @@ class LatentDiffusion:
         return DiffusionOutput(x=self.decode(out.x), intermediates=out.intermediates)
 
     def ddim_sample(self, model_fn, rng, n_samples, cond=None, y=None,
-                    encode_cond: Optional[bool] = None, **kw) -> DiffusionOutput:
+                    encode_cond: Optional[bool] = None, uncond=None,
+                    **kw) -> DiffusionOutput:
         c = self._cond(cond, encode_cond)
-        out = self.diffusion.ddim_sample(model_fn, rng, n_samples, cond=c, y=y, **kw)
+        # the CFG uncond image rides the first stage exactly like cond
+        u = self._cond(uncond, encode_cond)
+        out = self.diffusion.ddim_sample(model_fn, rng, n_samples, cond=c, y=y,
+                                         uncond=u, **kw)
         return DiffusionOutput(x=self.decode(out.x))
 
     def dpm_sample(self, model_fn, rng, n_samples, cond=None, y=None,
-                   encode_cond: Optional[bool] = None, **kw) -> DiffusionOutput:
+                   encode_cond: Optional[bool] = None, uncond=None,
+                   **kw) -> DiffusionOutput:
         c = self._cond(cond, encode_cond)
-        out = self.diffusion.dpm_sample(model_fn, rng, n_samples, cond=c, y=y, **kw)
+        # the CFG uncond image rides the first stage exactly like cond
+        # (cond-stage-is-first-stage applies to both guidance branches)
+        u = self._cond(uncond, encode_cond)
+        out = self.diffusion.dpm_sample(model_fn, rng, n_samples, cond=c, y=y,
+                                    uncond=u, **kw)
         return DiffusionOutput(x=self.decode(out.x))
 
     def sample(self, model_fn, rng, n_samples, cond=None, y=None,
-               encode_cond: Optional[bool] = None, **kw) -> DiffusionOutput:
+               encode_cond: Optional[bool] = None, uncond=None,
+               **kw) -> DiffusionOutput:
         """Flow-process delegation: when the inner process is a
         ``diffusion.flow.FlowMatching`` (latent rectified flow — beyond the
         reference's pixel/DDPM-only LatentDiffusion), integrate the ODE in
         latent space and decode."""
         c = self._cond(cond, encode_cond)
-        out = self.diffusion.sample(model_fn, rng, n_samples, cond=c, y=y, **kw)
+        u = self._cond(uncond, encode_cond)
+        out = self.diffusion.sample(model_fn, rng, n_samples, cond=c, y=y,
+                                    uncond=u, **kw)
         return DiffusionOutput(x=self.decode(out.x))

@@ -173,6 +173,79 @@ class TestGuidanceCLI:
         infer_cli.main(args)
         assert os.listdir(os.path.join(outdir, "samples_fid"))
 
+    def test_deepcache_composes_with_guidance(self, trained_cr, run_dirs_cr):
+        """--deepcache K + --guidance_scale: the cached-feature state must be
+        built for the CFG-doubled batch (review finding)."""
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        step_dirs = sorted(d for d in os.listdir(trained_cr) if d.startswith("steps_"))
+        ckpt = os.path.join(trained_cr, step_dirs[-1])
+        outdir = os.path.join(run_dirs_cr["infer"], "cfg_dc")
+        args = infer_cli.parse_args([
+            "--preset", "tiny-cr", "--ckpt", ckpt, "--sampler", "ddim",
+            "--sampler_steps", "6", "--guidance_scale", "2.0",
+            "--deepcache", "2", "--samples_fid", "--n_iter", "0",
+            "--batch_size", "4", "--outdir", outdir,
+        ])
+        infer_cli.main(args)
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
+
+    def test_label_cfg_roundtrip_and_vocab_guard(self, tmp_path):
+        """--class_dropout reserves the null row at train time; label-CFG
+        then guides at inference. Without the null row the CLI must skip
+        guidance with a note instead of clip-indexing the embedding."""
+        from eo_diffusion_tpu.cli import inference as infer_cli
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        sample_dir = str(tmp_path / "results")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny", "--epochs", "1", "--steps_per_epoch", "3",
+                "--batch_size", "8", "--num_classes", "4",
+                "--class_dropout", "0.3",
+                "--dir", sample_dir, "--sample_every", "100",
+                "--save_every", "3", "--log_freq", "1", "--n_samples", "4",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root = os.path.join(str(tmp_path), "logs",
+                                 os.path.basename(sample_dir))
+        steps = sorted(d for d in os.listdir(ckpt_root) if d.startswith("steps_"))
+        ckpt = os.path.join(ckpt_root, steps[-1])
+        outdir = str(tmp_path / "infer_cfg")
+        infer_cli.main(infer_cli.parse_args([
+            "--preset", "tiny", "--ckpt", ckpt, "--sampler", "ddim",
+            "--sampler_steps", "5", "--num_classes", "4",
+            "--class_dropout", "0.3", "--guidance_scale", "2.0",
+            "--samples_fid", "--n_iter", "0", "--batch_size", "4",
+            "--outdir", outdir,
+        ]))
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
+        # no-null-row model: guidance must be skipped, not mis-indexed.
+        # (train a fresh 0-dropout ckpt inline: 3 tiny steps)
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny", "--epochs", "1", "--steps_per_epoch", "3",
+                "--batch_size", "8", "--num_classes", "4",
+                "--dir", str(tmp_path / "results2"), "--sample_every", "100",
+                "--save_every", "3", "--log_freq", "1", "--n_samples", "4",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root2 = os.path.join(str(tmp_path), "logs", "results2")
+        steps2 = sorted(d for d in os.listdir(ckpt_root2) if d.startswith("steps_"))
+        outdir2 = str(tmp_path / "infer_noguard")
+        infer_cli.main(infer_cli.parse_args([
+            "--preset", "tiny", "--ckpt", os.path.join(ckpt_root2, steps2[-1]),
+            "--sampler", "ddim", "--sampler_steps", "5", "--num_classes", "4",
+            "--guidance_scale", "2.0", "--samples_fid", "--n_iter", "0",
+            "--batch_size", "4", "--outdir", outdir2,
+        ]))
+        assert os.listdir(os.path.join(outdir2, "samples_fid"))
+
     def test_guidance_changes_samples(self, trained_cr, run_dirs_cr):
         """guided != unguided output for the same seed (the flag is live)."""
         import numpy as np

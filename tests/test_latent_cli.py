@@ -128,3 +128,38 @@ class TestLatentInferenceCLI:
         ])
         infer_cli.main(args)
         assert os.listdir(os.path.join(outdir, "samples"))
+
+
+class TestLatentGuidanceCLI:
+    def test_image_cfg_encodes_uncond(self, tmp_path):
+        """--guidance_scale on a latent concat preset: the pixel-space zero
+        uncond must ride the first stage like cond (review finding — a raw
+        pixel uncond would shape-mismatch the latent cond)."""
+        from eo_diffusion_tpu.cli import inference as infer_cli
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        sample_dir = str(tmp_path / "results")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-latent", "--cond_type", "concat",
+                "--epochs", "1", "--steps_per_epoch", "3",
+                "--batch_size", "8", "--ae_steps", "25",
+                "--dir", sample_dir, "--sample_every", "100",
+                "--save_every", "3", "--log_freq", "1", "--n_samples", "4",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root = os.path.join(str(tmp_path), "logs",
+                                 os.path.basename(sample_dir))
+        steps = sorted(d for d in os.listdir(ckpt_root) if d.startswith("steps_"))
+        outdir = str(tmp_path / "infer")
+        infer_cli.main(infer_cli.parse_args([
+            "--preset", "tiny-latent", "--cond_type", "concat",
+            "--ckpt", os.path.join(ckpt_root, steps[-1]),
+            "--sampler", "ddim", "--sampler_steps", "5",
+            "--guidance_scale", "2.0", "--samples_fid", "--n_iter", "0",
+            "--batch_size", "4", "--outdir", outdir,
+        ]))
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
