@@ -42,6 +42,14 @@ class TestModelConfigDispatch:
         cfg = get_preset("tiny-dit").model_config(bf16=False)
         assert cfg.dtype == jnp.float32
 
+    def test_class_dropout_reserves_null_row(self):
+        for preset in ("tiny", "tiny-dit"):  # unet and dit backbones
+            cfg = get_preset(preset).model_config(
+                num_classes=4, class_dropout_prob=0.2)
+            assert cfg.label_vocab == 5, preset
+            plain = get_preset(preset).model_config(num_classes=4)
+            assert plain.label_vocab == 4, preset
+
 
 class TestProcessDispatch:
     def test_ddpm_process(self):
