@@ -60,6 +60,16 @@ def parse_args(argv=None):
                         help="global-norm gradient clipping (0 = off; "
                              "recommended ~1.0 for small micro-batches at "
                              "high resolution, e.g. the 256px presets)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params/EMA/Adam moments over the mesh "
+                             "'model' axis (ZeRO-style; parallel/mesh.py)")
+    parser.add_argument("--tp", action="store_true",
+                        help="Megatron tensor parallelism on the attention "
+                             "projections over the 'model' axis (composes "
+                             "with --fsdp)")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="mesh 'model' axis size for --fsdp/--tp "
+                             "(devices/model_parallel become the data axis)")
     # new: config registry instead of edit-the-source
     parser.add_argument("--preset", type=str, default="eurosat64")
     parser.add_argument("--dataset", type=str, default=None, help="override preset dataset")
@@ -178,8 +188,15 @@ def main(args):
         sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
         grad_clip=args.grad_clip,
         preview_sampler=preview_sampler, preview_steps=args.preview_steps,
+        fsdp=args.fsdp, tp=args.tp,
     )
-    trainer = Trainer(tcfg, model, diffusion, steps_per_epoch)
+    mesh = None
+    if args.fsdp or args.tp or args.model_parallel > 1:
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(model=args.model_parallel)
+        print(f"mesh: {dict(mesh.shape)} (fsdp={args.fsdp}, tp={args.tp})")
+    trainer = Trainer(tcfg, model, diffusion, steps_per_epoch, mesh=mesh)
 
     state = trainer.init(jax.random.PRNGKey(args.seed), batch0)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))

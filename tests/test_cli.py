@@ -269,6 +269,33 @@ class TestGuidanceCLI:
         assert np.abs(outs["plain"] - outs["guided"]).max() > 0
 
 
+class TestParallelTrainCLI:
+    def test_fsdp_tp_flags(self, tmp_path):
+        """--fsdp --tp --model_parallel through the train CLI on the virtual
+        8-device mesh: steps run, checkpoints written."""
+        import jax
+
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        sample_dir = str(tmp_path / "results")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny", "--epochs", "1", "--steps_per_epoch", "2",
+                "--batch_size", "8", "--fsdp", "--tp", "--model_parallel", "4",
+                "--dir", sample_dir, "--sample_every", "100",
+                "--save_every", "2", "--log_freq", "1", "--n_samples", "4",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root = os.path.join(str(tmp_path), "logs",
+                                 os.path.basename(sample_dir))
+        assert any(e.startswith("steps_") for e in os.listdir(ckpt_root))
+
+
 class TestWandbLogging:
     def test_scalars_and_gallery_logged_via_stub(self, tmp_path, monkeypatch):
         """--wandb path with a stubbed module (VERDICT r2 weak #8): scalar
