@@ -110,13 +110,19 @@ class SyntheticEO(Dataset):
     def __init__(self, size: int = 64, length: int = 1024, channels: int = 3,
                  num_classes: int = 5, with_mask: bool = True, seed: int = 0,
                  data_range: Tuple[float, float] = (0.0, 1.0),
-                 with_cond_image: bool = False):
+                 with_cond_image: bool = False,
+                 class_correlated: bool = False):
         self.size, self.length, self.channels = size, length, channels
         self.num_classes, self.with_mask, self.seed = num_classes, with_mask, seed
         self.data_range = data_range
         # cloud-removal fixture: emit a synthetic cloudy view as "cond_image"
         # (stands in for the SEN12MS-CR cloudy S2 band, sen12ms_cr.py)
         self.with_cond_image = with_cond_image
+        # opt-in (default off so recorded capstone statistics stay stable):
+        # give each class a distinct per-channel gain signature so class
+        # labels carry learnable visual signal -- the fixture for
+        # classifier-free-guidance quality evaluation (tools/capstone_cfg.py)
+        self.class_correlated = class_correlated
 
     def __len__(self):
         return self.length
@@ -142,9 +148,16 @@ class SyntheticEO(Dataset):
             axis=-1,
         )
         img = (img - img.min()) / max(float(np.ptp(img)), 1e-6)
+        label = i % self.num_classes
+        if self.class_correlated:
+            # class k emphasizes channel k%C and damps the others; gains are
+            # strong enough to be a learnable, measurable signature
+            gains = np.full((self.channels,), 0.45, np.float32)
+            gains[label % self.channels] = 1.0
+            img = img * gains[None, None, :]
         lo, hi = self.data_range
         img = (img * (hi - lo) + lo).astype(np.float32)
-        out = {"image": img, "class": np.int32(i % self.num_classes)}
+        out = {"image": img, "class": np.int32(label)}
         if self.with_mask or self.with_cond_image:
             cloud = self._field(rng, 6.0)
             thr = np.quantile(cloud, rng.uniform(0.55, 0.8))

@@ -381,3 +381,30 @@ class TestShardBatch:
         mesh = make_mesh()
         out = shard_batch({"image": np.ones((16, 4, 4, 3), np.float32)}, mesh)
         assert "data" in str(out["image"].sharding.spec)
+
+
+class TestClassCorrelatedSynthetic:
+    def test_signatures_separate_classes(self):
+        """class_correlated=True: per-class channel-mean prototypes must be
+        nearest-neighbor separable (the CFG-capstone fixture contract)."""
+        from eo_diffusion_tpu.data.datasets import SyntheticEO
+
+        ds = SyntheticEO(size=16, length=30, num_classes=3,
+                         class_correlated=True, data_range=(-1.0, 1.0))
+        sigs, labels = [], []
+        for i in range(30):
+            d = ds[i]
+            sigs.append(d["image"].mean(axis=(0, 1)))
+            labels.append(int(d["class"]))
+        sigs, labels = np.stack(sigs), np.asarray(labels)
+        protos = np.stack([sigs[labels == k].mean(axis=0) for k in range(3)])
+        pred = np.argmin(
+            np.linalg.norm(sigs[:, None] - protos[None], axis=-1), axis=1)
+        assert (pred == labels).all()
+
+    def test_default_unchanged(self):
+        from eo_diffusion_tpu.data.datasets import SyntheticEO
+
+        a = SyntheticEO(size=8, length=2)[0]["image"]
+        b = SyntheticEO(size=8, length=2, class_correlated=False)[0]["image"]
+        np.testing.assert_array_equal(a, b)
