@@ -1,0 +1,178 @@
+"""ReFlow distillation CLI: straighten a trained flow for 1-4-step sampling.
+
+``python -m eo_diffusion_tpu.cli.distill --preset flow64 \\
+      --ckpt logs/flow_run/best --steps 2000 --n_pairs 4096``
+
+Beyond-reference entry point (the reference's fastest path is DDIM-250,
+inference.py:27): loads a flow-process teacher checkpoint, simulates
+deterministic (eps, x1) couplings with its ODE sampler, re-fits the same
+model on the paired endpoints (diffusion/distill.py), and reports the
+few-step integration error before/after. The student checkpoint is a
+normal TrainState save — ``cli/inference.py --sampler flow
+--sampler_steps 1..4`` serves it unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="ReFlow few-step distillation")
+    p.add_argument("--preset", type=str, default="flow64",
+                   help="flow-process preset the teacher was trained with")
+    p.add_argument("--ckpt", type=str, required=True,
+                   help="teacher TrainState checkpoint directory")
+    p.add_argument("--dir", type=str, default="results/distill",
+                   help="output directory (metrics + student checkpoint)")
+    p.add_argument("--n_pairs", type=int, default=4096,
+                   help="teacher ODE couplings to generate")
+    p.add_argument("--pair_steps", type=int, default=32,
+                   help="teacher sampler steps per coupling")
+    p.add_argument("--pair_method", type=str, default="heun",
+                   choices=["euler", "heun"])
+    p.add_argument("--steps", type=int, default=2000,
+                   help="student re-fit steps")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="default: preset batch size")
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="re-fit peak LR (fine-tuning: ~10x below training)")
+    p.add_argument("--ema_decay", type=float, default=0.999)
+    p.add_argument("--few_steps", type=int, nargs="+", default=[1, 2, 4],
+                   help="Euler step counts to score before/after")
+    p.add_argument("--eval_n", type=int, default=64,
+                   help="held-out noise draws for the eval functionals")
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_bf16", action="store_true")
+    p.add_argument("--use_raw_params", action="store_true",
+                   help="distill from the teacher's raw params instead of EMA")
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from eo_diffusion_tpu.cli.presets import build_denoiser, build_process, get_preset
+    from eo_diffusion_tpu.diffusion.distill import (
+        coupling_batches,
+        endpoint_gap,
+        generate_couplings,
+        straightness,
+    )
+    from eo_diffusion_tpu.train.checkpoint import restore_params, save_checkpoint
+    from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
+
+    preset = get_preset(args.preset)
+    assert preset.process == "flow", (
+        f"ReFlow distills rectified flows; preset {preset.name!r} trains "
+        f"process {preset.process!r} (use a flow preset, e.g. flow64)")
+    assert not preset.is_latent, (
+        "latent-flow distillation is not wired through this CLI yet: "
+        "generate couplings in latent space via diffusion/distill.py directly")
+    if args.image_size:
+        preset.image_size = args.image_size
+    batch_size = args.batch_size or preset.batch_size
+
+    flow = build_process(preset, preset.timesteps, preset.image_size,
+                         cond_type=None)
+    mcfg = preset.model_config(bf16=not args.no_bf16)
+    model = build_denoiser(mcfg)
+
+    x0 = jnp.zeros((1, preset.image_size, preset.image_size,
+                    preset.in_channels), jnp.float32)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
+                                   jnp.zeros((1,), jnp.int32))
+    raw, ema = restore_params(args.ckpt, template)
+    teacher = jax.tree.map(jnp.asarray, raw if args.use_raw_params else ema)
+    print(f"teacher loaded from {args.ckpt} "
+          f"({'raw' if args.use_raw_params else 'ema'} params)")
+
+    def fn_of(params):
+        return lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y)
+
+    dtype = jnp.float32 if args.no_bf16 else jnp.bfloat16
+    rng = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    eps, x1 = generate_couplings(
+        flow, fn_of(teacher), rng, args.n_pairs, num_steps=args.pair_steps,
+        method=args.pair_method, batch_size=batch_size, dtype=dtype)
+    print(f"{args.n_pairs} couplings via {args.pair_method}-{args.pair_steps} "
+          f"in {time.time()-t0:.1f}s")
+
+    # held-out evaluation noise (never in the training couplings)
+    eval_eps = jax.random.normal(
+        jax.random.fold_in(rng, 10_007),
+        (args.eval_n, preset.image_size, preset.image_size,
+         preset.in_channels), jnp.float32)
+    eval_x1 = flow.sample(fn_of(teacher), rng, args.eval_n,
+                          num_steps=args.pair_steps, method=args.pair_method,
+                          x_T=eval_eps, dtype=dtype).x
+
+    def score(params, label):
+        fn = fn_of(params)
+        out = {"straightness": float(straightness(flow, fn, eval_eps, eval_x1))}
+        for k in args.few_steps:
+            out[f"euler{k}_gap"] = float(endpoint_gap(
+                flow, fn, eval_eps, few_steps=k, dtype=dtype))
+        print(f"[{label}] " + "  ".join(f"{k}={v:.4f}" for k, v in out.items()))
+        return out
+
+    results = {"teacher": score(teacher, "teacher")}
+
+    # student re-fit: init = teacher, cosine fine-tune on paired batches
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, max(args.steps // 20, 1), args.steps, args.lr * 0.01)
+    tx = optax.adamw(sched)
+    # copy: the donated train step consumes the state buffers; keep the
+    # teacher's own params alive (scored above, and callers may reuse them)
+    state = TrainState.create(jax.tree.map(jnp.copy, teacher), tx)
+    step_fn = make_train_step(flow, lambda p, x, t, cond=None, y=None,
+                              train=False, dropout_rng=None:
+                              model.apply(p, x, t, cond=cond, y=y),
+                              tx, ema_decay=args.ema_decay, ema_every=1,
+                              ema_warmup=False)
+    jstep = jax.jit(step_fn, donate_argnums=(0,))
+    it = coupling_batches(eps, x1, batch_size, seed=args.seed + 1)
+    t0 = time.time()
+    loss0 = loss = None
+    for i in range(args.steps):
+        rng, srng = jax.random.split(rng)
+        state, m = jstep(state, jax.tree.map(jnp.asarray, next(it)), srng)
+        if i == 0:
+            loss0 = float(m["loss"])
+        if (i + 1) % max(args.steps // 10, 1) == 0:
+            loss = float(m["loss"])
+            print(f"step {i+1}/{args.steps} loss={loss:.5f} "
+                  f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)")
+    print(f"re-fit: loss {loss0:.5f} -> {loss:.5f}")
+
+    student = state.ema_params
+    results["student"] = score(student, "student")
+    for k in args.few_steps:
+        key = f"euler{k}_gap"
+        assert results["student"][key] == results["student"][key], "nan gap"
+
+    os.makedirs(args.dir, exist_ok=True)
+    ckpt_path = save_checkpoint(os.path.abspath(args.dir),
+                                jax.device_get(state), name="student")
+    results["config"] = {k: v for k, v in vars(args).items()}
+    with open(os.path.join(args.dir, "distill_metrics.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"student checkpoint: {ckpt_path}")
+    print(json.dumps({k: results[k] for k in ("teacher", "student")}))
+    return results
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    if args.cpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    main(args)

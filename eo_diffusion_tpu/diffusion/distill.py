@@ -1,0 +1,166 @@
+"""Few-step distillation of rectified flows (ReFlow; beyond-reference).
+
+The reference has no distillation of any kind (its fastest sampler is
+DDIM-250, inference.py:27). ``diffusion/flow.py`` already buys 8-32-step
+sampling; this module adds the next rung — Liu et al.'s **ReFlow**
+(arXiv:2209.03003 §3.2), the procedure behind 1-4-step "InstaFlow"-style
+samplers:
+
+1. simulate the teacher ODE from fixed noise ``eps`` to get deterministic
+   couplings ``(eps, x1)`` (:func:`generate_couplings`);
+2. re-fit the same flow objective on those *paired* endpoints
+   (``FlowMatching.train_loss(noise=eps)``) — the marginals are preserved
+   but the paths straighten, so Euler with 1-4 steps lands where the
+   teacher needed 16-32.
+
+Everything is TPU-shaped: coupling generation is the existing jitted
+``lax.scan`` sampler batched over chunks, the re-fit is the ordinary jitted
+train step (the pair rides the batch dict as a "noise" entry through
+``train.trainer.make_train_step``), and the two evaluation functionals are
+single jitted programs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eo_diffusion_tpu.diffusion.flow import FlowMatching
+
+__all__ = [
+    "generate_couplings",
+    "coupling_batches",
+    "straightness",
+    "endpoint_gap",
+]
+
+
+def generate_couplings(
+    flow: FlowMatching,
+    model_fn: Callable,
+    rng: jax.Array,
+    n: int,
+    num_steps: int = 32,
+    method: str = "heun",
+    batch_size: int = 64,
+    cond: Optional[np.ndarray] = None,
+    y: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Simulate the teacher ODE from fixed noise: ``(eps, x1)`` couplings.
+
+    Runs ``ceil(n / batch_size)`` jitted teacher trajectories (one compile;
+    chunks stream through the same executable) and returns host numpy
+    arrays — the coupling set is a *dataset* for the re-fit stage, not a
+    device-resident activation. ``cond``/``y`` are full-length [n, ...]
+    arrays sliced per chunk (conditional teachers distill to conditional
+    students on the same conditioning marginal).
+    """
+    shape = (batch_size, flow.image_size, flow.image_size, flow.in_channels)
+
+    def chunk(params_free_rng, c, yy):
+        eps = jax.random.normal(params_free_rng, shape, jnp.float32)
+        out = flow.sample(model_fn, params_free_rng, batch_size,
+                          num_steps=num_steps, method=method, x_T=eps,
+                          cond=c, y=yy, dtype=dtype)
+        return eps, out.x
+
+    jchunk = jax.jit(chunk)
+    eps_all, x1_all = [], []
+    n_chunks = -(-n // batch_size)
+    for i in range(n_chunks):
+        c = None if cond is None else jnp.asarray(
+            cond[i * batch_size:(i + 1) * batch_size])
+        yy = None if y is None else jnp.asarray(
+            y[i * batch_size:(i + 1) * batch_size])
+        if c is not None and c.shape[0] < batch_size:  # ragged tail: pad
+            pad = batch_size - c.shape[0]
+            c = jnp.concatenate([c, c[:pad]], 0)
+        if yy is not None and yy.shape[0] < batch_size:
+            pad = batch_size - yy.shape[0]
+            yy = jnp.concatenate([yy, yy[:pad]], 0)
+        eps, x1 = jchunk(jax.random.fold_in(rng, i), c, yy)
+        eps_all.append(np.asarray(eps, np.float32))
+        x1_all.append(np.asarray(x1, np.float32))
+    eps_np = np.concatenate(eps_all)[:n]
+    x1_np = np.concatenate(x1_all)[:n]
+    return eps_np, x1_np
+
+
+def coupling_batches(
+    eps: np.ndarray,
+    x1: np.ndarray,
+    batch_size: int,
+    seed: int = 0,
+    cond: Optional[np.ndarray] = None,
+    y: Optional[np.ndarray] = None,
+) -> Iterator[dict]:
+    """Infinite shuffled iterator of paired batches for the train step.
+
+    Yields the batch-dict shape ``make_train_step`` consumes: the teacher
+    endpoint as "image" (the data side of the flow) and the paired noise as
+    "noise" (pins the eps inside ``FlowMatching.train_loss``)."""
+    assert len(eps) == len(x1), (len(eps), len(x1))
+    rng = np.random.default_rng(seed)
+    while True:
+        idx = rng.integers(0, len(eps), batch_size)
+        batch = {"image": x1[idx], "noise": eps[idx]}
+        if cond is not None:
+            batch["cond"] = cond[idx]
+        if y is not None:
+            batch["label"] = y[idx]
+        yield batch
+
+
+def straightness(
+    flow: FlowMatching,
+    model_fn: Callable,
+    eps: jax.Array,
+    x1: jax.Array,
+    num_probe: int = 8,
+    cond: Optional[jax.Array] = None,
+    y: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Mean squared deviation of the field from the chord velocity.
+
+    S = E_t ||v((1-t)·x1 + t·eps, t) − (eps − x1)||² over a uniform probe
+    grid — exactly the quantity ReFlow minimizes (zero iff the flow moves
+    every coupling along a straight line, i.e. 1-step Euler is exact).
+    """
+    eps = eps.astype(jnp.float32)
+    x1 = x1.astype(jnp.float32)
+    chord = eps - x1
+    ts = (jnp.arange(num_probe, dtype=jnp.float32) + 0.5) / num_probe
+
+    def probe(carry, t):
+        x_t = (1.0 - t) * x1 + t * eps
+        tt = jnp.full((x_t.shape[0],), t * flow.time_scale, jnp.float32)
+        v = model_fn(x_t, tt, cond, y).astype(jnp.float32)
+        return carry + jnp.mean((v - chord) ** 2), None
+
+    total, _ = jax.lax.scan(probe, jnp.float32(0.0), ts)
+    return total / num_probe
+
+
+def endpoint_gap(
+    flow: FlowMatching,
+    model_fn: Callable,
+    eps: jax.Array,
+    few_steps: int = 1,
+    ref_steps: int = 64,
+    cond: Optional[jax.Array] = None,
+    y: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """RMS distance between the few-step Euler endpoint and the same
+    model's high-resolution reference trajectory from identical noise —
+    the few-step integration error the distillation is meant to remove."""
+    n = eps.shape[0]
+    few = flow.sample(model_fn, jax.random.PRNGKey(0), n, num_steps=few_steps,
+                      method="euler", x_T=eps, cond=cond, y=y, dtype=dtype).x
+    ref = flow.sample(model_fn, jax.random.PRNGKey(0), n, num_steps=ref_steps,
+                      method="heun", x_T=eps, cond=cond, y=y, dtype=dtype).x
+    return jnp.sqrt(jnp.mean((few - ref) ** 2))

@@ -75,12 +75,20 @@ class FlowMatching:
         x0: jax.Array,
         cond: Optional[jax.Array] = None,
         y: Optional[jax.Array] = None,
+        noise: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """Conditional flow-matching MSE: ||model(x_t, t) - (eps - x0)||^2."""
+        """Conditional flow-matching MSE: ||model(x_t, t) - (eps - x0)||^2.
+
+        ``noise`` pins the endpoint pairing instead of drawing fresh eps:
+        with (x0, noise) generated as teacher ODE couplings this is exactly
+        the ReFlow objective (Liu et al., arXiv:2209.03003 §3.2) that
+        straightens the flow for few-step sampling — see
+        ``diffusion/distill.py``."""
         t_rng, n_rng = jax.random.split(rng)
         n = x0.shape[0]
         t = self._sample_t(t_rng, n)
-        eps = jax.random.normal(n_rng, x0.shape, jnp.float32)
+        eps = (noise.astype(jnp.float32) if noise is not None
+               else jax.random.normal(n_rng, x0.shape, jnp.float32))
         x0f = x0.astype(jnp.float32)
         tb = t[:, None, None, None]
         x_t = (1.0 - tb) * x0f + tb * eps

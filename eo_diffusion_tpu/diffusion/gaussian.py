@@ -230,6 +230,7 @@ class GaussianDiffusion:
         x0: jax.Array,
         cond: Optional[jax.Array] = None,
         y: Optional[jax.Array] = None,
+        noise: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Objective-MSE training loss.
 
@@ -237,11 +238,18 @@ class GaussianDiffusion:
         train.py:86,117); "x0"/"v" objectives and p2 reweighting reproduce
         the vendored lucidrains trainer's options
         (denoising_diffusion_pytorch.py:445-447, 502-528).
+
+        ``noise``: optional fixed eps per sample (reference
+        ``EODiffusion.forward`` takes the noise as an argument, model.py:38;
+        also the hook paired-distillation batches use, diffusion/distill.py).
         """
         t_rng, n_rng, sc_rng = jax.random.split(rng, 3)
         n = x0.shape[0]
         t = jax.random.randint(t_rng, (n,), 0, self.timesteps)
-        noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
+        if noise is None:
+            noise = jax.random.normal(n_rng, x0.shape, x0.dtype)
+        else:
+            noise = noise.astype(x0.dtype)
         x_t = self.q_sample(x0, t, noise)
         if self.self_condition:
             # 50%: feed the stop-gradient x0 estimate from a zeros-cond pass

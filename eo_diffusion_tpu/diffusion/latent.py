@@ -78,13 +78,16 @@ class LatentDiffusion:
         return self.encode(cond) if (cond is not None and ec) else cond
 
     def train_loss(self, model_fn, rng, x0, cond: Optional[jax.Array] = None,
-                   y=None, encode_cond: Optional[bool] = None):
+                   y=None, encode_cond: Optional[bool] = None,
+                   noise: Optional[jax.Array] = None):
         """Epsilon/x0/v loss in latent space; ``encode_cond=True`` passes the
         conditioning image through the first stage too (LatentDiffusion's
-        concat-mode cond encoding, ddpm.py:954)."""
+        concat-mode cond encoding, ddpm.py:954). ``noise`` (latent-shaped)
+        pins the eps pairing for distillation batches (diffusion/distill.py)."""
         z0 = self.encode(x0)
         c = self._cond(cond, encode_cond)
-        return self.diffusion.train_loss(model_fn, rng, z0, cond=c, y=y)
+        return self.diffusion.train_loss(model_fn, rng, z0, cond=c, y=y,
+                                         noise=noise)
 
     def ddpm_sample(self, model_fn, rng, n_samples, cond=None, y=None,
                     encode_cond: Optional[bool] = None, **kw) -> DiffusionOutput:

@@ -96,7 +96,14 @@ def make_train_step(
         model_fn = lambda x, t, c, yy: apply_fn(
             params, x, t, cond=c, y=yy, train=True, dropout_rng=dropout_rng
         )
-        return diffusion.train_loss(model_fn, rng, batch["image"], cond=cond, y=y)
+        extra = {}
+        if "noise" in batch:
+            # paired-eps batch (ReFlow coupling distillation, diffusion/
+            # distill.py): the endpoint noise rides the batch instead of
+            # being drawn fresh inside the loss
+            extra["noise"] = batch["noise"]
+        return diffusion.train_loss(model_fn, rng, batch["image"], cond=cond,
+                                    y=y, **extra)
 
     def train_step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)

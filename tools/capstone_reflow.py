@@ -1,0 +1,180 @@
+"""ReFlow distillation capstone (round 3): 1-4-step sampling on the chip.
+
+Takes the trained flow64 teacher (tools/capstone_dit_flow.py checkpoint),
+generates teacher ODE couplings, re-fits via the distill CLI machinery
+(diffusion/distill.py), and scores teacher vs student at Euler-1/2/4 and
+Heun-8 on KID + few-step endpoint gap vs the training distribution.
+Writes gallery/reflow64_*.png + gallery/reflow64_metrics.json.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/capstone_reflow.py \
+           [--n_pairs 8192] [--steps 3000] [--skip_distill]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TEACHER_CKPT = os.path.join(ROOT, "logs", "capstone_dit_flow", "flow64")
+STUDENT_DIR = os.path.join(ROOT, "logs", "capstone_reflow")
+GALLERY = os.path.join(ROOT, "gallery")
+SIZE, BATCH, N_EVAL = 64, 64, 256
+
+
+def build_model():
+    from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+
+    cfg = UNetConfig(image_size=SIZE, in_channels=3, model_channels=64,
+                     out_channels=3, num_res_blocks=1,
+                     attention_resolutions=(4, 8), channel_mult=(1, 2, 3, 4),
+                     num_heads=4, dtype=jnp.bfloat16)
+    return UNet(cfg)
+
+
+def load_params(path):
+    from eo_diffusion_tpu.train.checkpoint import restore_params
+
+    model = build_model()
+    x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
+                                   jnp.zeros((1,), jnp.int32))
+    _, ema = restore_params(path, template)
+    return model, jax.tree.map(jnp.asarray, ema)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_pairs", type=int, default=8192)
+    ap.add_argument("--pair_steps", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--skip_distill", action="store_true")
+    args = ap.parse_args()
+
+    import optax
+
+    from eo_diffusion_tpu.data.datasets import SyntheticEO
+    from eo_diffusion_tpu.diffusion.distill import (
+        coupling_batches, endpoint_gap, generate_couplings, straightness)
+    from eo_diffusion_tpu.diffusion.flow import FlowMatching
+    from eo_diffusion_tpu.train.checkpoint import restore_params, save_checkpoint
+    from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
+    from eo_diffusion_tpu.utils import metrics as M
+    from eo_diffusion_tpu.utils.images import save_image_grid
+
+    os.makedirs(GALLERY, exist_ok=True)
+    fm = FlowMatching.create(image_size=SIZE, in_channels=3)
+    model, teacher = load_params(TEACHER_CKPT)
+    fn_of = lambda p: (lambda x, t, c, y: model.apply(p, x, t, cond=c, y=y))
+
+    # real-side features for KID (same protocol as capstone_dit_flow)
+    ds = SyntheticEO(size=SIZE, length=N_EVAL, data_range=(-1.0, 1.0), seed=0)
+    real = np.stack([ds[i]["image"] for i in range(N_EVAL)])
+    extractor = M.tiny_feature_extractor()
+    real_feats = np.asarray(extractor(jnp.asarray(real)))
+
+    results = {}
+
+    if not args.skip_distill:
+        t0 = time.time()
+        eps, x1 = generate_couplings(fm, fn_of(teacher), jax.random.PRNGKey(0),
+                                     args.n_pairs, num_steps=args.pair_steps,
+                                     method="heun", batch_size=BATCH,
+                                     dtype=jnp.bfloat16)
+        results["coupling_s"] = time.time() - t0
+        print(f"{args.n_pairs} couplings in {results['coupling_s']:.1f}s")
+
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, max(args.steps // 20, 1), args.steps, args.lr * 0.01)
+        tx = optax.adamw(sched)
+        # copy: step() donates the state; teacher is scored again below
+        state = TrainState.create(jax.tree.map(jnp.copy, teacher), tx)
+        apply_fn = (lambda p, xx, tt, cond=None, y=None, train=False,
+                    dropout_rng=None: model.apply(p, xx, tt, cond=cond, y=y))
+        step = jax.jit(make_train_step(fm, apply_fn, tx, ema_decay=0.999,
+                                       ema_every=1, ema_warmup=False),
+                       donate_argnums=(0,))
+        it = coupling_batches(eps, x1, BATCH, seed=1)
+        rng = jax.random.PRNGKey(2)
+        t0 = time.time()
+        for i in range(args.steps):
+            rng, srng = jax.random.split(rng)
+            state, m = step(state, jax.tree.map(jnp.asarray, next(it)), srng)
+            if (i + 1) % 500 == 0:
+                print(f"step {i+1}/{args.steps} loss={float(m['loss']):.5f} "
+                      f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)", flush=True)
+        results["refit_ms_per_step"] = (time.time() - t0) / args.steps * 1e3
+        save_checkpoint(STUDENT_DIR, jax.device_get(state), name="student")
+
+    _, student = load_params(os.path.join(STUDENT_DIR, "student"))
+
+    # functionals on held-out noise (teacher-transport reference)
+    held = jax.random.normal(jax.random.PRNGKey(99), (64, SIZE, SIZE, 3))
+    held_x1 = fm.sample(fn_of(teacher), jax.random.PRNGKey(0), 64,
+                        num_steps=32, method="heun", x_T=held,
+                        dtype=jnp.bfloat16).x
+    for tag, p in (("teacher", teacher), ("student", student)):
+        fn = fn_of(p)
+        x1s = (held_x1 if tag == "teacher" else
+               fm.sample(fn, jax.random.PRNGKey(0), 64, num_steps=32,
+                         method="heun", x_T=held, dtype=jnp.bfloat16).x)
+        r = {"straightness": float(straightness(fm, fn, held, x1s))}
+        for k in (1, 2, 4):
+            r[f"euler{k}_gap"] = float(endpoint_gap(fm, fn, held, few_steps=k,
+                                                    dtype=jnp.bfloat16))
+        print(f"[{tag}] " + "  ".join(f"{k}={v:.4f}" for k, v in r.items()))
+        results[tag] = r
+
+    # KID + wall-clock at few-step configs, both models
+    for tag, p in (("teacher", teacher), ("student", student)):
+        fn = fn_of(p)
+        for label, steps, method in (("euler1", 1, "euler"),
+                                     ("euler2", 2, "euler"),
+                                     ("euler4", 4, "euler"),
+                                     ("heun8", 8, "heun")):
+            j = jax.jit(lambda r: fm.sample(
+                fn, r, BATCH, num_steps=steps, method=method,
+                dtype=jnp.bfloat16).x.astype(jnp.float32))
+            feats, ims, t_steady = [], [], None
+            for i in range(N_EVAL // BATCH):
+                t0 = time.time()
+                x = np.asarray(j(jax.random.PRNGKey(200 + i)), np.float32)
+                _ = float(x.sum())  # host fetch: real completion barrier
+                if i == 1:
+                    t_steady = time.time() - t0
+                ims.append(x)
+                feats.append(np.asarray(extractor(
+                    jnp.asarray(np.clip(x, -1, 1)))))
+            k, _ = M.kid(real_feats, np.concatenate(feats))
+            g = float(np.mean(np.abs(np.diff(np.concatenate(ims), axis=1))))
+            key = f"{tag}_{label}"
+            results[key] = {"kid": float(k), "grad": g,
+                            "s_per_batch64": t_steady}
+            print(f"[{key}] KID={k:.4f} grad={g:.4f} {t_steady:.2f}s/64",
+                  flush=True)
+            if tag == "student" or label == "heun8":
+                grid = np.clip((np.concatenate(ims)[:16] + 1) / 2, 0, 1)
+                save_image_grid(grid, os.path.join(
+                    GALLERY, f"reflow64_{key}.png"), nrow=4)
+
+    out = os.path.join(GALLERY, "reflow64_metrics.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
