@@ -74,20 +74,27 @@ def main(args):
     assert preset.process == "flow", (
         f"ReFlow distills rectified flows; preset {preset.name!r} trains "
         f"process {preset.process!r} (use a flow preset, e.g. flow64)")
-    assert not preset.is_latent, (
-        "latent-flow distillation is not wired through this CLI yet: "
-        "generate couplings in latent space via diffusion/distill.py directly")
     if args.image_size:
         preset.image_size = args.image_size
     batch_size = args.batch_size or preset.batch_size
 
+    # build_process returns the INNER flow on the model-facing grid (the
+    # latent grid for latent presets) — distillation runs entirely in that
+    # space: couplings, re-fit and the eval functionals never touch the
+    # first stage, so no AE checkpoint is needed here. The student serves
+    # through cli/inference.py, which wraps the same denoiser in
+    # LatentDiffusion (+ --ae_ckpt) exactly as it did the teacher.
     flow = build_process(preset, preset.timesteps, preset.image_size,
                          cond_type=None)
+    if preset.is_latent:
+        print(f"latent preset: distilling the inner flow on the "
+              f"{flow.image_size}x{flow.image_size}x{flow.in_channels} "
+              f"latent grid")
     mcfg = preset.model_config(bf16=not args.no_bf16)
     model = build_denoiser(mcfg)
 
-    x0 = jnp.zeros((1, preset.image_size, preset.image_size,
-                    preset.in_channels), jnp.float32)
+    x0 = jnp.zeros((1, flow.image_size, flow.image_size,
+                    flow.in_channels), jnp.float32)
     template = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
                                    jnp.zeros((1,), jnp.int32))
     raw, ema = restore_params(args.ckpt, template)
@@ -110,8 +117,8 @@ def main(args):
     # held-out evaluation noise (never in the training couplings)
     eval_eps = jax.random.normal(
         jax.random.fold_in(rng, 10_007),
-        (args.eval_n, preset.image_size, preset.image_size,
-         preset.in_channels), jnp.float32)
+        (args.eval_n, flow.image_size, flow.image_size,
+         flow.in_channels), jnp.float32)
     eval_x1 = flow.sample(fn_of(teacher), rng, args.eval_n,
                           num_steps=args.pair_steps, method=args.pair_method,
                           x_T=eval_eps, dtype=dtype).x

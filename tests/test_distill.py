@@ -277,3 +277,48 @@ class TestDistillCLI:
             assert os.listdir(os.path.join(infer_out, "samples_fid"))
         finally:
             os.chdir(cwd)
+
+    def test_latent_flow_distill(self, tmp_path):
+        """Latent preset: couplings + re-fit run on the latent grid (no AE
+        touched by the distill CLI); the student serves through the
+        inference CLI with the teacher's first stage."""
+        import os
+
+        from eo_diffusion_tpu.cli import distill as distill_cli
+        from eo_diffusion_tpu.cli import inference as infer_cli
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-latent-flow", "--epochs", "1",
+                "--steps_per_epoch", "3", "--batch_size", "8",
+                "--dir", "res_lflow", "--sample_every", "100",
+                "--save_every", "3", "--log_freq", "1", "--n_samples", "4",
+            ]))
+            ckpt_root = os.path.join(str(tmp_path), "logs", "res_lflow")
+            steps = sorted(d for d in os.listdir(ckpt_root)
+                           if d.startswith("steps_"))
+            teacher_ckpt = os.path.join(ckpt_root, steps[-1])
+
+            outdir = str(tmp_path / "distill_latent")
+            results = distill_cli.main(distill_cli.parse_args([
+                "--preset", "tiny-latent-flow", "--ckpt", teacher_ckpt,
+                "--dir", outdir, "--n_pairs", "16", "--pair_steps", "4",
+                "--steps", "4", "--batch_size", "8", "--eval_n", "8",
+                "--few_steps", "1", "--no_bf16",
+            ]))
+            assert np.isfinite(results["student"]["euler1_gap"])
+
+            infer_out = str(tmp_path / "infer_latent_student")
+            infer_cli.main(infer_cli.parse_args([
+                "--preset", "tiny-latent-flow", "--ckpt",
+                os.path.join(outdir, "student"),
+                "--ae_ckpt", os.path.join(ckpt_root, "ae"),
+                "--sampler_steps", "2", "--save", "--samples_fid",
+                "--n_iter", "0", "--batch_size", "4", "--outdir", infer_out,
+            ]))
+            assert os.listdir(os.path.join(infer_out, "samples_fid"))
+        finally:
+            os.chdir(cwd)

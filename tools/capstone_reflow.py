@@ -1,13 +1,16 @@
 """ReFlow distillation capstone (round 3): 1-4-step sampling on the chip.
 
-Takes the trained flow64 teacher (tools/capstone_dit_flow.py checkpoint),
-generates teacher ODE couplings, re-fits via the distill CLI machinery
+Takes a trained flow teacher — `--model unet64` (the flow64 UNet from
+tools/capstone_dit_flow.py) or `--model dit256` (the 256px DiT-B/8 from
+tools/capstone_dit256.py, the modern-stack configuration) — generates
+teacher ODE couplings, re-fits via the distill machinery
 (diffusion/distill.py), and scores teacher vs student at Euler-1/2/4 and
 Heun-8 on KID + few-step endpoint gap vs the training distribution.
-Writes gallery/reflow64_*.png + gallery/reflow64_metrics.json.
+Writes gallery/reflow{64,256}_*.png + gallery/reflow{64,256}_metrics.json.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/capstone_reflow.py \
-           [--n_pairs 8192] [--steps 3000] [--skip_distill]
+           [--model unet64|dit256] [--n_pairs 8192] [--steps 3000] \
+           [--skip_distill]
 """
 
 from __future__ import annotations
@@ -28,13 +31,27 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-TEACHER_CKPT = os.path.join(ROOT, "logs", "capstone_dit_flow", "flow64")
-STUDENT_DIR = os.path.join(ROOT, "logs", "capstone_reflow")
 GALLERY = os.path.join(ROOT, "gallery")
-SIZE, BATCH, N_EVAL = 64, 64, 256
+
+CONFIGS = {
+    # tag -> (teacher ckpt, student dir, image size, sampling batch, n_eval)
+    "unet64": dict(
+        teacher=os.path.join(ROOT, "logs", "capstone_dit_flow", "flow64"),
+        student=os.path.join(ROOT, "logs", "capstone_reflow"),
+        size=64, batch=64, n_eval=256, prefix="reflow64"),
+    "dit256": dict(
+        teacher=os.path.join(ROOT, "logs", "capstone_dit256", "final"),
+        student=os.path.join(ROOT, "logs", "capstone_reflow_dit256"),
+        size=256, batch=32, n_eval=128, prefix="reflow256", refit_mb=16),
+}
+SIZE, BATCH, N_EVAL = 64, 64, 256  # rebound from CONFIGS in main()
 
 
-def build_model():
+def build_model(kind):
+    if kind == "dit256":
+        from eo_diffusion_tpu.models.dit import DiT, dit_b
+
+        return DiT(dit_b(SIZE, dtype=jnp.bfloat16))
     from eo_diffusion_tpu.models.unet import UNet, UNetConfig
 
     cfg = UNetConfig(image_size=SIZE, in_channels=3, model_channels=64,
@@ -44,10 +61,10 @@ def build_model():
     return UNet(cfg)
 
 
-def load_params(path):
+def load_params(path, kind):
     from eo_diffusion_tpu.train.checkpoint import restore_params
 
-    model = build_model()
+    model = build_model(kind)
     x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     template = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
                                    jnp.zeros((1,), jnp.int32))
@@ -57,12 +74,19 @@ def load_params(path):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=sorted(CONFIGS), default="unet64")
     ap.add_argument("--n_pairs", type=int, default=8192)
     ap.add_argument("--pair_steps", type=int, default=32)
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--skip_distill", action="store_true")
     args = ap.parse_args()
+
+    global SIZE, BATCH, N_EVAL
+    cfgd = CONFIGS[args.model]
+    SIZE, BATCH, N_EVAL = cfgd["size"], cfgd["batch"], cfgd["n_eval"]
+    TEACHER_CKPT, STUDENT_DIR, PREFIX = (cfgd["teacher"], cfgd["student"],
+                                         cfgd["prefix"])
 
     import optax
 
@@ -77,7 +101,7 @@ def main():
 
     os.makedirs(GALLERY, exist_ok=True)
     fm = FlowMatching.create(image_size=SIZE, in_channels=3)
-    model, teacher = load_params(TEACHER_CKPT)
+    model, teacher = load_params(TEACHER_CKPT, args.model)
     fn_of = lambda p: (lambda x, t, c, y: model.apply(p, x, t, cond=c, y=y))
 
     # real-side features for KID (same protocol as capstone_dit_flow)
@@ -107,7 +131,8 @@ def main():
         step = jax.jit(make_train_step(fm, apply_fn, tx, ema_decay=0.999,
                                        ema_every=1, ema_warmup=False),
                        donate_argnums=(0,))
-        it = coupling_batches(eps, x1, BATCH, seed=1)
+        refit_mb = cfgd.get("refit_mb", BATCH)
+        it = coupling_batches(eps, x1, refit_mb, seed=1)
         rng = jax.random.PRNGKey(2)
         t0 = time.time()
         for i in range(args.steps):
@@ -119,7 +144,7 @@ def main():
         results["refit_ms_per_step"] = (time.time() - t0) / args.steps * 1e3
         save_checkpoint(STUDENT_DIR, jax.device_get(state), name="student")
 
-    _, student = load_params(os.path.join(STUDENT_DIR, "student"))
+    _, student = load_params(os.path.join(STUDENT_DIR, "student"), args.model)
 
     # functionals on held-out noise (teacher-transport reference)
     held = jax.random.normal(jax.random.PRNGKey(99), (64, SIZE, SIZE, 3))
@@ -162,15 +187,15 @@ def main():
             g = float(np.mean(np.abs(np.diff(np.concatenate(ims), axis=1))))
             key = f"{tag}_{label}"
             results[key] = {"kid": float(k), "grad": g,
-                            "s_per_batch64": t_steady}
+                            f"s_per_batch{BATCH}": t_steady}
             print(f"[{key}] KID={k:.4f} grad={g:.4f} {t_steady:.2f}s/64",
                   flush=True)
             if tag == "student" or label == "heun8":
                 grid = np.clip((np.concatenate(ims)[:16] + 1) / 2, 0, 1)
                 save_image_grid(grid, os.path.join(
-                    GALLERY, f"reflow64_{key}.png"), nrow=4)
+                    GALLERY, f"{PREFIX}_{key}.png"), nrow=4)
 
-    out = os.path.join(GALLERY, "reflow64_metrics.json")
+    out = os.path.join(GALLERY, f"{PREFIX}_metrics.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
