@@ -1,0 +1,286 @@
+"""1F1B pipeline-parallel TRAINING over a 'stage' mesh axis.
+
+``parallel/pipeline.py`` gives the GPipe schedule: differentiate through
+its forward scan and autodiff replays the ticks in reverse — correct, but
+every tick's residuals (the internals of every block, for all ``n_micro``
+microbatches) stay live between the forward and backward sweeps, so peak
+activation memory grows linearly with the microbatch count that GPipe
+needs to shrink its bubble. The classic fix is the **1F1B schedule**
+(PipeDream-flush / Megatron-LM): start each microbatch's backward as soon
+as its loss exists, so a stage never holds more than O(S) microbatches of
+state regardless of M.
+
+This module implements 1F1B TPU-natively as ONE ``lax.scan`` of
+``M + 2S - 2`` lockstep ticks inside ONE ``shard_map`` (vs GPipe's
+``M + S - 1`` forward ticks plus as many autodiff-reversed backward
+ticks):
+
+* tick ``τ``, stage ``s`` **forwards** microbatch ``f = τ - s`` and
+  **backwards** microbatch ``b = τ - (2S - 2 - s)`` (both masked to the
+  valid range) — after warmup every tick is one-forward-one-backward;
+* activations ride down the pipe and cotangents ride up the pipe with two
+  ``lax.ppermute`` neighbor exchanges per tick;
+* only the **stage input** of each in-flight microbatch is kept (a
+  ``2S - 1``-slot ring buffer, *independent of M*); the backward tick
+  re-runs the local blocks under ``jax.vjp`` — the standard
+  rematerialized-backward trade (one extra local forward) that every
+  production 1F1B implementation makes;
+* the per-microbatch loss head (final layer + objective) runs on the last
+  stage in the same tick as that microbatch's forward, seeding the
+  cotangent stream immediately — this is what makes interleaving legal:
+  no global loss barrier;
+* block-parameter gradients accumulate stage-locally and come back
+  sharded over ``axis`` exactly like the stacked parameters themselves.
+
+The reference has no distributed training of any kind (SURVEY.md §2.3);
+this and pipeline.py exist so the framework scales deep transformer
+denoisers past one chip. Gradients are parity-tested against plain
+``jax.grad`` of the sequential model on the virtual CPU mesh
+(tests/test_pipeline_train.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["one_f_one_b", "pp_dit_grads"]
+
+
+def one_f_one_b(
+    block_fn: Callable,
+    head_fn: Callable,
+    stacked_params,
+    head_params,
+    h: jax.Array,
+    c: jax.Array,
+    aux,
+    mesh: Mesh,
+    axis: str = "stage",
+    n_micro: int = 4,
+    data_axis: Optional[str] = None,
+):
+    """Loss + gradients of ``mean_m head(final(blocks(h_m), c_m), aux_m)``
+    under the 1F1B schedule.
+
+    :param block_fn: ``(block_params, h [mb, ...], c [mb, ...]) -> h`` —
+        one block, one microbatch (same contract as gpipe_blocks).
+    :param head_fn: ``(head_params, y [mb, ...], aux_mb) -> scalar`` — the
+        per-microbatch loss head (e.g. DiT final layer + objective MSE).
+        The total loss is the mean of the per-microbatch head losses.
+    :param stacked_params: tree with leading dim == depth
+        (pipeline.stack_block_params), sharded over ``axis``.
+    :param h: block-stack input activations [B, ...].
+    :param c: per-sample conditioning [B, ...].
+    :param aux: pytree of per-sample loss inputs (targets, timesteps, ...),
+        every leaf [B, ...].
+    :param n_micro: microbatch count M; B % M == 0.
+    :param data_axis: optional mesh axis carrying data parallelism.
+    :returns: ``(loss, d_stacked, d_head, dh, dc, d_aux)`` — loss is the
+        scalar mean; d_stacked matches stacked_params (stage-sharded);
+        d_head matches head_params; dh/dc match h/c; d_aux matches aux
+        (the head's cotangent into its per-sample inputs — e.g. the final
+        layer's adaLN read of the conditioning). Gradients over the data
+        axis (if any) are NOT psum'd here — the caller's DP reduction
+        applies, same as the non-pipelined path.
+    """
+    S = mesh.shape[axis]
+    depth = jax.tree.leaves(stacked_params)[0].shape[0]
+    assert depth % S == 0, f"depth {depth} not divisible by {S} stages"
+    b = h.shape[0]
+    assert b % n_micro == 0, (b, n_micro)
+    mb = b // n_micro
+    M = n_micro
+    h_m = h.reshape(M, mb, *h.shape[1:])
+    c_m = c.reshape(M, mb, *c.shape[1:])
+    aux_m = jax.tree.map(lambda a: a.reshape(M, mb, *a.shape[1:]), aux)
+    NB = 2 * S - 1  # ring-buffer slots: max in-flight lifetime is 2(S-1)
+
+    io_spec = P(None, data_axis) if data_axis else P()
+    rep = P()
+
+    def stage(local_params, head_params, h_m, c_m, aux_m):
+        s = jax.lax.axis_index(axis)
+        inv_m = 1.0 / M
+
+        def run_local(lp, h_in, c_in):
+            def body(carry, bp):
+                return block_fn(bp, carry, c_in), None
+            out, _ = jax.lax.scan(body, h_in, lp)
+            return out
+
+        def head_grads(hp, y, aux_mb):
+            """Per-microbatch loss and its cotangents, pre-scaled by 1/M."""
+            loss, vjp = jax.vjp(head_fn, hp, y, aux_mb)
+            dhp, gy, daux = vjp(jnp.asarray(inv_m, loss.dtype))
+            return loss, dhp, gy, daux
+
+        zeros_f32 = lambda t: jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), t)
+
+        def tick(carry, t_step):
+            (recv_f, recv_b, buf, d_local, d_head, dh_acc, dc_acc, daux_acc,
+             loss_acc) = carry
+
+            # ---- forward: microbatch f = t - s --------------------------
+            f = t_step - s
+            f_ok = (f >= 0) & (f < M)
+            fc = jnp.clip(f, 0, M - 1)
+            x_in = jnp.where(s == 0, h_m[fc], recv_f)
+            y = run_local(local_params, x_in, c_m[fc])
+            slot = fc % NB
+            buf = buf.at[slot].set(jnp.where(f_ok, x_in, buf[slot]))
+
+            # loss head: last stage, same tick, same microbatch (for
+            # s == S-1 the backward index b equals f — see below)
+            loss_f, dhp_f, gy, daux_f = head_grads(
+                head_params, y, jax.tree.map(lambda a: a[fc], aux_m))
+            last = s == S - 1
+            seed_ok = f_ok & last
+            loss_acc = loss_acc + jnp.where(seed_ok, loss_f * inv_m, 0.0)
+            d_head = jax.tree.map(
+                lambda acc, g: acc + jnp.where(seed_ok, g, 0.0).astype(acc.dtype),
+                d_head, dhp_f)
+            daux_acc = jax.tree.map(
+                lambda acc, g: acc.at[fc].add(
+                    jnp.where(seed_ok, g, jnp.zeros_like(g)).astype(acc.dtype)),
+                daux_acc, daux_f)
+
+            # ---- backward: microbatch b = t - (2S - 2 - s) --------------
+            bmb = t_step - (2 * S - 2 - s)
+            b_ok = (bmb >= 0) & (bmb < M)
+            bc = jnp.clip(bmb, 0, M - 1)
+            x_saved = buf[bc % NB]
+            g_in = jnp.where(last, gy.astype(recv_b.dtype), recv_b)
+            _, vjp = jax.vjp(run_local, local_params, x_saved, c_m[bc])
+            dlp, dx, dcb = vjp(g_in)
+            d_local = jax.tree.map(
+                lambda acc, g: acc + jnp.where(b_ok, g, 0.0).astype(acc.dtype),
+                d_local, dlp)
+            first = s == 0
+            dh_acc = dh_acc.at[bc].add(
+                jnp.where(b_ok & first, dx, jnp.zeros_like(dx)))
+            dc_acc = dc_acc.at[bc].add(
+                jnp.where(b_ok, dcb, jnp.zeros_like(dcb)))
+
+            # ---- neighbor exchanges ------------------------------------
+            recv_f = jax.lax.ppermute(
+                y, axis, [(i, (i + 1) % S) for i in range(S)])
+            recv_b = jax.lax.ppermute(
+                dx.astype(recv_b.dtype), axis,
+                [(i, (i - 1) % S) for i in range(S)])
+            return (recv_f, recv_b, buf, d_local, d_head, dh_acc, dc_acc,
+                    daux_acc, loss_acc), None
+
+        carry0 = (
+            jnp.zeros_like(h_m[0]),                       # recv_f
+            # cotangents ride in the activation dtype (jax.vjp requires the
+            # cotangent dtype to match the primal output's)
+            jnp.zeros_like(h_m[0]),                       # recv_b
+            jnp.zeros((NB,) + h_m[0].shape, h_m.dtype),   # input ring buffer
+            zeros_f32(local_params),                      # d_local
+            zeros_f32(head_params),                       # d_head
+            jnp.zeros(h_m.shape, jnp.float32),            # dh
+            jnp.zeros(c_m.shape, jnp.float32),            # dc
+            zeros_f32(aux_m),                             # d_aux
+            jnp.float32(0.0),                             # loss
+        )
+        carry, _ = jax.lax.scan(tick, carry0, jnp.arange(M + 2 * S - 2))
+        (_, _, _, d_local, d_head, dh_acc, dc_acc, daux_acc,
+         loss_acc) = carry
+
+        # d_local stays stage-sharded (matches stacked_params); everything
+        # computed on a single stage is masked-psum'd to all stages
+        psum = lambda t: jax.tree.map(lambda x: jax.lax.psum(x, axis), t)
+        return (psum(loss_acc), d_local, psum(d_head), psum(dh_acc),
+                psum(dc_acc), psum(daux_acc))
+
+    loss, d_stacked, d_head, dh_m, dc_m, daux_m = jax.shard_map(
+        stage,
+        mesh=mesh,
+        in_specs=(P(axis), rep, io_spec, io_spec, io_spec),
+        out_specs=(rep, P(axis), rep, io_spec, io_spec, io_spec),
+        check_vma=False,
+    )(stacked_params, head_params, h_m, c_m, aux_m)
+    dh = dh_m.reshape(b, *h.shape[1:])
+    dc = dc_m.reshape(b, *c.shape[1:])
+    d_aux = jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), daux_m)
+    return loss, d_stacked, d_head, dh, dc, d_aux
+
+
+def pp_dit_grads(
+    model,
+    params,
+    x_t: jax.Array,
+    t: jax.Array,
+    target: jax.Array,
+    mesh: Mesh,
+    y: Optional[jax.Array] = None,
+    cond: Optional[jax.Array] = None,
+    axis: str = "stage",
+    n_micro: int = 4,
+    data_axis: Optional[str] = None,
+):
+    """Full-model (loss, grads) for a DiT objective-MSE step under 1F1B.
+
+    Numerically equal to
+    ``jax.value_and_grad(lambda p: mean((model.apply(p, x_t, t) - target)**2))``
+    with the block torso's forward AND backward pipelined over ``axis``:
+    embed/condition run replicated under an outer ``jax.vjp`` (<1% of the
+    FLOPs), the final layer + MSE is the pipeline's per-microbatch loss
+    head, and the block gradients come back from the 1F1B engine and are
+    unstacked into the flax param tree.
+    """
+    from eo_diffusion_tpu.models.dit import DiT, DiTBlock
+    from eo_diffusion_tpu.parallel.pipeline import stack_block_params
+
+    cfg = model.cfg
+    assert cfg.context_dim == 0, (
+        "pp_dit_grads does not thread cross-attention context through the "
+        "pipeline; use the sequential path for context models")
+
+    def pre(p):
+        h = model.apply(p, x_t, cond, method=DiT.embed)
+        c = model.apply(p, t, y, method=DiT.condition)
+        return h, c
+
+    (h, c), pre_vjp = jax.vjp(pre, params)
+
+    stacked = stack_block_params(params, cfg.depth)
+    block = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
+                     cfg.dtype, cfg.attn_impl)
+    block_fn = lambda bp, hh, cc: block.apply({"params": bp}, hh, cc)
+
+    # the final layer reads c too (its own adaLN modulation), so c rides
+    # into the head via aux and its cotangent comes back in d_aux["c"]
+    def head_fn(p, y_tokens, aux_mb):
+        out = model.apply(p, y_tokens, aux_mb["c"], method=DiT.final)
+        return jnp.mean((out.astype(jnp.float32)
+                         - aux_mb["target"].astype(jnp.float32)) ** 2)
+
+    aux = {"c": c, "target": target}
+    loss, d_stacked, d_head, dh, dc, d_aux = one_f_one_b(
+        block_fn, head_fn, stacked, params, h, c, aux, mesh,
+        axis=axis, n_micro=n_micro, data_axis=data_axis)
+    dc_total = dc + d_aux["c"]
+
+    # embed/condition grads from the pipeline's input cotangents
+    (d_pre,) = pre_vjp((dh.astype(h.dtype), dc_total.astype(c.dtype)))
+
+    # total grad tree: embed/cond leaves + final-layer leaves (d_head is
+    # zero outside the final layer's subtree) + unstacked block grads
+    grads = jax.tree.map(lambda a, g: (a + g).astype(a.dtype), d_pre, d_head)
+    blocks = {f"block_{i}": jax.tree.map(lambda x, i=i: x[i], d_stacked)
+              for i in range(cfg.depth)}
+    inner = grads["params"] if "params" in grads else grads
+    merged = {k: (jax.tree.map(lambda a, g: (a + g).astype(a.dtype),
+                               inner[k], blocks[k]) if k in blocks else v)
+              for k, v in inner.items()}
+    if "params" in grads:
+        grads = dict(grads, params=merged)
+    else:
+        grads = merged
+    return loss, grads

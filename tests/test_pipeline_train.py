@@ -1,0 +1,197 @@
+"""1F1B pipeline-training tests (parallel/pipeline_train.py).
+
+Gradient parity is the whole contract: the 1F1B engine must return exactly
+the gradients of ``jax.grad`` on the sequential model — block params
+(stage-sharded), head params, input/conditioning cotangents — for any
+stage count and microbatch count, plus the structural memory claim (ring
+buffer sized 2S-1, independent of M).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from eo_diffusion_tpu.models.dit import DiT, DiTConfig
+from eo_diffusion_tpu.parallel.pipeline import stack_block_params
+from eo_diffusion_tpu.parallel.pipeline_train import one_f_one_b, pp_dit_grads
+
+
+def stage_mesh(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return Mesh(np.array(jax.devices()[:n]).reshape(n), ("stage",))
+
+
+# ---------------------------------------------------------------------------
+# engine-level parity on a tiny analytic "block": y = tanh(x @ W + c @ U)
+# ---------------------------------------------------------------------------
+
+DEPTH, B, D = 4, 8, 6
+
+
+def make_engine_problem(seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    stacked = {
+        "w": 0.4 * jax.random.normal(ks[0], (DEPTH, D, D)),
+        "u": 0.3 * jax.random.normal(ks[1], (DEPTH, D, D)),
+    }
+    head = {"v": 0.5 * jax.random.normal(ks[2], (D, D))}
+    h = jax.random.normal(ks[3], (B, D))
+    c = jax.random.normal(ks[4], (B, D))
+    target = jax.random.normal(ks[5], (B, D))
+    return stacked, head, h, c, target
+
+
+def block_fn(bp, h, c):
+    return jnp.tanh(h @ bp["w"] + c @ bp["u"])
+
+
+def head_fn(hp, y, aux):
+    out = y @ hp["v"]
+    return jnp.mean((out - aux["target"]) ** 2)
+
+
+def sequential_loss(stacked, head, h, c, target, n_micro):
+    """Mean over microbatches of the per-microbatch head loss — identical
+    to what the pipeline computes (equal-sized microbatches make this the
+    global mean too)."""
+    mb = B // n_micro
+    losses = []
+    for m in range(n_micro):
+        hm, cm, tm = (a[m * mb:(m + 1) * mb] for a in (h, c, target))
+        y = hm
+        for i in range(DEPTH):
+            y = block_fn(jax.tree.map(lambda p: p[i], stacked), y, cm)
+        losses.append(head_fn(head, y, {"target": tm}))
+    return sum(losses) / n_micro
+
+
+class TestEngineParity:
+    @pytest.mark.parametrize("S,n_micro", [(2, 4), (4, 4), (4, 8), (2, 2),
+                                           (1, 4)])
+    def test_grads_match_sequential(self, S, n_micro):
+        mesh = stage_mesh(S)
+        stacked, head, h, c, target = make_engine_problem()
+
+        loss, d_stacked, d_head, dh, dc, d_aux = jax.jit(
+            lambda sp, hp, h, c, tg: one_f_one_b(
+                block_fn, head_fn, sp, hp, h, c, {"target": tg}, mesh,
+                n_micro=n_micro)
+        )(stacked, head, h, c, target)
+
+        ref_loss, ref_grads = jax.value_and_grad(
+            sequential_loss, argnums=(0, 1, 2, 3))(
+                stacked, head, h, c, target, n_micro)
+        r_stacked, r_head, r_h, r_c = ref_grads
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for g, r in ((d_stacked, r_stacked), (d_head, r_head)):
+            jax.tree.map(lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6), g, r)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(r_h),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dc), np.asarray(r_c),
+                                   rtol=2e-4, atol=1e-6)
+        # head's aux cotangent: d/d target of the MSE
+        np.testing.assert_allclose(
+            np.asarray(d_aux["target"]),
+            np.asarray(jax.grad(
+                lambda tg: sequential_loss(stacked, head, h, c, tg, n_micro)
+            )(target)), rtol=2e-4, atol=1e-6)
+
+    def test_ring_buffer_is_m_independent(self):
+        """Structural memory claim: the in-flight state is 2S-1 stage-input
+        slots however many microbatches stream through (GPipe-by-autodiff
+        holds all M). Verified on the jaxpr: the scan carry's buffer leaf
+        has leading dim 2S-1 for both M=4 and M=16."""
+        S = 4
+        mesh = stage_mesh(S)
+        stacked, head, h, c, target = make_engine_problem()
+        h16 = jnp.tile(h, (2, 1))
+        c16, t16 = jnp.tile(c, (2, 1)), jnp.tile(target, (2, 1))
+
+        def carry_dims(hh, cc, tt, M):
+            jaxpr = jax.make_jaxpr(lambda sp, hp, h, c, tg: one_f_one_b(
+                block_fn, head_fn, sp, hp, h, c, {"target": tg}, mesh,
+                n_micro=M))(stacked, head, hh, cc, tt)
+            # the ring buffer is the only 3-D f32 scan-carry whose leading
+            # dim is neither M nor NB... simplest: collect all shapes
+            return str(jaxpr)
+
+        # NB = 2S-1 = 7 appears as the buffer's leading dim in both cases;
+        # a buffer scaling with M would show 8/32 instead
+        mb = B // 4
+        assert f"7,{mb},{D}" in carry_dims(h, c, target, 4).replace(" ", "")
+        mb16 = 16 // 16
+        assert f"7,{mb16},{D}" in carry_dims(
+            h16, c16, t16, 16).replace(" ", "")
+
+
+# ---------------------------------------------------------------------------
+# full DiT objective-MSE parity
+# ---------------------------------------------------------------------------
+
+
+def make_dit(depth=4):
+    cfg = DiTConfig(image_size=16, in_channels=3, out_channels=3, patch_size=4,
+                    hidden_size=64, depth=depth, num_heads=4)
+    m = DiT(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    t = jnp.arange(8) * 10
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x, t)
+    params = jax.tree.map(
+        lambda p: p + 0.03 * jax.random.normal(jax.random.PRNGKey(2), p.shape),
+        params)
+    target = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    return m, params, x, t, target
+
+
+class TestDiTParity:
+    @pytest.mark.parametrize("S,n_micro", [(2, 4), (4, 4)])
+    def test_pp_dit_grads_match_value_and_grad(self, S, n_micro):
+        mesh = stage_mesh(S)
+        model, params, x, t, target = make_dit()
+
+        def seq_loss(p):
+            mb = x.shape[0] // n_micro
+            losses = []
+            for m in range(n_micro):
+                sl = slice(m * mb, (m + 1) * mb)
+                out = model.apply(p, x[sl], t[sl])
+                losses.append(jnp.mean(
+                    (out.astype(jnp.float32) - target[sl]) ** 2))
+            return sum(losses) / n_micro
+
+        ref_loss, ref_grads = jax.value_and_grad(seq_loss)(params)
+        loss, grads = jax.jit(lambda p: pp_dit_grads(
+            model, p, x, t, target, mesh, n_micro=n_micro))(params)
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        flat_r, tdef_r = jax.tree.flatten(ref_grads)
+        flat_g, tdef_g = jax.tree.flatten(grads)
+        assert tdef_r == tdef_g
+        paths = [jax.tree_util.keystr(kp) for kp, _ in
+                 jax.tree_util.tree_flatten_with_path(ref_grads)[0]]
+        for pth, a, b in zip(paths, flat_g, flat_r):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=5e-3, atol=5e-5, err_msg=pth)
+
+    def test_one_step_improves_loss(self):
+        """End-to-end sanity: an SGD step along the 1F1B gradients lowers
+        the same sequential loss."""
+        mesh = stage_mesh(2)
+        model, params, x, t, target = make_dit()
+
+        def full_loss(p):
+            out = model.apply(p, x, t)
+            return jnp.mean((out.astype(jnp.float32) - target) ** 2)
+
+        loss0 = float(full_loss(params))
+        _, grads = jax.jit(lambda p: pp_dit_grads(
+            model, p, x, t, target, mesh, n_micro=4))(params)
+        stepped = jax.tree.map(lambda p, g: p - 0.05 * g.astype(p.dtype),
+                               params, grads)
+        assert float(full_loss(stepped)) < loss0
