@@ -70,6 +70,10 @@ def parse_args(argv=None):
     parser.add_argument("--model_parallel", type=int, default=1,
                         help="mesh 'model' axis size for --fsdp/--tp "
                              "(devices/model_parallel become the data axis)")
+    parser.add_argument("--pp_micro", type=int, default=0,
+                        help="1F1B pipeline parallelism over the 'model' "
+                             "axis with this many microbatches (DiT "
+                             "backbones; needs --model_parallel > 1)")
     # new: config registry instead of edit-the-source
     parser.add_argument("--preset", type=str, default="eurosat64")
     parser.add_argument("--dataset", type=str, default=None, help="override preset dataset")
@@ -188,14 +192,15 @@ def main(args):
         sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
         grad_clip=args.grad_clip,
         preview_sampler=preview_sampler, preview_steps=args.preview_steps,
-        fsdp=args.fsdp, tp=args.tp,
+        fsdp=args.fsdp, tp=args.tp, pp_micro=args.pp_micro,
     )
     mesh = None
     if args.fsdp or args.tp or args.model_parallel > 1:
         from eo_diffusion_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(model=args.model_parallel)
-        print(f"mesh: {dict(mesh.shape)} (fsdp={args.fsdp}, tp={args.tp})")
+        print(f"mesh: {dict(mesh.shape)} (fsdp={args.fsdp}, tp={args.tp}, "
+              f"pp_micro={args.pp_micro})")
     trainer = Trainer(tcfg, model, diffusion, steps_per_epoch, mesh=mesh)
 
     state = trainer.init(jax.random.PRNGKey(args.seed), batch0)

@@ -68,6 +68,28 @@ class FlowMatching:
         assert self.time_sampling == "uniform", self.time_sampling
         return jax.random.uniform(rng, (n,), jnp.float32)
 
+    def training_tuple(
+        self,
+        rng: jax.Array,
+        x0: jax.Array,
+        noise: Optional[jax.Array] = None,
+    ):
+        """Draw one training instance: ``(x_t, t_model, target)`` with
+        ``loss = mean((model(x_t, t_model) - target)^2)`` — the exact
+        decomposition ``train_loss`` computes, exposed so schedulers that
+        must own the MSE themselves (the 1F1B pipeline trainer's
+        per-microbatch loss head, parallel/pipeline_train.py) draw the same
+        (t, eps) as the fused path."""
+        t_rng, n_rng = jax.random.split(rng)
+        n = x0.shape[0]
+        t = self._sample_t(t_rng, n)
+        eps = (noise.astype(jnp.float32) if noise is not None
+               else jax.random.normal(n_rng, x0.shape, jnp.float32))
+        x0f = x0.astype(jnp.float32)
+        tb = t[:, None, None, None]
+        x_t = (1.0 - tb) * x0f + tb * eps
+        return x_t.astype(x0.dtype), t * self.time_scale, eps - x0f
+
     def train_loss(
         self,
         model_fn: VelocityFn,
@@ -84,16 +106,8 @@ class FlowMatching:
         the ReFlow objective (Liu et al., arXiv:2209.03003 §3.2) that
         straightens the flow for few-step sampling — see
         ``diffusion/distill.py``."""
-        t_rng, n_rng = jax.random.split(rng)
-        n = x0.shape[0]
-        t = self._sample_t(t_rng, n)
-        eps = (noise.astype(jnp.float32) if noise is not None
-               else jax.random.normal(n_rng, x0.shape, jnp.float32))
-        x0f = x0.astype(jnp.float32)
-        tb = t[:, None, None, None]
-        x_t = (1.0 - tb) * x0f + tb * eps
-        target = eps - x0f
-        pred = model_fn(x_t.astype(x0.dtype), t * self.time_scale, cond, y)
+        x_t, t_model, target = self.training_tuple(rng, x0, noise)
+        pred = model_fn(x_t, t_model, cond, y)
         return jnp.mean((pred.astype(jnp.float32) - target) ** 2)
 
     # -- sampling -----------------------------------------------------------

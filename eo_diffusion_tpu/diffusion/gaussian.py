@@ -223,6 +223,36 @@ class GaussianDiffusion:
         snr = acp / (1.0 - acp)
         return (self.p2_loss_weight_k + snr) ** (-self.p2_loss_weight_gamma)
 
+    def training_tuple(
+        self,
+        rng: jax.Array,
+        x0: jax.Array,
+        noise: Optional[jax.Array] = None,
+    ):
+        """Draw one training instance: ``(x_t, t, target)`` such that
+        ``loss = mean((model(x_t, t) - target)^2)`` equals ``train_loss``
+        for the plain objective-MSE configuration. Exposed for schedulers
+        that own the MSE themselves (the 1F1B pipeline trainer's
+        per-microbatch loss head, parallel/pipeline_train.py); the
+        reweighted/self-conditioned variants need the fused ``train_loss``
+        and are asserted off.
+        """
+        assert not self.self_condition, (
+            "training_tuple is a plain-MSE decomposition; self-conditioning "
+            "needs the two-pass train_loss")
+        assert self.p2_loss_weight_gamma == 0.0 and self.elbo_weight == 0.0, (
+            "training_tuple cannot carry p2/VLB loss reweighting; use "
+            "train_loss")
+        t_rng, n_rng, _ = jax.random.split(rng, 3)
+        n = x0.shape[0]
+        t = jax.random.randint(t_rng, (n,), 0, self.timesteps)
+        noise = (jax.random.normal(n_rng, x0.shape, x0.dtype) if noise is None
+                 else noise.astype(x0.dtype))
+        x_t = self.q_sample(x0, t, noise)
+        target = self._target(x0.astype(jnp.float32), t,
+                              noise.astype(jnp.float32))
+        return x_t, t, target
+
     def train_loss(
         self,
         model_fn: DenoiseFn,

@@ -107,20 +107,30 @@ def make_train_step(
 
     def train_step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        # fused EMA update, gated on the step counter (no host round-trip);
-        # decay warmup so early EMAs track instead of dragging init noise
-        d = (warmed_decay(ema_decay, state.step // ema_every) if ema_warmup
-             else jnp.float32(ema_decay))
-        ema = ema_update_every(state.ema_params, params, d, state.step, ema_every)
-        new_state = state.replace(
-            params=params, ema_params=ema, opt_state=opt_state, step=state.step + 1
-        )
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
-        return new_state, metrics
+        return apply_grads(state, loss, grads, tx, ema_decay, ema_every,
+                           ema_warmup)
 
     return train_step
+
+
+def apply_grads(state: TrainState, loss, grads,
+                tx: optax.GradientTransformation, ema_decay: float,
+                ema_every: int, ema_warmup: bool = True):
+    """Optimizer + fused-EMA tail shared by the autodiff train step and the
+    1F1B pipeline step (which produces its grads through
+    parallel/pipeline_train.py instead of jax.value_and_grad)."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    # fused EMA update, gated on the step counter (no host round-trip);
+    # decay warmup so early EMAs track instead of dragging init noise
+    d = (warmed_decay(ema_decay, state.step // ema_every) if ema_warmup
+         else jnp.float32(ema_decay))
+    ema = ema_update_every(state.ema_params, params, d, state.step, ema_every)
+    new_state = state.replace(
+        params=params, ema_params=ema, opt_state=opt_state, step=state.step + 1
+    )
+    metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+    return new_state, metrics
 
 
 @dataclasses.dataclass
@@ -167,6 +177,13 @@ class TrainerConfig:
     # near-identical previews at 1/20th the cost.
     preview_sampler: str = "ddpm"  # "ddpm" | "ddim" | "dpm"
     preview_steps: int = 50  # used by ddim/dpm previews (ddpm runs full T)
+    # 1F1B pipeline parallelism over the mesh 'model' axis (DiT backbones
+    # only, parallel/pipeline_train.py): >0 runs the block torso's forward
+    # AND backward under the one-forward-one-backward schedule with this
+    # many microbatches. Composes with DP over 'data'; mutually exclusive
+    # with tp/fsdp (nested shard_map / re-stacked gathered params are
+    # unvalidated combinations).
+    pp_micro: int = 0
 
 
 class Trainer:
@@ -242,6 +259,8 @@ class Trainer:
             num_classes=cfg.num_classes,
         )
 
+        if cfg.pp_micro > 0:
+            step_fn = self._make_pp_step()
         self._step_fn = step_fn
         # TP: route the Pallas attention kernel through a head-sharded
         # shard_map at trace time (ops/attention.head_sharded_attention) --
@@ -262,6 +281,58 @@ class Trainer:
         self._state_shardings = None
         self._rng = jax.random.PRNGKey(cfg.seed)
         self._samplers = {}
+
+    def _make_pp_step(self):
+        """Train step with the DiT torso's fwd+bwd under the 1F1B pipeline
+        schedule (cfg.pp_micro microbatches over the mesh 'model' axis,
+        parallel/pipeline_train.py) — same optimizer/EMA tail as the
+        autodiff step. The loss decomposition rides
+        ``diffusion.training_tuple`` (plain objective-MSE; reweighted /
+        self-conditioned configs assert there)."""
+        from eo_diffusion_tpu.models.dit import DiT
+        from eo_diffusion_tpu.parallel.pipeline_train import pp_dit_grads
+
+        cfg = self.cfg
+        assert isinstance(self.model, DiT), (
+            "pp_micro>0 pipelines the DiT block torso; the convolutional "
+            "UNet has no homogeneous stage stack (see parallel/pipeline.py "
+            "scope note)")
+        assert "model" in self.mesh.shape and self.mesh.shape["model"] > 1, (
+            "pp_micro>0 needs a mesh with a model axis > 1 to serve as the "
+            "stage axis (pass mesh=make_mesh(model=S))")
+        assert not (cfg.tp or cfg.fsdp), (
+            "pp_micro composes with DP only: tp nests shard_maps and fsdp "
+            "re-stacks gathered block params inside the pipeline — both "
+            "unvalidated; shard data over 'data' instead")
+        assert not hasattr(self.diffusion, "encode"), (
+            "pp_micro with LatentDiffusion is not wired (training_tuple "
+            "would need the first-stage encode); train the inner process")
+        diffusion, model, mesh = self.diffusion, self.model, self.mesh
+        class_conditional = cfg.num_classes > 0
+        use_cond = cfg.cond_type == "concat"
+        dropout_prob = getattr(
+            getattr(model, "config", None) or getattr(model, "cfg", None),
+            "class_dropout_prob", 0.0)
+        tx, ema_decay = self.tx, self.ema_decay
+        ema_every = cfg.model_ema_steps * self.grad_accum
+
+        def pp_step(state: TrainState, batch, rng):
+            cond = batch.get("cond") if use_cond else None
+            y = batch.get("label") if class_conditional else None
+            if y is not None and dropout_prob > 0.0:
+                rng, drop_rng = jax.random.split(rng)
+                drop = jax.random.bernoulli(drop_rng, dropout_prob, y.shape)
+                y = jnp.where(drop, cfg.num_classes, y)
+            rng, t_rng = jax.random.split(rng)
+            x_t, t_model, target = diffusion.training_tuple(
+                t_rng, batch["image"], batch.get("noise"))
+            loss, grads = pp_dit_grads(
+                model, state.params, x_t, t_model, target, mesh,
+                y=y, cond=cond, axis="model", n_micro=cfg.pp_micro,
+                data_axis="data")
+            return apply_grads(state, loss, grads, tx, ema_decay, ema_every)
+
+        return pp_step
 
     # -- lifecycle -----------------------------------------------------------
 

@@ -195,3 +195,103 @@ class TestDiTParity:
         stepped = jax.tree.map(lambda p, g: p - 0.05 * g.astype(p.dtype),
                                params, grads)
         assert float(full_loss(stepped)) < loss0
+
+
+# ---------------------------------------------------------------------------
+# Trainer + CLI integration (TrainerConfig.pp_micro)
+# ---------------------------------------------------------------------------
+
+
+class TestPPTrainer:
+    def _trainer(self, pp_micro, mesh=None, model=None, diffusion=None):
+        from eo_diffusion_tpu.diffusion.flow import FlowMatching
+        from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
+
+        if model is None:
+            cfg = DiTConfig(image_size=16, in_channels=3, out_channels=3,
+                            patch_size=4, hidden_size=64, depth=4,
+                            num_heads=4)
+            model = DiT(cfg)
+        if diffusion is None:
+            diffusion = FlowMatching.create(image_size=16, in_channels=3)
+        tcfg = TrainerConfig(lr=3e-3, batch_size=8, epochs=1, timesteps=10,
+                             model_ema_steps=1, warmup_epochs=0, seed=3,
+                             pp_micro=pp_micro)
+        return Trainer(tcfg, model, diffusion, steps_per_epoch=20, mesh=mesh)
+
+    def test_pp_trainer_learns(self):
+        """TrainerConfig.pp_micro routes the step through the 1F1B engine:
+        the loss falls and EMA/opt/step advance exactly like the autodiff
+        step."""
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh(model=4)
+        tr = self._trainer(pp_micro=2, mesh=mesh)
+        rng = np.random.default_rng(0)
+        mk = lambda: {"image": (rng.choice([-0.5, 0.5], size=(8, 1, 1, 1))
+                                * np.ones((8, 16, 16, 3))).astype(np.float32)}
+        state = tr.init(jax.random.PRNGKey(0), mk())
+        losses = []
+        for _ in range(20):
+            state, m = tr.step(state, mk())
+            losses.append(float(m["loss"]))
+        assert int(state.step) == 20
+        # the FM loss floor is ~E||eps||^2 ~ 1.0 (the irreducible noise
+        # variance): assert the reducible part shrinks, not a fixed ratio
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.1, losses
+        # EMA actually tracked (not stuck at init)
+        diff = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.ema_params, state.params))
+        assert max(diff) > 0.0
+
+    def test_pp_rejects_unet_and_tp(self):
+        from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+        from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+        from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh(model=4)
+        ucfg = UNetConfig(image_size=8, in_channels=3, model_channels=16,
+                          out_channels=3, num_res_blocks=1,
+                          attention_resolutions=(), channel_mult=(1, 2),
+                          num_heads=1)
+        gd = GaussianDiffusion.create(timesteps=10, image_size=8,
+                                      in_channels=3)
+        with pytest.raises(AssertionError, match="DiT"):
+            Trainer(TrainerConfig(pp_micro=2), UNet(ucfg), gd, 1, mesh=mesh)
+        cfg = DiTConfig(image_size=16, in_channels=3, out_channels=3,
+                        patch_size=4, hidden_size=64, depth=4, num_heads=4)
+        with pytest.raises(AssertionError, match="DP only"):
+            Trainer(TrainerConfig(pp_micro=2, tp=True), DiT(cfg), gd, 1,
+                    mesh=mesh)
+
+    def test_pp_cli_roundtrip(self, tmp_path):
+        """--pp_micro through the train CLI on the virtual mesh: steps run,
+        checkpoints written (mirrors the --fsdp/--tp CLI test)."""
+        import os
+
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        sample_dir = str(tmp_path / "results")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-dit", "--epochs", "1",
+                "--steps_per_epoch", "2", "--batch_size", "8",
+                "--model_parallel", "2", "--pp_micro", "2",  # tiny-dit depth=2
+                "--dir", sample_dir, "--sample_every", "100",
+                "--save_every", "2", "--log_freq", "1", "--n_samples", "4",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root = os.path.join(str(tmp_path), "logs",
+                                 os.path.basename(sample_dir))
+        assert any(e.startswith("steps_") for e in os.listdir(ckpt_root))
