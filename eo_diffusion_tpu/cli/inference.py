@@ -73,6 +73,11 @@ def parse_args(argv=None):
                              "enables; all samplers)")
     parser.add_argument("--n_iter", type=int, default=None)
     parser.add_argument("--eta", type=float, default=0.0)
+    parser.add_argument("--ddim_spacing", type=str, default="uniform",
+                        choices=["uniform", "quad", "trailing"],
+                        help="DDIM timestep spacing; 'trailing' starts at "
+                             "t=T-1 (Lin et al. 2023 — pair with the "
+                             "zero-terminal-SNR presets, e.g. vpred64)")
     parser.add_argument("--ddim_clip", action="store_true",
                         help="clamp pred_x0 in DDIM steps (stabilizes weak models; "
                              "the reference DDIM never clips)")
@@ -334,6 +339,7 @@ def main(args):
             mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
             out = diffusion.ddim_sample(
                 fn_j, srng, bsz, num_steps=args.sampler_steps, eta=args.eta,
+                method=args.ddim_spacing,
                 cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
                 mask=mask_j,

@@ -52,6 +52,12 @@ class Preset:
     patch_size: int = 4
     depth: int = 12
     process: str = "ddpm"  # "ddpm" | "flow"
+    # DDPM prediction objective + Lin et al. 2023 schedule fix
+    # (arXiv:2305.08891, beyond-reference): zero_terminal_snr rescales the
+    # schedule so SNR(T)=0 (requires objective="v"); pair with
+    # --ddim_spacing trailing at inference so sampling starts at t=T-1
+    objective: str = "eps"  # "eps" | "x0" | "v"
+    zero_terminal_snr: bool = False
 
     @property
     def is_latent(self) -> bool:
@@ -144,6 +150,14 @@ PRESETS = {
     # tiny smoke config for CI / CPU runs
     "tiny": Preset("tiny", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
                    timesteps=50, batch_size=16),
+    # v-prediction + zero-terminal-SNR (Lin et al. 2023, arXiv:2305.08891;
+    # beyond-reference): the schedule actually reaches SNR=0 so generations
+    # stop inheriting x_T's mean; sample with --ddim_spacing trailing
+    "vpred64": Preset("vpred64", "synthetic", 64, 3, 64, (1, 2, 3, 4), (4, 8),
+                      1, 4, objective="v", zero_terminal_snr=True),
+    "tiny-vpred": Preset("tiny-vpred", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
+                         timesteps=50, batch_size=16, objective="v",
+                         zero_terminal_snr=True),
     # tiny cloud-removal smoke config: concat-conditions on the synthetic
     # cloudy view ("cond_image"), i.e. the sen12mscr256 use-case in miniature
     "tiny-cr": Preset("tiny-cr", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
@@ -217,4 +231,6 @@ def build_process(preset: Preset, timesteps: int, image_size: int,
     from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
 
     return GaussianDiffusion.create(timesteps=timesteps, image_size=size,
-                                    in_channels=chans, cond_type=cond_type)
+                                    in_channels=chans, cond_type=cond_type,
+                                    objective=preset.objective,
+                                    zero_terminal_snr=preset.zero_terminal_snr)

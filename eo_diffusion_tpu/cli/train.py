@@ -248,7 +248,7 @@ def main(args):
             global_steps += 1
             loss = float(metrics["loss"])
             lr = trainer.current_lr(global_steps - 1)
-            if j % args.log_freq == 0:
+            if args.log_freq and j % args.log_freq == 0:
                 print(
                     "Epoch[{}/{}],Step[{}/{}],loss:{:.5f},lr:{:.5f}".format(
                         epoch + 1, args.epochs, j, steps_per_epoch, loss, lr
@@ -261,7 +261,8 @@ def main(args):
                 best_loss = loss
                 save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), name="best")
 
-            if global_steps % args.sample_every == 0:
+            # sample_every=0 disables periodic previews entirely
+            if args.sample_every and global_steps % args.sample_every == 0:
                 cond = mb.get("cond")
                 cond = cond[: args.n_samples] if cond is not None else None
                 # conditioned previews can't exceed the cond rows available
@@ -286,7 +287,7 @@ def main(args):
                     save_image_grid(np.asarray(cond[..., :3]),
                                     os.path.join(args.dir, f"steps_{global_steps:08d}_cond.png"),
                                     nrow=max(int(math.sqrt(n_prev)), 1), data_range=data_range)
-            if global_steps % args.save_every == 0:
+            if args.save_every and global_steps % args.save_every == 0:
                 save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step=global_steps)
 
     save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step=global_steps)

@@ -119,25 +119,54 @@ class DiffusionSchedule:
         return int(self.betas.shape[0])
 
 
+def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """Rescale a beta schedule so the terminal SNR is exactly zero.
+
+    Lin et al. 2023, "Common Diffusion Noise Schedules and Sample Steps are
+    Flawed" (arXiv:2305.08891 Alg. 1; beyond-reference — every schedule the
+    reference trains with leaves SNR(T) > 0, so x_T still leaks mean/low-
+    frequency information the sampler then bakes into every generation).
+    The sqrt-alphas-cumprod curve is shifted to end at 0 and rescaled to
+    keep its t=0 value; betas are recovered from the adjusted cumprod.
+    Requires the "v" objective downstream: with acp[T-1] = 0 the eps
+    parameterization can no longer recover x0 at the terminal step.
+    """
+    abar_sqrt = np.sqrt(np.cumprod(1.0 - np.asarray(betas, np.float64)))
+    a0, aT = abar_sqrt[0], abar_sqrt[-1]
+    abar_sqrt = (abar_sqrt - aT) * a0 / (a0 - aT)
+    abar = abar_sqrt**2
+    alphas = np.concatenate([abar[:1], abar[1:] / abar[:-1]])
+    return 1.0 - alphas
+
+
 def make_schedule(
     timesteps: int,
     schedule: str = "cosine_eo",
+    zero_terminal_snr: bool = False,
     **kwargs,
 ) -> DiffusionSchedule:
     """Build the full DDPM table set.
 
     ``cosine_eo`` is the active-path schedule of the reference
     (``diffusion/model.py:23``); the CompVis variants are exposed for parity
-    with the vendored DDPM (``diffusion/ddpm.py``).
+    with the vendored DDPM (``diffusion/ddpm.py``). ``zero_terminal_snr``
+    applies the Lin et al. 2023 rescale (v-objective models only).
     """
     if schedule == "cosine_eo":
         betas = cosine_betas(timesteps, **kwargs).astype(np.float64)
     else:
         betas = make_beta_schedule(schedule, timesteps, **kwargs)
+    if zero_terminal_snr:
+        betas = rescale_zero_terminal_snr(betas)
 
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas, axis=-1)
     alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
+    # the reciprocal tables blow up at acp = 0 (the zero-terminal-SNR last
+    # row). They only serve the eps/x0 conversions -- the v path reads the
+    # direct sqrt tables -- but keep them finite so an accidental use
+    # produces a large number, not inf/nan silently poisoning the scan.
+    acp_safe = np.maximum(alphas_cumprod, 1e-12)
 
     f32 = lambda x: np.asarray(x, dtype=np.float32)
     return DiffusionSchedule(
@@ -147,20 +176,25 @@ def make_schedule(
         alphas_cumprod_prev=f32(alphas_cumprod_prev),
         sqrt_alphas_cumprod=f32(np.sqrt(alphas_cumprod)),
         sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - alphas_cumprod)),
-        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod)),
-        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / alphas_cumprod - 1.0)),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / acp_safe)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / acp_safe - 1.0)),
     )
 
 
 def make_ddim_timesteps(
-    ddim_discr_method: Literal["uniform", "quad"],
+    ddim_discr_method: Literal["uniform", "quad", "trailing"],
     num_ddim_timesteps: int,
     num_ddpm_timesteps: int,
 ) -> np.ndarray:
     """DDIM timestep subsequence (reference ``diffusion/util.py:63-77``).
 
-    Returns the +1-shifted steps exactly like the reference ("add one to get
-    the final alpha values right").
+    "uniform"/"quad" return the +1-shifted steps exactly like the reference
+    ("add one to get the final alpha values right"). "trailing" is the
+    Lin et al. 2023 spacing (arXiv:2305.08891 Table 2, beyond-reference):
+    anchored at the LAST training step T-1 and walking down, so sampling
+    actually starts from the noise level the model saw at t=T-1 — the
+    reference's uniform spacing starts at step T - T/S + 1 and silently
+    skips the highest noise levels.
     """
     if ddim_discr_method == "uniform":
         c = num_ddpm_timesteps // num_ddim_timesteps
@@ -169,6 +203,10 @@ def make_ddim_timesteps(
         ddim_timesteps = (
             np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2
         ).astype(int)
+    elif ddim_discr_method == "trailing":
+        steps = np.arange(num_ddpm_timesteps, 0,
+                          -num_ddpm_timesteps / num_ddim_timesteps)
+        return np.round(steps).astype(int)[::-1] - 1  # ascending, ends T-1
     else:
         raise NotImplementedError(
             f'There is no ddim discretization method called "{ddim_discr_method}"'
@@ -209,21 +247,22 @@ def make_ddim_schedule(
     schedule: DiffusionSchedule,
     num_steps: int,
     eta: float = 0.0,
-    method: Literal["uniform", "quad"] = "uniform",
+    method: Literal["uniform", "quad", "trailing"] = "uniform",
 ) -> DDIMSchedule:
     """Build the DDIM table set from a trained model's DDPM schedule.
 
     Reproduces ``DDIMSampler.make_schedule`` (reference
     ``diffusion/ddim.py:24-55``) including the off-by-one guard at
     ``ddim.py:27``: when T/S < 2 the +1-shifted steps would index past the
-    table, so the reference shifts them back down by one.
+    table, so the reference shifts them back down by one. ("trailing" steps
+    are in-range by construction and take neither shift.)
     """
     T = schedule.timesteps
     assert 1 <= num_steps <= T, (
         f"ddim num_steps must be in [1, timesteps={T}], got {num_steps}"
     )
     steps = make_ddim_timesteps(method, num_steps, T)
-    if T / num_steps < 2:
+    if method != "trailing" and T / num_steps < 2:
         steps = steps - 1
     sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(
         schedule.alphas_cumprod, steps, eta

@@ -145,10 +145,20 @@ class GaussianDiffusion:
         p2_loss_weight_gamma: float = 0.0,
         self_condition: bool = False,
         elbo_weight: float = 0.0,
+        zero_terminal_snr: bool = False,
     ) -> "GaussianDiffusion":
         assert objective in ("eps", "x0", "v"), objective
+        # Lin et al. 2023 (arXiv:2305.08891): with SNR(T) = 0 the model sees
+        # PURE noise at the terminal step, so eps-prediction degenerates
+        # (eps == x_T, nothing to learn, and x0 is unrecoverable from it) --
+        # the rescale is only sound under the v parameterization. Pair with
+        # ddim_sample(method="trailing") so sampling starts at t = T-1.
+        assert not zero_terminal_snr or objective == "v", (
+            "zero_terminal_snr requires objective='v' (at SNR=0 the eps/x0 "
+            "parameterizations cannot recover x0; arXiv:2305.08891 §2.2)")
         return cls(
-            schedule=make_schedule(timesteps, schedule),
+            schedule=make_schedule(timesteps, schedule,
+                                   zero_terminal_snr=zero_terminal_snr),
             image_size=image_size,
             in_channels=in_channels,
             cond_type=cond_type,
@@ -400,6 +410,11 @@ class GaussianDiffusion:
         unlike the reference's save_image calls, and without materializing
         the full T-step trajectory, which at T=1000/256^2/bs8 would be ~6 GB).
         """
+        assert clip or float(self.schedule.alphas[-1]) > 1e-8, (
+            "clip=False uses the eps-form posterior mean (1/sqrt(alpha_t)) "
+            "which diverges at a zero-terminal-SNR schedule's last step "
+            "(alpha[T-1] = 0, arXiv:2305.08891); use clip=True "
+            "(x0-posterior form, finite there)")
         shape = (n_samples, self.image_size, self.image_size, self.in_channels)
         init_rng, scan_rng = jax.random.split(rng)
         # the x_t carry stays float32 regardless of ``dtype``: per-step bf16

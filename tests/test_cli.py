@@ -380,3 +380,43 @@ class TestEvaluateCLI:
         worse = eval_cli.main(["--real", fid_dir, "--fake", str(distorted)])
         assert worse["frechet_distance"] > same["frechet_distance"] + 1e-3
         assert worse["kid_mean"] > same["kid_mean"]
+
+
+class TestVPredZTSNRCLI:
+    """tiny-vpred preset (v-objective + zero-terminal-SNR, arXiv:2305.08891)
+    round-trips train -> DDIM-trailing inference through the entry points."""
+
+    def test_train_infer_roundtrip(self, tmp_path):
+        from eo_diffusion_tpu.cli import inference as infer_cli
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        results = str(tmp_path / "results")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-vpred", "--epochs", "1",
+                "--steps_per_epoch", "3", "--batch_size", "8",
+                "--dir", results, "--save_every", "3", "--log_freq", "1",
+                "--sample_every", "0",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root = str(tmp_path / "logs" / "results")
+        step_dirs = sorted(d for d in os.listdir(ckpt_root)
+                           if d.startswith("steps_"))
+        outdir = str(tmp_path / "infer")
+        infer_cli.main(infer_cli.parse_args([
+            "--preset", "tiny-vpred", "--ckpt",
+            os.path.join(ckpt_root, step_dirs[-1]),
+            "--sampler", "ddim", "--sampler_steps", "5",
+            "--ddim_spacing", "trailing", "--save", "--samples_fid",
+            "--n_iter", "0", "--batch_size", "4", "--outdir", outdir,
+        ]))
+        import PIL.Image
+        fid_dir = os.path.join(outdir, "samples_fid")
+        pngs = [os.path.join(r, f) for r, _, fs in os.walk(fid_dir)
+                for f in fs if f.endswith(".png")]
+        assert pngs
+        arr = np.asarray(PIL.Image.open(sorted(pngs)[0]))
+        assert np.isfinite(arr).all()

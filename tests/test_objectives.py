@@ -313,3 +313,85 @@ class TestVLBWeight:
         l0 = float(d0.train_loss(lambda x, t, c, y: jnp.zeros_like(x), jax.random.PRNGKey(0), x0))
         l1 = float(d1.train_loss(lambda x, t, c, y: jnp.zeros_like(x), jax.random.PRNGKey(0), x0))
         assert l1 > l0
+
+
+class TestZeroTerminalSNR:
+    """v-prediction + zero-terminal-SNR (arXiv:2305.08891) through the process."""
+
+    def _make(self):
+        return GaussianDiffusion.create(
+            timesteps=50, image_size=SIZE, in_channels=3, objective="v",
+            zero_terminal_snr=True)
+
+    def test_eps_objective_rejected(self):
+        with pytest.raises(AssertionError, match="zero_terminal_snr"):
+            GaussianDiffusion.create(timesteps=50, image_size=SIZE,
+                                     in_channels=3, zero_terminal_snr=True)
+
+    def test_ddpm_unclipped_rejected(self):
+        d = self._make()
+        model = lambda x, t, c, y: jnp.zeros_like(x)
+        with pytest.raises(AssertionError, match="clip"):
+            d.ddpm_sample(model, jax.random.PRNGKey(0), 1, clip=False)
+
+    def test_ddpm_clipped_finite(self):
+        d = self._make()
+        model = lambda x, t, c, y: 0.1 * x
+        out = d.ddpm_sample(model, jax.random.PRNGKey(0), 2, clip=True)
+        assert np.isfinite(np.asarray(out.x)).all()
+
+    def test_ddim_trailing_visits_terminal_step(self):
+        # a model that poisons its output exactly where sqrt(acp[t]) == 0
+        # (only the ZTSNR terminal row): trailing spacing must hit it,
+        # uniform spacing must not (it starts below t = T-1)
+        d = self._make()
+        a_tab = jnp.asarray(d.schedule.sqrt_alphas_cumprod)
+
+        def poison_at_terminal(x, t, c, y):
+            a = a_tab[t][:, None, None, None]
+            return jnp.ones_like(x) / jnp.maximum(a, 0.0)  # inf iff a == 0
+
+        k = jax.random.PRNGKey(0)
+        tr = d.ddim_sample(poison_at_terminal, k, 1, num_steps=5,
+                           method="trailing").x
+        assert not np.isfinite(np.asarray(tr)).all()
+        uni = d.ddim_sample(poison_at_terminal, k, 1, num_steps=5).x
+        assert np.isfinite(np.asarray(uni)).all()
+
+    def test_ddim_trailing_finite(self):
+        # at t=T-1 the v-param conversion x0 = a*x - s*v, eps = s*x + a*v has
+        # a=0, s=1 -- exact and finite (no reciprocal-acp table involved)
+        d = self._make()
+        oracle = lambda x, t, c, y: -0.5 * x
+        out = d.ddim_sample(oracle, jax.random.PRNGKey(0), 2, num_steps=10,
+                            method="trailing")
+        assert np.isfinite(np.asarray(out.x)).all()
+
+    def test_terminal_pred_x0_ignores_x_T(self):
+        # at the ZTSNR terminal step pred_x0 = a*x - s*v = -v: the signal
+        # component of the first update cannot leak x_T's mean (the paper's
+        # flaw); only the true-noise direction term carries x forward, and a
+        # single trailing step at eta=0 with a constant-v model exposes the
+        # split: d/dx_T x_prev = sqrt(1 - a_prev) exactly (no x0 leak), vs
+        # the flawed schedule where pred_x0 itself depends on x_T
+        d = self._make()
+        vconst = lambda x, t, c, y: jnp.ones_like(x) * 0.3
+        k = jax.random.PRNGKey(0)
+        xa = jax.random.normal(k, (1, SIZE, SIZE, 3))
+        delta = 100.0
+        xb = xa + delta
+        oa = d.ddim_sample(vconst, k, 1, num_steps=1, method="trailing", x_T=xa).x
+        ob = d.ddim_sample(vconst, k, 1, num_steps=1, method="trailing", x_T=xb).x
+        # single-step schedule: alphas_prev[0] = acp[0] (reference convention)
+        a_prev = float(d.schedule.alphas_cumprod[0])
+        expect = np.sqrt(1.0 - a_prev) * delta
+        np.testing.assert_allclose(np.asarray(ob - oa),
+                                   np.full_like(np.asarray(oa), expect),
+                                   rtol=1e-4)
+
+    def test_train_loss_finite(self):
+        d = self._make()
+        model = lambda x, t, c, y: 0.1 * x
+        loss = d.train_loss(model, jax.random.PRNGKey(0),
+                            jnp.zeros((8, SIZE, SIZE, 3)))
+        assert np.isfinite(float(loss))

@@ -175,3 +175,59 @@ class TestDDIMGuards:
         sched = S.make_schedule(100)
         dd = S.make_ddim_schedule(sched, 1)
         assert dd.num_steps >= 1
+
+
+class TestZeroTerminalSNR:
+    """Lin et al. 2023 (arXiv:2305.08891): rescaled schedule + trailing spacing."""
+
+    def test_terminal_acp_zero_first_preserved(self):
+        base = S.make_schedule(1000)
+        z = S.make_schedule(1000, zero_terminal_snr=True)
+        # SNR(T) must be exactly zero; SNR(1) (the t=0 row) unchanged
+        assert z.alphas_cumprod[-1] == 0.0
+        np.testing.assert_allclose(z.alphas_cumprod[0], base.alphas_cumprod[0],
+                                   rtol=1e-6)
+        assert base.alphas_cumprod[-1] > 0  # the flaw the rescale fixes
+
+    def test_rescale_monotone_and_valid(self):
+        betas = S.rescale_zero_terminal_snr(S.cosine_betas(1000).astype(np.float64))
+        acp = np.cumprod(1.0 - betas)
+        assert np.all(np.diff(acp) < 0)
+        assert np.all(betas >= 0) and np.all(betas <= 1.0)
+
+    def test_tables_finite(self):
+        z = S.make_schedule(100, zero_terminal_snr=True)
+        for f in ("betas", "alphas", "alphas_cumprod", "sqrt_alphas_cumprod",
+                  "sqrt_one_minus_alphas_cumprod", "sqrt_recip_alphas_cumprod",
+                  "sqrt_recipm1_alphas_cumprod"):
+            assert np.all(np.isfinite(getattr(z, f))), f
+
+    def test_works_on_linear_schedule_too(self):
+        z = S.make_schedule(100, schedule="linear", zero_terminal_snr=True)
+        assert z.alphas_cumprod[-1] == 0.0
+
+    def test_trailing_spacing(self):
+        steps = S.make_ddim_timesteps("trailing", 50, 1000)
+        assert steps.shape == (50,)
+        assert steps[-1] == 999          # anchored at T-1 (Table 2)
+        assert np.all(np.diff(steps) > 0)  # ascending, unique
+        assert steps[0] >= 0
+        # uniform spacing by contrast never reaches T-1
+        uni = S.make_ddim_timesteps("uniform", 50, 1000)
+        assert uni[-1] < 999
+
+    def test_trailing_dense_in_range(self):
+        # T/S < 2 regime: trailing needs neither the +1 nor the guard shift
+        sched = S.make_schedule(50)
+        dd = S.make_ddim_schedule(sched, 40, method="trailing")
+        assert dd.timesteps[-1] == 49
+        assert np.all(dd.timesteps >= 0) and np.all(dd.timesteps < 50)
+        assert len(np.unique(dd.timesteps)) == 40
+
+    def test_trailing_full_ddim_schedule_on_ztsnr(self):
+        sched = S.make_schedule(100, zero_terminal_snr=True)
+        dd = S.make_ddim_schedule(sched, 10, method="trailing")
+        # the first (highest-t) step carries acp = 0 -> model sees pure noise
+        assert dd.alphas[-1] == 0.0
+        assert np.all(np.isfinite(dd.sigmas))
+        assert np.all(np.isfinite(dd.alphas_prev))
