@@ -1,0 +1,175 @@
+"""Serving CLI: always-warm batched sampling behind an HTTP API.
+
+``python -m eo_diffusion_tpu.cli.serve --preset clouds64-attn
+--ckpt logs/run/best --sampler ddim --sampler_steps 50 --port 8000``
+
+Beyond-reference subsystem (the reference's inference.py is an offline
+eval script, SURVEY.md §2 #5): compiles ONE fixed-shape sampler at
+startup, then coalesces concurrent ``POST /v1/generate`` requests into
+full device batches (``serving/engine.py``). Conditioning matches the
+inference CLI: class labels (``"y"``), concat cond images
+(``"cond_b64"``), optional classifier-free guidance fixed at startup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="EO diffusion serving (TPU-native)")
+    p.add_argument("--preset", type=str, default="clouds64-attn")
+    p.add_argument("--ckpt", type=str, default="",
+                   help="Orbax checkpoint dir (EMA params are served) or "
+                        "torch .pt file; empty = random init (smoke only)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="fixed device batch; requests coalesce into it")
+    p.add_argument("--batch_window_ms", type=float, default=20.0,
+                   help="max wait after the first request to fill a batch")
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddpm", "ddim", "dpm", "flow"])
+    p.add_argument("--sampler_steps", type=int, default=50)
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--ddim_spacing", type=str, default="uniform",
+                   choices=["uniform", "quad", "trailing"])
+    p.add_argument("--flow_method", type=str, default="euler",
+                   choices=["euler", "heun"])
+    p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--num_classes", type=int, default=0)
+    p.add_argument("--class_dropout", type=float, default=0.0,
+                   help="must match training (builds the null-class row "
+                        "label-CFG guides against)")
+    p.add_argument("--cond_type", type=str, default=None)
+    p.add_argument("--timesteps", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--no_bf16", action="store_true")
+    p.add_argument("--data_range", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="training data range for PNG rescale (default: the "
+                        "dataset's registry entry)")
+    p.add_argument("--request_timeout", type=float, default=300.0)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build_engine(args):
+    """Construct (SamplerEngine, BatchingEngine, meta) from the preset."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eo_diffusion_tpu.cli.presets import (build_denoiser, build_process,
+                                              get_preset)
+    from eo_diffusion_tpu.serving.engine import (BatchingEngine, SamplerEngine,
+                                                 ServingConfig)
+
+    preset = get_preset(args.preset)
+    image_size = args.image_size or preset.image_size
+    preset.image_size = image_size
+    timesteps = args.timesteps or preset.timesteps
+    cond_type = args.cond_type if args.cond_type is not None else preset.cond_type
+    num_classes = args.num_classes if args.num_classes > 0 else 0
+    assert not preset.is_latent, (
+        "serving latent presets is not wired yet (needs the first-stage "
+        "codec at startup); serve the pixel-space presets")
+    assert cond_type in (None, "concat"), (
+        "serving supports unconditional or concat conditioning; RePaint-"
+        "'sum' needs a per-request gt/mask protocol (use cli.inference)")
+    if preset.process == "flow":
+        args.sampler = "flow"
+
+    # concat serving: the request supplies the conditioning view (e.g. the
+    # cloudy image for cloud removal); channel width = the preset's input
+    cond_channels = preset.in_channels if cond_type == "concat" else 0
+    ucfg = preset.model_config(num_classes=num_classes or None,
+                               bf16=not args.no_bf16,
+                               cond_channels=cond_channels,
+                               class_dropout_prob=args.class_dropout)
+    model = build_denoiser(ucfg)
+    diffusion = build_process(preset, timesteps, image_size,
+                              cond_type=cond_type)
+
+    x0 = jnp.zeros((1, image_size, image_size, preset.in_channels))
+    init_kw = ({"cond": jnp.zeros((1, image_size, image_size, cond_channels))}
+               if cond_channels else {})
+    if num_classes:
+        init_kw["y"] = jnp.zeros((1,), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
+                                 jnp.zeros((1,), jnp.int32), **init_kw)
+    if args.ckpt:
+        if os.path.isdir(args.ckpt):
+            from eo_diffusion_tpu.train.checkpoint import restore_params
+
+            _, params = restore_params(args.ckpt, params)  # serve the EMA
+        else:
+            from eo_diffusion_tpu.tools.convert_ckpt import load_torch_checkpoint
+
+            params = load_torch_checkpoint(args.ckpt, ucfg)
+        params = jax.tree.map(jnp.asarray, params)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    has_null = bool(num_classes
+                    and (getattr(ucfg, "label_vocab", 0) or 0) > num_classes)
+    if args.guidance_scale != 1.0 and num_classes and not has_null:
+        print("note: label-CFG needs a null-class row (--class_dropout > 0 "
+              "to match training); serving unguided")
+        args.guidance_scale = 1.0
+
+    scfg = ServingConfig(
+        batch_size=args.batch_size, sampler=args.sampler,
+        steps=args.sampler_steps, eta=args.eta,
+        ddim_spacing=args.ddim_spacing, flow_method=args.flow_method,
+        guidance_scale=args.guidance_scale, num_classes=num_classes,
+        has_null_class=has_null, cond_channels=cond_channels,
+        bf16=not args.no_bf16, batch_window_ms=args.batch_window_ms,
+        request_timeout_s=args.request_timeout)
+    engine = SamplerEngine(model, params, diffusion, image_size,
+                           preset.in_channels, scfg)
+    batcher = BatchingEngine(engine, base_seed=args.seed)
+    from eo_diffusion_tpu.data.datasets import get_metadata
+
+    if args.data_range is not None:
+        lo, hi = args.data_range
+    else:
+        try:
+            lo, hi = get_metadata(preset.dataset)["data_range"]
+        except Exception:
+            # the synthetic factory's default; EO presets train in [-1, 1]
+            lo, hi = ((0.0, 1.0) if preset.dataset == "synthetic"
+                      else (-1.0, 1.0))
+    meta = {"preset": preset.name, "sampler": args.sampler,
+            "steps": args.sampler_steps, "batch_size": args.batch_size,
+            "image_size": image_size, "channels": preset.in_channels,
+            "num_classes": num_classes, "cond_channels": cond_channels,
+            "guidance_scale": args.guidance_scale,
+            "params_m": round(n_params / 1e6, 3),
+            "data_range": (float(lo), float(hi))}
+    return engine, batcher, meta
+
+
+def main(args):
+    from eo_diffusion_tpu.serving.http import make_server, serve_forever
+
+    engine, batcher, meta = build_engine(args)
+    print(f"serving {meta['params_m']}M params | {meta}")
+    warm_s = engine.warmup()
+    print(f"warmup (compile + first batch): {warm_s:.1f}s")
+    srv, port = make_server(batcher, meta, host=args.host, port=args.port,
+                            verbose=args.verbose)
+    print(f"listening on http://{args.host}:{port}  "
+          f"(POST /v1/generate, GET /healthz, GET /stats)")
+    try:
+        serve_forever(srv)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        batcher.shutdown()
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -1,0 +1,311 @@
+"""Fixed-shape jitted sampling + request-coalescing batcher.
+
+Design (TPU-first):
+
+* **One compiled program.** The sampler configuration (kind, steps, eta,
+  spacing, guidance) and the device batch size ``B`` are fixed at engine
+  construction; every request is served by the same jitted full-trajectory
+  ``lax.scan``. Variable request sizes are handled by *packing*, never by
+  recompiling: requests coalesce into ``B`` rows, short batches are padded
+  (pad rows are computed and discarded — static shapes are what keep XLA's
+  tiling and the compile cache stable).
+* **Params are threaded as jit arguments**, not closed over: closed-over
+  trees become literal constants in the compile payload (the HTTP-413
+  remote-compile failure mode documented in CLAUDE.md) and would re-trace
+  on every hot-swap.
+* **Coalescing window.** The worker waits up to ``batch_window_ms`` after
+  the first request to fill the batch — the standard serving
+  latency/throughput knob. Seeded requests bypass coalescing (they run as
+  their own padded batch) so ``seed`` means *reproducible bytes*, which
+  packing with strangers would break.
+
+The reference has no analog (SURVEY.md: its inference loop is an offline
+eval script); this is beyond-reference serving infrastructure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["ServingConfig", "SamplerEngine", "BatchingEngine"]
+
+
+@dataclasses.dataclass
+class ServingConfig:
+    batch_size: int = 8
+    sampler: str = "ddim"  # "ddpm" | "ddim" | "dpm" | "flow"
+    steps: int = 50
+    eta: float = 0.0
+    ddim_spacing: str = "uniform"
+    flow_method: str = "euler"
+    guidance_scale: float = 1.0
+    num_classes: int = 0  # label vocabulary (0 = unconditional)
+    has_null_class: bool = False  # label-CFG against the learned null row
+    cond_channels: int = 0  # concat-conditioning width (0 = none)
+    bf16: bool = True
+    batch_window_ms: float = 20.0
+    request_timeout_s: float = 300.0
+    max_queue: int = 256
+
+
+class SamplerEngine:
+    """Owns the model/params/diffusion and the one jitted sampler program.
+
+    ``generate(params, rng, y, cond)`` always computes a full ``B``-row
+    batch; callers slice out their rows. Thread-safe for concurrent calls
+    (JAX dispatch is), but the BatchingEngine serializes through one worker
+    anyway so device batches never interleave.
+    """
+
+    def __init__(self, model, params, diffusion, image_size: int,
+                 channels: int, cfg: ServingConfig):
+        self.model, self.params, self.diffusion = model, params, diffusion
+        self.image_size, self.channels, self.cfg = image_size, channels, cfg
+        B = cfg.batch_size
+        dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+
+        gkw = {}
+        if cfg.guidance_scale != 1.0:
+            assert cfg.sampler != "ddpm" or cfg.num_classes, (
+                "ddpm guidance needs class conditioning (no image-CFG path)")
+            gkw["guidance_scale"] = cfg.guidance_scale
+
+        def run(params, rng, y, cond):
+            fn = lambda x, t, c, yy: model.apply(params, x, t, cond=c, y=yy)
+            kw = dict(gkw)
+            if cfg.guidance_scale != 1.0:
+                if cfg.num_classes and cfg.has_null_class:
+                    kw["y_uncond"] = jnp.full((B,), cfg.num_classes, jnp.int32)
+                elif cond is not None:
+                    kw["uncond"] = jnp.zeros_like(cond)
+            if cfg.sampler == "flow":
+                out = diffusion.sample(fn, rng, B, num_steps=cfg.steps,
+                                       method=cfg.flow_method, cond=cond,
+                                       y=y, dtype=dtype, **kw)
+            elif cfg.sampler == "dpm":
+                out = diffusion.dpm_sample(fn, rng, B, num_steps=cfg.steps,
+                                           cond=cond, y=y, dtype=dtype, **kw)
+            elif cfg.sampler == "ddpm":
+                out = diffusion.ddpm_sample(fn, rng, B, cond=cond, y=y,
+                                            dtype=dtype, **kw)
+            else:
+                out = diffusion.ddim_sample(fn, rng, B, num_steps=cfg.steps,
+                                            eta=cfg.eta,
+                                            method=cfg.ddim_spacing,
+                                            cond=cond, y=y, dtype=dtype, **kw)
+            return out.x.astype(jnp.float32)
+
+        self._jitted = jax.jit(run)
+        self._lock = threading.Lock()
+
+    # -- shapes the batcher needs --------------------------------------------
+    @property
+    def batch_size(self) -> int:
+        return self.cfg.batch_size
+
+    def _blank_y(self):
+        return (np.zeros((self.cfg.batch_size,), np.int32)
+                if self.cfg.num_classes else None)
+
+    def _blank_cond(self):
+        if not self.cfg.cond_channels:
+            return None
+        return np.zeros((self.cfg.batch_size, self.image_size,
+                         self.image_size, self.cfg.cond_channels), np.float32)
+
+    def generate(self, rng: jax.Array, y: Optional[np.ndarray],
+                 cond: Optional[np.ndarray]) -> np.ndarray:
+        """One full device batch -> [B, H, W, C] float32 (model data range)."""
+        with self._lock:
+            y_j = jnp.asarray(y) if y is not None else None
+            c_j = jnp.asarray(cond) if cond is not None else None
+            return np.asarray(self._jitted(self.params, rng, y_j, c_j))
+
+    def warmup(self) -> float:
+        """Compile + execute once; returns the wall seconds it took."""
+        t0 = time.time()
+        self.generate(jax.random.PRNGKey(0), self._blank_y(),
+                      self._blank_cond())
+        return time.time() - t0
+
+    def swap_params(self, params) -> None:
+        """Hot-swap checkpoint weights (no recompile: params are jit args)."""
+        with self._lock:
+            self.params = params
+
+
+@dataclasses.dataclass
+class _Request:
+    n: int
+    y: Optional[np.ndarray]  # [n] int32 or None
+    cond: Optional[np.ndarray]  # [n, H, W, Cc] or None
+    seed: Optional[int]
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[BaseException] = None
+
+
+class BatchingEngine:
+    """Request coalescing in front of a :class:`SamplerEngine`.
+
+    ``submit(n, ...)`` blocks until the request's rows come back. A single
+    worker thread packs queued requests into ``B``-row device batches:
+    the first request opens a ``batch_window_ms`` window; requests arriving
+    inside it join until the rows are full. Seeded requests are never
+    packed with others (reproducibility contract) — they run as their own
+    batch keyed by ``PRNGKey(seed)``.
+    """
+
+    _STOP = object()
+
+    def __init__(self, engine: SamplerEngine, base_seed: int = 0):
+        self.engine = engine
+        self.cfg = engine.cfg
+        self._q: queue.Queue = queue.Queue(maxsize=self.cfg.max_queue)
+        self._base_key = jax.random.PRNGKey(base_seed)
+        self._batches = 0
+        self._images = 0
+        self._requests = 0
+        self._batch_ms_sum = 0.0
+        self._carry = None  # request popped but not fitting the open batch
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # -- public --------------------------------------------------------------
+    def submit(self, n: int, y=None, cond=None,
+               seed: Optional[int] = None) -> np.ndarray:
+        B = self.engine.batch_size
+        assert 1 <= n <= B, f"n must be in [1, batch_size={B}], got {n}"
+        if y is not None:
+            y = np.asarray(y, np.int32).reshape(n)
+            assert self.cfg.num_classes, "engine is not class-conditional"
+            assert int(y.max()) < self.cfg.num_classes, (
+                f"label {int(y.max())} out of vocabulary "
+                f"[0, {self.cfg.num_classes})")
+        if cond is not None:
+            cond = np.asarray(cond, np.float32)
+            assert self.cfg.cond_channels, "engine is not concat-conditioned"
+            want = (n, self.engine.image_size, self.engine.image_size,
+                    self.cfg.cond_channels)
+            assert cond.shape == want, (cond.shape, want)
+        req = _Request(n=n, y=y, cond=cond, seed=seed)
+        self._q.put(req, timeout=self.cfg.request_timeout_s)
+        if not req.done.wait(self.cfg.request_timeout_s):
+            raise TimeoutError(f"sampling did not finish within "
+                               f"{self.cfg.request_timeout_s}s")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def stats(self) -> dict:
+        return {
+            "requests": self._requests,
+            "images": self._images,
+            "batches": self._batches,
+            "avg_batch_ms": (self._batch_ms_sum / self._batches
+                             if self._batches else 0.0),
+            "queue_depth": self._q.qsize(),
+            "batch_size": self.engine.batch_size,
+            "sampler": self.cfg.sampler,
+            "steps": self.cfg.steps,
+        }
+
+    def shutdown(self) -> None:
+        self._q.put(self._STOP)
+        self._worker.join(timeout=10)
+
+    # -- worker --------------------------------------------------------------
+    def _gather(self, first: _Request):
+        """Coalesce: [first] + whatever arrives inside the window & fits."""
+        B = self.engine.batch_size
+        group, rows = [first], first.n
+        if first.seed is not None:
+            return group  # seeded: solo batch
+        deadline = time.time() + self.cfg.batch_window_ms / 1e3
+        while rows < B:
+            left = deadline - time.time()
+            if left <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=left)
+            except queue.Empty:
+                break
+            if nxt is self._STOP:
+                self._q.put(self._STOP)  # re-post for the outer loop
+                break
+            if nxt.seed is not None or rows + nxt.n > B:
+                # can't join this batch: carry it to the FRONT of the next
+                # group (a queue re-post would put it behind later arrivals)
+                self._carry = nxt
+                break
+            group.append(nxt)
+            rows += nxt.n
+        return group
+
+    def _run_group(self, group):
+        B = self.engine.batch_size
+        rows = sum(r.n for r in group)
+        y = cond = None
+        if self.cfg.num_classes:
+            y = np.zeros((B,), np.int32)
+        if self.cfg.cond_channels:
+            cond = self.engine._blank_cond()
+        off = 0
+        for r in group:
+            if r.y is not None:
+                y[off:off + r.n] = r.y
+            if r.cond is not None:
+                cond[off:off + r.n] = r.cond
+            off += r.n
+        if group[0].seed is not None:
+            key = jax.random.PRNGKey(group[0].seed)
+        else:
+            key = jax.random.fold_in(self._base_key, self._batches)
+        t0 = time.time()
+        out = self.engine.generate(key, y, cond)
+        ms = (time.time() - t0) * 1e3
+        self._batches += 1
+        self._images += rows
+        self._requests += len(group)
+        self._batch_ms_sum += ms
+        off = 0
+        for r in group:
+            r.result = out[off:off + r.n]
+            off += r.n
+            r.done.set()
+
+    def _loop(self):
+        while True:
+            if self._carry is not None:
+                first, self._carry = self._carry, None
+            else:
+                first = self._q.get()
+            if first is self._STOP:
+                # fail anything still waiting instead of hanging its caller
+                leftovers = [self._carry] if self._carry is not None else []
+                while True:
+                    try:
+                        r = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if r is not self._STOP:
+                        leftovers.append(r)
+                for r in leftovers:
+                    r.error = RuntimeError("serving engine shut down")
+                    r.done.set()
+                return
+            group = self._gather(first)
+            try:
+                self._run_group(group)
+            except BaseException as e:  # propagate to every waiting caller
+                for r in group:
+                    r.error = e
+                    r.done.set()

@@ -1,0 +1,259 @@
+"""Serving subsystem: batcher semantics, engine end-to-end, HTTP API."""
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from eo_diffusion_tpu.serving.engine import (BatchingEngine, SamplerEngine,
+                                             ServingConfig)
+
+
+class _FakeEngine:
+    """Stands in for SamplerEngine: rows carry (batch_idx, row_idx) so tests
+    can verify packing and routing without a model."""
+
+    def __init__(self, batch_size=8, num_classes=0, cond_channels=0,
+                 delay=0.0):
+        self.cfg = ServingConfig(batch_size=batch_size,
+                                 num_classes=num_classes,
+                                 cond_channels=cond_channels,
+                                 batch_window_ms=60.0,
+                                 request_timeout_s=20.0)
+        self.image_size = 4
+        self.calls = []  # (y, cond) per device batch
+        self.delay = delay
+
+    @property
+    def batch_size(self):
+        return self.cfg.batch_size
+
+    def _blank_cond(self):
+        if not self.cfg.cond_channels:
+            return None
+        return np.zeros((self.cfg.batch_size, 4, 4, self.cfg.cond_channels),
+                        np.float32)
+
+    def generate(self, rng, y, cond):
+        if self.delay:
+            time.sleep(self.delay)
+        b = len(self.calls)
+        self.calls.append((None if y is None else y.copy(),
+                           None if cond is None else cond.copy()))
+        out = np.zeros((self.batch_size, 4, 4, 1), np.float32)
+        out[:, 0, 0, 0] = b
+        out[:, 0, 1, 0] = np.arange(self.batch_size)
+        # echo rng so seeded runs are distinguishable
+        out[:, 0, 2, 0] = float(np.asarray(rng)[-1] % 1000)
+        return out
+
+
+class TestBatching:
+    def test_concurrent_requests_coalesce(self):
+        eng = _FakeEngine(batch_size=8)
+        batcher = BatchingEngine(eng)
+        results = {}
+
+        def ask(name, n):
+            results[name] = batcher.submit(n)
+
+        ts = [threading.Thread(target=ask, args=(f"r{i}", 2)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        batcher.shutdown()
+        # 3x2 rows fit one 8-row batch (they all arrive inside the window)
+        assert len(eng.calls) == 1
+        rows = sorted(int(results[f"r{i}"][j][0, 1, 0])
+                      for i in range(3) for j in range(2))
+        assert rows == [0, 1, 2, 3, 4, 5]  # distinct, contiguous packing
+        st = batcher.stats()
+        assert st["requests"] == 3 and st["images"] == 6 and st["batches"] == 1
+
+    def test_overflow_rolls_to_next_batch(self):
+        eng = _FakeEngine(batch_size=4)
+        batcher = BatchingEngine(eng)
+        out = []
+
+        def ask(n):
+            out.append(batcher.submit(n))
+
+        ts = [threading.Thread(target=ask, args=(3,)) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        batcher.shutdown()
+        assert len(eng.calls) == 2  # 3+3 can't share a 4-row batch
+        for r in out:
+            assert r.shape[0] == 3
+
+    def test_seeded_requests_run_solo_and_reproduce(self):
+        eng = _FakeEngine(batch_size=8)
+        batcher = BatchingEngine(eng)
+        a = batcher.submit(1, seed=123)
+        b = batcher.submit(1, seed=123)
+        c = batcher.submit(1)  # unseeded: different key
+        batcher.shutdown()
+        assert len(eng.calls) == 3
+        # same seed -> same PRNG key reaches the engine (the batch counter in
+        # [0,0,0] legitimately differs; byte-level reproducibility is checked
+        # against the real sampler in TestEngineEndToEnd)
+        assert a[0, 0, 2, 0] == b[0, 0, 2, 0]
+        assert a[0, 0, 2, 0] != c[0, 0, 2, 0]
+
+    def test_label_routing_and_validation(self):
+        eng = _FakeEngine(batch_size=6, num_classes=3)
+        batcher = BatchingEngine(eng)
+        r = batcher.submit(2, y=[2, 1])
+        assert r.shape[0] == 2
+        with pytest.raises(AssertionError, match="out of vocabulary"):
+            batcher.submit(1, y=[7])
+        with pytest.raises(AssertionError, match="batch_size"):
+            batcher.submit(99)
+        batcher.shutdown()
+        y0 = eng.calls[0][0]
+        assert list(y0[:2]) == [2, 1] and list(y0[2:]) == [0] * 4  # padded
+
+    def test_engine_error_propagates(self):
+        eng = _FakeEngine(batch_size=4)
+
+        def boom(rng, y, cond):
+            raise RuntimeError("device on fire")
+
+        eng.generate = boom
+        batcher = BatchingEngine(eng)
+        with pytest.raises(RuntimeError, match="device on fire"):
+            batcher.submit(1)
+        batcher.shutdown()
+
+
+@pytest.fixture(scope="module")
+def tiny_serving():
+    """Real model + real sampler behind the batcher (tiny preset, DDIM-2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eo_diffusion_tpu.cli.presets import (build_denoiser, build_process,
+                                              get_preset)
+
+    preset = get_preset("tiny")
+    ucfg = preset.model_config(bf16=False)
+    model = build_denoiser(ucfg)
+    diffusion = build_process(preset, 50, preset.image_size)
+    x0 = jnp.zeros((1, preset.image_size, preset.image_size, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
+                                 jnp.zeros((1,), jnp.int32))
+    cfg = ServingConfig(batch_size=4, sampler="ddim", steps=2, bf16=False,
+                        batch_window_ms=30.0, request_timeout_s=120.0)
+    engine = SamplerEngine(model, params, diffusion, preset.image_size, 3, cfg)
+    batcher = BatchingEngine(engine)
+    yield engine, batcher, preset
+    batcher.shutdown()
+
+
+class TestEngineEndToEnd:
+    def test_warmup_and_submit(self, tiny_serving):
+        engine, batcher, preset = tiny_serving
+        assert engine.warmup() > 0
+        out = batcher.submit(2)
+        assert out.shape == (2, preset.image_size, preset.image_size, 3)
+        assert np.isfinite(out).all()
+
+    def test_seeded_determinism_through_real_sampler(self, tiny_serving):
+        _, batcher, _ = tiny_serving
+        a = batcher.submit(1, seed=7)
+        b = batcher.submit(1, seed=7)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestHTTP:
+    @pytest.fixture(scope="class")
+    def server(self, tiny_serving):
+        from eo_diffusion_tpu.serving.http import make_server, serve_forever
+
+        engine, batcher, preset = tiny_serving
+        meta = {"preset": preset.name, "sampler": "ddim", "steps": 2,
+                "batch_size": 4, "image_size": preset.image_size,
+                "channels": 3, "num_classes": 0, "cond_channels": 0,
+                "guidance_scale": 1.0, "params_m": 0.1,
+                "data_range": (0.0, 1.0)}
+        srv, port = make_server(batcher, meta, port=0)
+        serve_forever(srv, background=True)
+        yield f"http://127.0.0.1:{port}"
+        srv.shutdown()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url + "/v1/generate", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_healthz_and_stats(self, server):
+        with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["ok"] and h["sampler"] == "ddim"
+        with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["batch_size"] == 4
+
+    def test_generate_png(self, server):
+        import PIL.Image
+
+        code, resp = self._post(server, {"n": 2, "seed": 5})
+        assert code == 200 and len(resp["images"]) == 2
+        img = PIL.Image.open(io.BytesIO(base64.b64decode(resp["images"][0])))
+        assert img.size == (8, 8)
+
+    def test_generate_npy_roundtrip(self, server):
+        code, resp = self._post(server, {"n": 1, "format": "npy", "seed": 5})
+        assert code == 200
+        arr = np.load(io.BytesIO(base64.b64decode(resp["npy_b64"])),
+                      allow_pickle=False)
+        assert arr.shape == (1, 8, 8, 3) and np.isfinite(arr).all()
+
+    def test_bad_request_is_400(self, server):
+        code, resp = self._post(server, {"n": 99})
+        assert code == 400 and "batch_size" in resp["error"]
+        code, resp = self._post(server, {"n": 1, "y": [0]})
+        assert code == 400  # engine is unconditional
+
+
+class TestServeCLIBuild:
+    def test_build_engine_tiny(self):
+        from eo_diffusion_tpu.cli import serve as serve_cli
+
+        args = serve_cli.parse_args([
+            "--preset", "tiny", "--batch_size", "2", "--sampler", "ddim",
+            "--sampler_steps", "2", "--no_bf16"])
+        engine, batcher, meta = serve_cli.build_engine(args)
+        try:
+            assert meta["preset"] == "tiny" and meta["data_range"] == (0.0, 1.0)
+            out = batcher.submit(1)
+            assert out.shape == (1, 8, 8, 3)
+        finally:
+            batcher.shutdown()
+
+    def test_flow_preset_forces_flow_sampler(self):
+        from eo_diffusion_tpu.cli import serve as serve_cli
+
+        args = serve_cli.parse_args([
+            "--preset", "tiny-flow", "--batch_size", "2",
+            "--sampler_steps", "2", "--no_bf16"])
+        engine, batcher, meta = serve_cli.build_engine(args)
+        try:
+            assert meta["sampler"] == "flow"
+            out = batcher.submit(1)
+            assert np.isfinite(out).all()
+        finally:
+            batcher.shutdown()
