@@ -74,6 +74,12 @@ def parse_args(argv=None):
                         help="1F1B pipeline parallelism over the 'model' "
                              "axis with this many microbatches (DiT "
                              "backbones; needs --model_parallel > 1)")
+    parser.add_argument("--pp_virtual", type=int, default=1,
+                        help="interleaved virtual stages per device "
+                             "(Megatron-style; shrinks the pipeline bubble "
+                             "to chunk units; needs depth %% "
+                             "(stages*pp_virtual) == 0 and pp_micro %% "
+                             "stages == 0)")
     # new: config registry instead of edit-the-source
     parser.add_argument("--preset", type=str, default="eurosat64")
     parser.add_argument("--dataset", type=str, default=None, help="override preset dataset")
@@ -193,6 +199,7 @@ def main(args):
         grad_clip=args.grad_clip,
         preview_sampler=preview_sampler, preview_steps=args.preview_steps,
         fsdp=args.fsdp, tp=args.tp, pp_micro=args.pp_micro,
+        pp_virtual=args.pp_virtual,
     )
     mesh = None
     if args.fsdp or args.tp or args.model_parallel > 1:

@@ -32,6 +32,29 @@ ticks):
 * block-parameter gradients accumulate stage-locally and come back
   sharded over ``axis`` exactly like the stacked parameters themselves.
 
+**Interleaved virtual stages** (``virtual_chunks=V > 1``, the Megatron-LM
+interleaved schedule): each device hosts ``V`` non-contiguous chunks of
+``depth/(S·V)`` blocks (block-chunk ``c`` lives on device ``c mod S``), and
+a tick advances ONE chunk (not a whole device share), so the pipeline
+fill/drain is paid in chunk units — wall ticks go from
+``(M + 2S - 2)`` stage-units to ``(MV + VS + S - 2)`` chunk-units, i.e.
+the bubble shrinks from ``(2S-2)·V`` to ``VS + S - 2`` chunk-units
+(e.g. S=4, M=8, V=3: 18 → 14, a ~10% wall reduction; larger at small M).
+The trade is the ring buffer growing from ``2S-1`` to ``2SV-1`` slots
+(still M-independent). The V=1 schedule below is exactly the classic
+1F1B — one engine serves both.
+
+Schedule closed forms (device ``s``, tick ``t``, ``SV = S·V``): the
+forward *unit* is ``u = t - s`` with chunk ``v = (u // S) % V`` and
+microbatch ``m = (u // SV)·S + (u % S)`` (valid while ``0 ≤ u < M·V``;
+requires ``M % S == 0`` when V > 1); the backward unit is
+``r = t - (VS-1) - (S-1-s)`` with ``v_b = V-1 - (r % SV) // S`` and
+``m_b = (r // SV)·S + (r % S)``. Both streams are dense per device, one
+hop per tick rides each ``ppermute`` (chunk v on device S-1 feeds chunk
+v+1 on device 0 through the same ring edge), and the loss head still
+seeds the backward on the last device in the very tick the final chunk's
+forward completes — the V=1 invariants all carry over.
+
 The reference has no distributed training of any kind (SURVEY.md §2.3);
 this and pipeline.py exist so the framework scales deep transformer
 denoisers past one chip. Gradients are parity-tested against plain
@@ -62,9 +85,10 @@ def one_f_one_b(
     axis: str = "stage",
     n_micro: int = 4,
     data_axis: Optional[str] = None,
+    virtual_chunks: int = 1,
 ):
     """Loss + gradients of ``mean_m head(final(blocks(h_m), c_m), aux_m)``
-    under the 1F1B schedule.
+    under the 1F1B schedule (interleaved when ``virtual_chunks > 1``).
 
     :param block_fn: ``(block_params, h [mb, ...], c [mb, ...]) -> h`` —
         one block, one microbatch (same contract as gpipe_blocks).
@@ -79,25 +103,47 @@ def one_f_one_b(
         every leaf [B, ...].
     :param n_micro: microbatch count M; B % M == 0.
     :param data_axis: optional mesh axis carrying data parallelism.
+    :param virtual_chunks: V chunks per device (Megatron interleaving);
+        block-chunk ``c`` lives on device ``c mod S``. 1 = classic 1F1B.
     :returns: ``(loss, d_stacked, d_head, dh, dc, d_aux)`` — loss is the
-        scalar mean; d_stacked matches stacked_params (stage-sharded);
-        d_head matches head_params; dh/dc match h/c; d_aux matches aux
-        (the head's cotangent into its per-sample inputs — e.g. the final
-        layer's adaLN read of the conditioning). Gradients over the data
-        axis (if any) are NOT psum'd here — the caller's DP reduction
-        applies, same as the non-pipelined path.
+        scalar mean; d_stacked matches stacked_params (stage-sharded;
+        block order matches the input even when interleaving permutes the
+        on-device layout); d_head matches head_params; dh/dc match h/c;
+        d_aux matches aux (the head's cotangent into its per-sample
+        inputs — e.g. the final layer's adaLN read of the conditioning).
+        Gradients over the data axis (if any) are NOT psum'd here — the
+        caller's DP reduction applies, same as the non-pipelined path.
     """
+    import numpy as np
+
     S = mesh.shape[axis]
+    V = virtual_chunks
     depth = jax.tree.leaves(stacked_params)[0].shape[0]
-    assert depth % S == 0, f"depth {depth} not divisible by {S} stages"
+    assert V >= 1 and depth % (S * V) == 0, (
+        f"depth {depth} not divisible by stages*virtual_chunks = {S}*{V}")
     b = h.shape[0]
     assert b % n_micro == 0, (b, n_micro)
     mb = b // n_micro
     M = n_micro
+    assert V == 1 or M % S == 0, (
+        f"interleaved 1F1B needs n_micro % stages == 0 (got {M} % {S}); "
+        "the group-of-S round-robin is what keeps the chunk streams dense")
+    L = depth // (S * V)  # blocks per chunk
+    SV = S * V
+    Mu = M * V  # fwd/bwd chunk-units per device
     h_m = h.reshape(M, mb, *h.shape[1:])
     c_m = c.reshape(M, mb, *c.shape[1:])
     aux_m = jax.tree.map(lambda a: a.reshape(M, mb, *a.shape[1:]), aux)
-    NB = 2 * S - 1  # ring-buffer slots: max in-flight lifetime is 2(S-1)
+    NB = 2 * SV - 1  # ring-buffer slots: max in-flight lifetime is 2(SV-1)
+
+    # interleaved on-device layout: device s holds chunks v*S+s for all v,
+    # concatenated v-major — permute the global block stacking so the plain
+    # P(axis) shard of the leading dim hands each device exactly that
+    perm = np.array([(vv * S + ss) * L + ll
+                     for ss in range(S) for vv in range(V) for ll in range(L)])
+    if V > 1:
+        stacked_params = jax.tree.map(lambda p: jnp.take(p, perm, axis=0),
+                                      stacked_params)
 
     io_spec = P(None, data_axis) if data_axis else P()
     rep = P()
@@ -105,6 +151,12 @@ def one_f_one_b(
     def stage(local_params, head_params, h_m, c_m, aux_m):
         s = jax.lax.axis_index(axis)
         inv_m = 1.0 / M
+        # local_params leading dim is V*L (this device's chunks, v-major)
+        lp5 = jax.tree.map(lambda p: p.reshape(V, L, *p.shape[1:]),
+                           local_params)
+
+        def chunk_params(v):
+            return jax.tree.map(lambda p: p[v], lp5)
 
         def run_local(lp, h_in, c_in):
             def body(carry, bp):
@@ -125,21 +177,22 @@ def one_f_one_b(
             (recv_f, recv_b, buf, d_local, d_head, dh_acc, dc_acc, daux_acc,
              loss_acc) = carry
 
-            # ---- forward: microbatch f = t - s --------------------------
-            f = t_step - s
-            f_ok = (f >= 0) & (f < M)
-            fc = jnp.clip(f, 0, M - 1)
-            x_in = jnp.where(s == 0, h_m[fc], recv_f)
-            y = run_local(local_params, x_in, c_m[fc])
-            slot = fc % NB
+            # ---- forward: chunk-unit u = t - s --------------------------
+            u = t_step - s
+            f_ok = (u >= 0) & (u < Mu)
+            uc = jnp.clip(u, 0, Mu - 1)
+            v_f = (uc // S) % V
+            fc = (uc // SV) * S + (uc % S)  # forward microbatch
+            x_in = jnp.where((s == 0) & (v_f == 0), h_m[fc], recv_f)
+            y = run_local(chunk_params(v_f), x_in, c_m[fc])
+            slot = uc % NB
             buf = buf.at[slot].set(jnp.where(f_ok, x_in, buf[slot]))
 
-            # loss head: last stage, same tick, same microbatch (for
-            # s == S-1 the backward index b equals f — see below)
+            # loss head: last stage, final chunk, same tick, same microbatch
+            # (for s == S-1, v == V-1 the backward unit coincides — below)
             loss_f, dhp_f, gy, daux_f = head_grads(
                 head_params, y, jax.tree.map(lambda a: a[fc], aux_m))
-            last = s == S - 1
-            seed_ok = f_ok & last
+            seed_ok = f_ok & (s == S - 1) & (v_f == V - 1)
             loss_acc = loss_acc + jnp.where(seed_ok, loss_f * inv_m, 0.0)
             d_head = jax.tree.map(
                 lambda acc, g: acc + jnp.where(seed_ok, g, 0.0).astype(acc.dtype),
@@ -149,18 +202,28 @@ def one_f_one_b(
                     jnp.where(seed_ok, g, jnp.zeros_like(g)).astype(acc.dtype)),
                 daux_acc, daux_f)
 
-            # ---- backward: microbatch b = t - (2S - 2 - s) --------------
-            bmb = t_step - (2 * S - 2 - s)
-            b_ok = (bmb >= 0) & (bmb < M)
-            bc = jnp.clip(bmb, 0, M - 1)
-            x_saved = buf[bc % NB]
-            g_in = jnp.where(last, gy.astype(recv_b.dtype), recv_b)
-            _, vjp = jax.vjp(run_local, local_params, x_saved, c_m[bc])
+            # ---- backward: chunk-unit r = t - (VS-1) - (S-1-s) ----------
+            r = t_step - (V * S - 1) - (S - 1 - s)
+            b_ok = (r >= 0) & (r < Mu)
+            rc = jnp.clip(r, 0, Mu - 1)
+            v_b = V - 1 - (rc % SV) // S
+            bc = (rc // SV) * S + (rc % S)  # backward microbatch
+            u_b = (rc // SV) * SV + v_b * S + (rc % S)  # its fwd unit index
+            x_saved = buf[u_b % NB]
+            # seed iff the BACKWARD unit is the pipeline tail chunk: then
+            # the forward above IS this microbatch's final chunk (same
+            # tick), and gy is its head grad. Keying this on v_f instead
+            # would misfire on drain ticks, where the clipped forward index
+            # can read v_f == V-1 while the backward needs recv_b.
+            tail_b = (s == S - 1) & (v_b == V - 1)
+            g_in = jnp.where(tail_b, gy.astype(recv_b.dtype), recv_b)
+            _, vjp = jax.vjp(run_local, chunk_params(v_b), x_saved, c_m[bc])
             dlp, dx, dcb = vjp(g_in)
             d_local = jax.tree.map(
-                lambda acc, g: acc + jnp.where(b_ok, g, 0.0).astype(acc.dtype),
+                lambda acc, g: acc.at[v_b].add(
+                    jnp.where(b_ok, g, 0.0).astype(acc.dtype)),
                 d_local, dlp)
-            first = s == 0
+            first = (s == 0) & (v_b == 0)
             dh_acc = dh_acc.at[bc].add(
                 jnp.where(b_ok & first, dx, jnp.zeros_like(dx)))
             dc_acc = dc_acc.at[bc].add(
@@ -181,16 +244,19 @@ def one_f_one_b(
             # cotangent dtype to match the primal output's)
             jnp.zeros_like(h_m[0]),                       # recv_b
             jnp.zeros((NB,) + h_m[0].shape, h_m.dtype),   # input ring buffer
-            zeros_f32(local_params),                      # d_local
+            zeros_f32(lp5),                               # d_local [V, L, ...]
             zeros_f32(head_params),                       # d_head
             jnp.zeros(h_m.shape, jnp.float32),            # dh
             jnp.zeros(c_m.shape, jnp.float32),            # dc
             zeros_f32(aux_m),                             # d_aux
             jnp.float32(0.0),                             # loss
         )
-        carry, _ = jax.lax.scan(tick, carry0, jnp.arange(M + 2 * S - 2))
+        n_ticks = Mu + V * S + S - 2  # == M + 2S - 2 at V=1
+        carry, _ = jax.lax.scan(tick, carry0, jnp.arange(n_ticks))
         (_, _, _, d_local, d_head, dh_acc, dc_acc, daux_acc,
          loss_acc) = carry
+        d_local = jax.tree.map(
+            lambda g: g.reshape((V * L,) + g.shape[2:]), d_local)
 
         # d_local stays stage-sharded (matches stacked_params); everything
         # computed on a single stage is masked-psum'd to all stages
@@ -205,6 +271,10 @@ def one_f_one_b(
         out_specs=(rep, P(axis), rep, io_spec, io_spec, io_spec),
         check_vma=False,
     )(stacked_params, head_params, h_m, c_m, aux_m)
+    if V > 1:  # undo the interleaved layout: return grads in block order
+        inv_perm = np.argsort(perm)
+        d_stacked = jax.tree.map(lambda g: jnp.take(g, inv_perm, axis=0),
+                                 d_stacked)
     dh = dh_m.reshape(b, *h.shape[1:])
     dc = dc_m.reshape(b, *c.shape[1:])
     d_aux = jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), daux_m)
@@ -223,6 +293,7 @@ def pp_dit_grads(
     axis: str = "stage",
     n_micro: int = 4,
     data_axis: Optional[str] = None,
+    virtual_chunks: int = 1,
 ):
     """Full-model (loss, grads) for a DiT objective-MSE step under 1F1B.
 
@@ -264,7 +335,8 @@ def pp_dit_grads(
     aux = {"c": c, "target": target}
     loss, d_stacked, d_head, dh, dc, d_aux = one_f_one_b(
         block_fn, head_fn, stacked, params, h, c, aux, mesh,
-        axis=axis, n_micro=n_micro, data_axis=data_axis)
+        axis=axis, n_micro=n_micro, data_axis=data_axis,
+        virtual_chunks=virtual_chunks)
     dc_total = dc + d_aux["c"]
 
     # embed/condition grads from the pipeline's input cotangents

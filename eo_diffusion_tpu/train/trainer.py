@@ -184,6 +184,11 @@ class TrainerConfig:
     # with tp/fsdp (nested shard_map / re-stacked gathered params are
     # unvalidated combinations).
     pp_micro: int = 0
+    # interleaved virtual stages (Megatron-style): each device hosts this
+    # many non-contiguous block chunks, paying pipeline fill/drain in chunk
+    # units instead of whole device shares (pipeline_train.one_f_one_b).
+    # 1 = classic 1F1B; >1 requires pp_micro % stages == 0.
+    pp_virtual: int = 1
 
 
 class Trainer:
@@ -329,7 +334,7 @@ class Trainer:
             loss, grads = pp_dit_grads(
                 model, state.params, x_t, t_model, target, mesh,
                 y=y, cond=cond, axis="model", n_micro=cfg.pp_micro,
-                data_axis="data")
+                data_axis="data", virtual_chunks=cfg.pp_virtual)
             return apply_grads(state, loss, grads, tx, ema_decay, ema_every)
 
         return pp_step

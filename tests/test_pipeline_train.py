@@ -295,3 +295,146 @@ class TestPPTrainer:
         ckpt_root = os.path.join(str(tmp_path), "logs",
                                  os.path.basename(sample_dir))
         assert any(e.startswith("steps_") for e in os.listdir(ckpt_root))
+
+
+# ---------------------------------------------------------------------------
+# interleaved virtual stages (Megatron-style, virtual_chunks > 1)
+# ---------------------------------------------------------------------------
+
+
+class TestInterleavedParity:
+    """virtual_chunks=V places block-chunk c on device c mod S; gradients
+    must still be exactly jax.grad of the sequential model, with d_stacked
+    returned in the ORIGINAL block order (the engine owns the layout)."""
+
+    @pytest.mark.parametrize("S,V,n_micro", [(2, 2, 4), (2, 2, 2), (4, 1, 4),
+                                             (1, 4, 4), (2, 1, 4)])
+    def test_grads_match_sequential(self, S, V, n_micro):
+        # DEPTH=4 divides S*V for every case above
+        mesh = stage_mesh(S)
+        stacked, head, h, c, target = make_engine_problem()
+
+        loss, d_stacked, d_head, dh, dc, d_aux = jax.jit(
+            lambda sp, hp, h, c, tg: one_f_one_b(
+                block_fn, head_fn, sp, hp, h, c, {"target": tg}, mesh,
+                n_micro=n_micro, virtual_chunks=V)
+        )(stacked, head, h, c, target)
+
+        ref_loss, ref_grads = jax.value_and_grad(
+            sequential_loss, argnums=(0, 1, 2, 3))(
+                stacked, head, h, c, target, n_micro)
+        r_stacked, r_head, r_h, r_c = ref_grads
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for g, r in ((d_stacked, r_stacked), (d_head, r_head)):
+            jax.tree.map(lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6), g, r)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(r_h),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dc), np.asarray(r_c),
+                                   rtol=2e-4, atol=1e-6)
+
+    def test_depth8_three_chunks_unequal(self):
+        """Depth 8 over S=2 x V=4 and S=4 x V=2 — deeper interleavings."""
+        global DEPTH
+        old = DEPTH
+        DEPTH = 8
+        try:
+            for S, V in ((2, 4), (4, 2)):
+                mesh = stage_mesh(S)
+                stacked, head, h, c, target = make_engine_problem(seed=3)
+                loss, d_stacked, *_ = jax.jit(
+                    lambda sp, hp, h, c, tg: one_f_one_b(
+                        block_fn, head_fn, sp, hp, h, c, {"target": tg},
+                        mesh, n_micro=4, virtual_chunks=V)
+                )(stacked, head, h, c, target)
+                ref_loss, r_stacked = jax.value_and_grad(sequential_loss)(
+                    stacked, head, h, c, target, 4)
+                np.testing.assert_allclose(float(loss), float(ref_loss),
+                                           rtol=1e-5)
+                jax.tree.map(lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+                    d_stacked, r_stacked)
+        finally:
+            DEPTH = old
+
+    def test_micro_must_divide_stages(self):
+        mesh = stage_mesh(2)
+        stacked, head, h, c, target = make_engine_problem()
+        with pytest.raises(AssertionError, match="n_micro % stages"):
+            one_f_one_b(block_fn, head_fn, stacked, head, h, c,
+                        {"target": target}, mesh, n_micro=1,
+                        virtual_chunks=2)
+
+    def test_tick_count_shrinks_the_bubble(self):
+        """The schedule's point: wall ticks (scan length) go from
+        (M + 2S - 2) stage-units = (M + 2S - 2)V chunk-units at V=1 to
+        MV + VS + S - 2 chunk-units when interleaved."""
+        S, M = 2, 4
+        mesh = stage_mesh(S)
+        stacked, head, h, c, target = make_engine_problem()
+
+        def scan_len(V):
+            jaxpr = str(jax.make_jaxpr(lambda sp, hp, h, c, tg: one_f_one_b(
+                block_fn, head_fn, sp, hp, h, c, {"target": tg}, mesh,
+                n_micro=M, virtual_chunks=V))(stacked, head, h, c, target))
+            # the tick scan is the only iota consumed by a scan; read its
+            # extent from "iota[] ... shape=(N,)" — simplest robust probe:
+            import re
+
+            ns = [int(x) for x in re.findall(r"iota.*?\((\d+),\)", jaxpr)]
+            return max(ns)
+
+        # V=1: 4 + 2*2 - 2 = 6 stage-ticks of 2 chunks each = 12 chunk-units
+        # V=2: 8 + 4 + 0 = 12... MV + VS + S - 2 = 8 + 4 + 2 - 2 = 12 ticks
+        # of ONE chunk each — half the per-tick compute, 12 vs 6*2: equal
+        # here (M small); the win appears in the general formula, asserted
+        # structurally: tick counts match the closed forms.
+        assert scan_len(1) == M + 2 * S - 2
+        assert scan_len(2) == M * 2 + 2 * S + S - 2
+
+
+class TestInterleavedTrainer:
+    def test_pp_virtual_trainer_matches_classic(self):
+        """pp_virtual=2 (depth-4 DiT over S=2 x V=2) produces the same
+        per-step losses as classic 1F1B (V=1) — the interleaving is a pure
+        schedule change."""
+        from eo_diffusion_tpu.diffusion.flow import FlowMatching
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+        from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        mesh = make_mesh(model=2)
+        rng = np.random.default_rng(0)
+        batches = [{"image": rng.normal(size=(8, 16, 16, 3)).astype(np.float32)}
+                   for _ in range(4)]
+
+        losses = {}
+        for V in (1, 2):
+            cfg = DiTConfig(image_size=16, in_channels=3, out_channels=3,
+                            patch_size=4, hidden_size=64, depth=4,
+                            num_heads=4)
+            tcfg = TrainerConfig(lr=3e-3, batch_size=8, epochs=1,
+                                 timesteps=10, model_ema_steps=1,
+                                 warmup_epochs=0, seed=3, pp_micro=2,
+                                 pp_virtual=V)
+            tr = Trainer(tcfg, DiT(cfg), FlowMatching.create(
+                image_size=16, in_channels=3), steps_per_epoch=4, mesh=mesh)
+            state = tr.init(jax.random.PRNGKey(0), batches[0])
+            ls = []
+            for b in batches:
+                state, m = tr.step(state, b)
+                ls.append(float(m["loss"]))
+            losses[V] = ls
+        np.testing.assert_allclose(losses[1], losses[2], rtol=2e-4)
+
+    def test_pp_virtual_cli_flag(self, tmp_path):
+        """--pp_virtual through the train CLI (tiny-dit depth=2 over S=2
+        means V must stay 1; use the depth-4 path via --pp_micro=2 on a
+        2-stage mesh with the tiny-dit preset overridden deeper is out of
+        preset scope — assert the flag reaches TrainerConfig instead)."""
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        args = train_cli.parse_args(["--pp_virtual", "3"])
+        assert args.pp_virtual == 3
