@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--no_bf16", action="store_true")
+    p.add_argument("--ae_ckpt", type=str, default=None,
+                   help="latent presets: trained first-stage directory "
+                        "(default: 'ae' beside --ckpt)")
     p.add_argument("--data_range", type=float, nargs=2, default=None,
                    metavar=("LO", "HI"),
                    help="training data range for PNG rescale (default: the "
@@ -73,29 +76,47 @@ def build_engine(args):
     timesteps = args.timesteps or preset.timesteps
     cond_type = args.cond_type if args.cond_type is not None else preset.cond_type
     num_classes = args.num_classes if args.num_classes > 0 else 0
-    assert not preset.is_latent, (
-        "serving latent presets is not wired yet (needs the first-stage "
-        "codec at startup); serve the pixel-space presets")
     assert cond_type in (None, "concat"), (
         "serving supports unconditional or concat conditioning; RePaint-"
         "'sum' needs a per-request gt/mask protocol (use cli.inference)")
     if preset.process == "flow":
         args.sampler = "flow"
 
-    # concat serving: the request supplies the conditioning view (e.g. the
-    # cloudy image for cloud removal); channel width = the preset's input
+    # concat serving: the request supplies the PIXEL conditioning view
+    # (e.g. the cloudy image for cloud removal); latent presets encode it
+    # through the first stage (cond_via_encoder), so the model-facing cond
+    # width is the latent channel count while requests stay pixel-wide
     cond_channels = preset.in_channels if cond_type == "concat" else 0
+    model_cond_ch = ((preset.latent_channels if preset.is_latent
+                      else cond_channels) if cond_channels else 0)
     ucfg = preset.model_config(num_classes=num_classes or None,
                                bf16=not args.no_bf16,
-                               cond_channels=cond_channels,
+                               cond_channels=model_cond_ch,
                                class_dropout_prob=args.class_dropout)
     model = build_denoiser(ucfg)
     diffusion = build_process(preset, timesteps, image_size,
                               cond_type=cond_type)
+    if preset.is_latent:
+        from eo_diffusion_tpu.diffusion.latent import LatentDiffusion
+        from eo_diffusion_tpu.train import ae_trainer as AET
 
-    x0 = jnp.zeros((1, image_size, image_size, preset.in_channels))
-    init_kw = ({"cond": jnp.zeros((1, image_size, image_size, cond_channels))}
-               if cond_channels else {})
+        ae_dir = args.ae_ckpt or (os.path.join(os.path.dirname(args.ckpt), "ae")
+                                  if args.ckpt else "")
+        assert ae_dir and AET.ae_exists(ae_dir), (
+            f"latent preset {preset.name} needs a trained first stage; none "
+            f"at {ae_dir!r} (train one with cli.train, or pass --ae_ckpt)")
+        ae_model, ae_params, ae_scale = AET.load_ae(ae_dir)
+        enc, dec = AET.make_codec(ae_model, ae_params)
+        diffusion = LatentDiffusion(diffusion, enc, dec,
+                                    scale_factor=ae_scale,
+                                    cond_via_encoder=True)
+
+    # model init happens on the diffusion grid (latent for latent presets)
+    gsize = preset.latent_size if preset.is_latent else image_size
+    gchan = preset.latent_channels if preset.is_latent else preset.in_channels
+    x0 = jnp.zeros((1, gsize, gsize, gchan))
+    init_kw = ({"cond": jnp.zeros((1, gsize, gsize, model_cond_ch))}
+               if model_cond_ch else {})
     if num_classes:
         init_kw["y"] = jnp.zeros((1,), jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
@@ -117,6 +138,10 @@ def build_engine(args):
     if args.guidance_scale != 1.0 and num_classes and not has_null:
         print("note: label-CFG needs a null-class row (--class_dropout > 0 "
               "to match training); serving unguided")
+        args.guidance_scale = 1.0
+    if args.guidance_scale != 1.0 and not (num_classes or cond_channels):
+        print("note: --guidance_scale needs class- or concat-conditioning; "
+              "serving unguided")
         args.guidance_scale = 1.0
 
     scfg = ServingConfig(

@@ -257,3 +257,60 @@ class TestServeCLIBuild:
             assert np.isfinite(out).all()
         finally:
             batcher.shutdown()
+
+
+class TestLatentAndCondServing:
+    def test_latent_preset_serves_decoded_pixels(self, tmp_path):
+        """tiny-latent: train (3 steps, trains the tiny AE too) through the
+        train CLI, then serve from the checkpoint — responses must be
+        PIXEL-space (16px), i.e. decoded through the first stage."""
+        import os
+
+        from eo_diffusion_tpu.cli import serve as serve_cli
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        results = str(tmp_path / "results")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-latent", "--epochs", "1",
+                "--steps_per_epoch", "3", "--batch_size", "8",
+                "--ae_steps", "25", "--dir", results, "--save_every", "3",
+                "--log_freq", "1", "--sample_every", "0",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root = str(tmp_path / "logs" / "results")
+        step = sorted(d for d in os.listdir(ckpt_root)
+                      if d.startswith("steps_"))[-1]
+        args = serve_cli.parse_args([
+            "--preset", "tiny-latent", "--ckpt",
+            os.path.join(ckpt_root, step), "--batch_size", "2",
+            "--sampler", "ddim", "--sampler_steps", "2", "--no_bf16"])
+        engine, batcher, meta = serve_cli.build_engine(args)
+        try:
+            out = batcher.submit(1)
+            assert out.shape == (1, 16, 16, 3)  # pixels, not the 8px latent
+            assert np.isfinite(out).all()
+        finally:
+            batcher.shutdown()
+
+    def test_concat_cond_request_routing(self):
+        """tiny-cr (concat cloud-removal fixture): the request's pixel cond
+        view reaches the sampler; wrong-shape cond is a 400-class error."""
+        from eo_diffusion_tpu.cli import serve as serve_cli
+
+        args = serve_cli.parse_args([
+            "--preset", "tiny-cr", "--batch_size", "2", "--sampler", "ddim",
+            "--sampler_steps", "2", "--no_bf16"])
+        engine, batcher, meta = serve_cli.build_engine(args)
+        try:
+            assert meta["cond_channels"] == 3
+            cond = np.zeros((1, 8, 8, 3), np.float32)
+            out = batcher.submit(1, cond=cond)
+            assert out.shape == (1, 8, 8, 3) and np.isfinite(out).all()
+            with pytest.raises(AssertionError):
+                batcher.submit(1, cond=np.zeros((1, 4, 4, 3), np.float32))
+        finally:
+            batcher.shutdown()
