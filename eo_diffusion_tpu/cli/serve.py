@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--timesteps", type=int, default=None)
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--no_bf16", action="store_true")
+    p.add_argument("--dp", action="store_true",
+                   help="shard each device batch over all visible chips "
+                        "(data-parallel serving; batch_size must divide "
+                        "the device count)")
     p.add_argument("--ae_ckpt", type=str, default=None,
                    help="latent presets: trained first-stage directory "
                         "(default: 'ae' beside --ckpt)")
@@ -151,7 +155,7 @@ def build_engine(args):
         guidance_scale=args.guidance_scale, num_classes=num_classes,
         has_null_class=has_null, cond_channels=cond_channels,
         bf16=not args.no_bf16, batch_window_ms=args.batch_window_ms,
-        request_timeout_s=args.request_timeout)
+        request_timeout_s=args.request_timeout, dp=args.dp)
     engine = SamplerEngine(model, params, diffusion, image_size,
                            preset.in_channels, scfg)
     batcher = BatchingEngine(engine, base_seed=args.seed)

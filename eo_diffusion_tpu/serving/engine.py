@@ -54,6 +54,12 @@ class ServingConfig:
     batch_window_ms: float = 20.0
     request_timeout_s: float = 300.0
     max_queue: int = 256
+    # shard each device batch over all visible chips ('data' mesh axis):
+    # the samplers are pure jitted scans, so multi-chip serving is one
+    # out_sharding — GSPMD partitions the whole trajectory with zero
+    # collectives in the loop (contract pinned by tests/test_sample_dp.py).
+    # batch_size must divide the device count.
+    dp: bool = False
 
 
 class SamplerEngine:
@@ -103,7 +109,23 @@ class SamplerEngine:
                                             cond=cond, y=y, dtype=dtype, **kw)
             return out.x.astype(jnp.float32)
 
-        self._jitted = jax.jit(run)
+        if cfg.dp and len(jax.devices()) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from eo_diffusion_tpu.parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            assert B % n_dev == 0, (
+                f"dp serving shards the batch over {n_dev} devices; "
+                f"batch_size {B} must divide evenly")
+            self.mesh = make_mesh(jax.devices())
+            # only the OUTPUT sharding is pinned; GSPMD back-propagates the
+            # 'data' partition through the sampling scan (params replicate)
+            self._jitted = jax.jit(
+                run, out_shardings=NamedSharding(self.mesh, P("data")))
+        else:
+            self.mesh = None
+            self._jitted = jax.jit(run)
         self._lock = threading.Lock()
 
     # -- shapes the batcher needs --------------------------------------------
