@@ -170,11 +170,15 @@ def main(args):
                                class_dropout_prob=args.class_dropout)
     model = build_denoiser(ucfg)
     diffusion = build_process(preset, timesteps, image_size, cond_type=cond_type)
-    if preset.process == "flow" and args.sampler != "flow":
-        print(f"preset {preset.name} is a flow process; using --sampler flow")
+    # "flow" here means "the process's native ODE sampler": FlowMatching's
+    # Euler/Heun velocity integration or EDM's Karras-grid Heun — both
+    # expose the same .sample surface
+    if preset.process in ("flow", "edm") and args.sampler != "flow":
+        print(f"preset {preset.name} is a {preset.process} process; "
+              f"using --sampler flow (its native ODE sampler)")
         args.sampler = "flow"
-    assert not (args.sampler == "flow" and preset.process != "flow"), (
-        f"--sampler flow requires a flow-process preset; {preset.name} "
+    assert not (args.sampler == "flow" and preset.process == "ddpm"), (
+        f"--sampler flow requires a flow/edm-process preset; {preset.name} "
         f"trained the DDPM chain (use ddpm/ddim/dpm)")
     assert args.deepcache <= 1 or preset.backbone == "unet", (
         "DeepCache caches the UNet's deep/shallow split; the DiT backbone "

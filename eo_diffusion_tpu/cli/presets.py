@@ -51,7 +51,7 @@ class Preset:
     backbone: str = "unet"  # "unet" | "dit"
     patch_size: int = 4
     depth: int = 12
-    process: str = "ddpm"  # "ddpm" | "flow"
+    process: str = "ddpm"  # "ddpm" | "flow" | "edm"
     # DDPM prediction objective + Lin et al. 2023 schedule fix
     # (arXiv:2305.08891, beyond-reference): zero_terminal_snr rescales the
     # schedule so SNR(T)=0 (requires objective="v"); pair with
@@ -158,6 +158,12 @@ PRESETS = {
     "tiny-vpred": Preset("tiny-vpred", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
                          timesteps=50, batch_size=16, objective="v",
                          zero_terminal_snr=True),
+    # EDM (Karras et al., arXiv:2206.00364; beyond-reference): sigma-space
+    # preconditioned denoiser, Karras-grid Heun sampler (+churn)
+    "edm64": Preset("edm64", "synthetic", 64, 3, 64, (1, 2, 3, 4), (4, 8),
+                    1, 4, batch_size=64, process="edm"),
+    "tiny-edm": Preset("tiny-edm", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
+                       batch_size=16, process="edm"),
     # tiny cloud-removal smoke config: concat-conditions on the synthetic
     # cloudy view ("cond_image"), i.e. the sen12mscr256 use-case in miniature
     "tiny-cr": Preset("tiny-cr", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
@@ -227,6 +233,11 @@ def build_process(preset: Preset, timesteps: int, image_size: int,
         # path; "concat" conditions the model like the DDPM presets
         return FlowMatching.create(image_size=size, in_channels=chans,
                                    cond_type=cond_type)
+    if preset.process == "edm":
+        from eo_diffusion_tpu.diffusion.edm import EDMProcess
+
+        return EDMProcess.create(image_size=size, in_channels=chans,
+                                 cond_type=cond_type)
     assert preset.process == "ddpm", preset.process
     from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
 

@@ -83,8 +83,8 @@ def build_engine(args):
     assert cond_type in (None, "concat"), (
         "serving supports unconditional or concat conditioning; RePaint-"
         "'sum' needs a per-request gt/mask protocol (use cli.inference)")
-    if preset.process == "flow":
-        args.sampler = "flow"
+    if preset.process in ("flow", "edm"):
+        args.sampler = "flow"  # the process's native ODE sampler
 
     # concat serving: the request supplies the PIXEL conditioning view
     # (e.g. the cloudy image for cloud removal); latent presets encode it

@@ -184,10 +184,12 @@ def main(args):
     # apply (FlowMatching has no ddpm/ddim/dpm samplers) -- and vice versa:
     # a DDPM-process preset has no .sample ODE integrator, so fail fast
     # instead of crashing at the first periodic preview hours in
-    assert not (args.preview_sampler == "flow" and preset.process != "flow"), (
-        f"--preview_sampler flow requires a flow-process preset; "
+    assert not (args.preview_sampler == "flow"
+                and preset.process not in ("flow", "edm")), (
+        f"--preview_sampler flow requires a flow/edm-process preset; "
         f"{preset.name} trains the DDPM chain (use ddpm/ddim/dpm)")
-    preview_sampler = "flow" if preset.process == "flow" else args.preview_sampler
+    preview_sampler = ("flow" if preset.process in ("flow", "edm")
+                       else args.preview_sampler)
     tcfg = TrainerConfig(
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
         timesteps=timesteps, model_ema_steps=args.model_ema_steps,
