@@ -73,13 +73,15 @@ def build_flow_unet():
     return UNet(cfg)
 
 
-def train(tag, model, process, imgs, steps):
+def train(tag, model, process, imgs, steps, warmup=500):
     import optax
 
     from eo_diffusion_tpu.train.checkpoint import save_checkpoint
     from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
 
-    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, 500, steps, 1e-5)
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3,
+                                               min(warmup, steps // 4 or 1),
+                                               steps, 1e-5)
     tx = optax.adamw(sched)
     x0 = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
@@ -102,10 +104,11 @@ def train(tag, model, process, imgs, steps):
         state, m = jstep(state, {"image": jnp.asarray(next(it))}, srng)
         if i == 0:
             loss0 = float(m["loss"])
-        if (i + 1) % 1000 == 0:
+        if (i + 1) % 1000 == 0 or i == steps - 1:
             loss = float(m["loss"])
-            print(f"[{tag}] step {i+1}/{steps} loss={loss:.4f} "
-                  f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)", flush=True)
+            if (i + 1) % 1000 == 0:
+                print(f"[{tag}] step {i+1}/{steps} loss={loss:.4f} "
+                      f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)", flush=True)
     print(f"[{tag}] trained: loss {loss0:.4f} -> {loss:.4f}")
     save_checkpoint(CKPT, jax.device_get(state), name=tag)
     return {"loss_first": loss0, "loss_last": loss,
@@ -128,13 +131,13 @@ def evaluate(tag, model, params, run_sampler, configs, real_feats, data_grad,
     from eo_diffusion_tpu.utils.images import save_image_grid
 
     for label, kw in configs:
-        bs = 64
+        bs = min(64, N_EVAL)
         j = jax.jit(lambda p, rng: run_sampler(model, p, rng, bs, **kw))
         feats, ims, t_steady = [], [], None
         for i in range(N_EVAL // bs):
             t0 = time.time()
             x = np.asarray(j(params, jax.random.PRNGKey(100 + i)), np.float32)
-            if i == 1:
+            if i == 1 or N_EVAL // bs == 1:
                 t_steady = time.time() - t0
             ims.append(x)
             feats.append(np.asarray(
