@@ -183,6 +183,12 @@ PRESETS = {
     # head dim 64 -- native tile shapes for the fused attention kernel)
     "dit64": Preset("dit64", "synthetic", 64, 3, 384, (), (), 0, 6,
                     batch_size=64, backbone="dit", patch_size=4, depth=12),
+    # the 256px modern-stack configuration (DiT-B/8 + rectified flow) the
+    # capstone trains (tools/capstone_dit256.py), exposed as a preset so the
+    # CLIs and serving can load those checkpoints directly
+    "dit256": Preset("dit256", "synthetic", 256, 3, 768, (), (), 0, 12,
+                     batch_size=16, backbone="dit", patch_size=8, depth=12,
+                     process="flow"),
     # beyond-reference: rectified-flow training on the synthetic64 UNet
     # (samples in 8-32 Euler/Heun steps, no beta schedule)
     "flow64": Preset("flow64", "synthetic", 64, 3, 64, (1, 2, 3, 4), (4, 8), 1, 4,
@@ -191,6 +197,16 @@ PRESETS = {
     "tiny-dit": Preset("tiny-dit", "synthetic", 16, 3, 64, (), (), 0, 4,
                        timesteps=50, batch_size=16,
                        backbone="dit", patch_size=4, depth=2),
+    # depth-4 smoke: divisible by 2 stages x 2 virtual chunks, so the
+    # interleaved 1F1B CLI path (--pp_micro/--pp_virtual) is drivable
+    "tiny-dit4": Preset("tiny-dit4", "synthetic", 16, 3, 64, (), (), 0, 4,
+                        timesteps=50, batch_size=16,
+                        backbone="dit", patch_size=4, depth=4),
+    # backbone x process composition smoke: DiT denoiser under the EDM
+    # objective/sampler (both axes are preset fields; nothing special)
+    "tiny-dit-edm": Preset("tiny-dit-edm", "synthetic", 16, 3, 64, (), (),
+                           0, 4, batch_size=16, backbone="dit",
+                           patch_size=4, depth=2, process="edm"),
     "tiny-flow": Preset("tiny-flow", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
                         batch_size=16, process="flow"),
     # latent rectified flow (FlowMatching inside LatentDiffusion): 16px

@@ -221,3 +221,42 @@ class TestEDMCLI:
         assert pngs
         arr = np.asarray(PIL.Image.open(sorted(pngs)[0]))
         assert np.isfinite(arr).all()
+
+
+class TestDiTEDMComposition:
+    def test_dit_edm_cli_roundtrip(self, tmp_path):
+        """Backbone x process orthogonality: the DiT denoiser trains under
+        the EDM objective and samples on the Karras grid through the CLIs."""
+        import os
+
+        from eo_diffusion_tpu.cli import inference as infer_cli
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        results = str(tmp_path / "results")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-dit-edm", "--epochs", "1",
+                "--steps_per_epoch", "3", "--batch_size", "8",
+                "--dir", results, "--save_every", "3", "--log_freq", "1",
+                "--sample_every", "0",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root = str(tmp_path / "logs" / "results")
+        step = sorted(d for d in os.listdir(ckpt_root)
+                      if d.startswith("steps_"))[-1]
+        outdir = str(tmp_path / "infer")
+        infer_cli.main(infer_cli.parse_args([
+            "--preset", "tiny-dit-edm", "--ckpt",
+            os.path.join(ckpt_root, step), "--sampler_steps", "4",
+            "--save", "--n_iter", "0", "--batch_size", "4",
+            "--outdir", outdir,
+        ]))
+        import PIL.Image
+        pngs = [os.path.join(r, f) for r, _, fs in os.walk(outdir)
+                for f in fs if f.endswith(".png")]
+        assert pngs
+        assert np.isfinite(
+            np.asarray(PIL.Image.open(sorted(pngs)[0]))).all()

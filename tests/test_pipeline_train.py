@@ -438,3 +438,32 @@ class TestInterleavedTrainer:
 
         args = train_cli.parse_args(["--pp_virtual", "3"])
         assert args.pp_virtual == 3
+
+
+class TestInterleavedCLI:
+    def test_pp_virtual_cli_roundtrip(self, tmp_path):
+        """--pp_micro 2 --pp_virtual 2 through the train CLI on the virtual
+        mesh with the depth-4 tiny-dit4 preset (depth % (S*V) == 0)."""
+        import os
+
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        sample_dir = str(tmp_path / "results")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-dit4", "--epochs", "1",
+                "--steps_per_epoch", "2", "--batch_size", "8",
+                "--model_parallel", "2", "--pp_micro", "2",
+                "--pp_virtual", "2",
+                "--dir", sample_dir, "--sample_every", "100",
+                "--save_every", "2", "--log_freq", "1", "--n_samples", "4",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root = os.path.join(str(tmp_path), "logs",
+                                 os.path.basename(sample_dir))
+        assert any(e.startswith("steps_") for e in os.listdir(ckpt_root))
