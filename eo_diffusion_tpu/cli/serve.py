@@ -187,10 +187,21 @@ def main(args):
     print(f"serving {meta['params_m']}M params | {meta}")
     warm_s = engine.warmup()
     print(f"warmup (compile + first batch): {warm_s:.1f}s")
+    def reload_fn(path):
+        import jax
+        import jax.numpy as jnp
+
+        from eo_diffusion_tpu.train.checkpoint import restore_params
+
+        assert os.path.isdir(path), f"not a checkpoint directory: {path}"
+        _, ema = restore_params(path, engine.params)  # serve the EMA
+        engine.swap_params(jax.tree.map(jnp.asarray, ema))
+        return {"ckpt": path}
+
     srv, port = make_server(batcher, meta, host=args.host, port=args.port,
-                            verbose=args.verbose)
+                            verbose=args.verbose, reload_fn=reload_fn)
     print(f"listening on http://{args.host}:{port}  "
-          f"(POST /v1/generate, GET /healthz, GET /stats)")
+          f"(POST /v1/generate, POST /v1/reload, GET /healthz, GET /stats)")
     try:
         serve_forever(srv)
     except KeyboardInterrupt:

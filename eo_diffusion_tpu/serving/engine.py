@@ -198,12 +198,14 @@ class BatchingEngine:
         self._requests = 0
         self._batch_ms_sum = 0.0
         self._carry = None  # request popped but not fitting the open batch
+        self._lat_ms: list = []  # request submit->done latencies (window)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     # -- public --------------------------------------------------------------
     def submit(self, n: int, y=None, cond=None,
                seed: Optional[int] = None) -> np.ndarray:
+        t0 = time.time()
         B = self.engine.batch_size
         assert 1 <= n <= B, f"n must be in [1, batch_size={B}], got {n}"
         if y is not None:
@@ -225,15 +227,23 @@ class BatchingEngine:
                                f"{self.cfg.request_timeout_s}s")
         if req.error is not None:
             raise req.error
+        self._lat_ms.append((time.time() - t0) * 1e3)
+        if len(self._lat_ms) > 1024:  # bounded window for the percentiles
+            del self._lat_ms[:512]
         return req.result
 
     def stats(self) -> dict:
+        lat = sorted(self._lat_ms)
+        pct = (lambda q: lat[min(int(q * len(lat)), len(lat) - 1)]
+               if lat else 0.0)
         return {
             "requests": self._requests,
             "images": self._images,
             "batches": self._batches,
             "avg_batch_ms": (self._batch_ms_sum / self._batches
                              if self._batches else 0.0),
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p95": pct(0.95),
             "queue_depth": self._q.qsize(),
             "batch_size": self.engine.batch_size,
             "sampler": self.cfg.sampler,

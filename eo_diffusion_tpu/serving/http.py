@@ -9,8 +9,12 @@ Endpoints (all JSON):
   ``{"npy_b64": <base64 .npy>}`` with the raw float32 ``[n, H, W, C]``
   model-range array.
 * ``GET /healthz`` — liveness + the engine's fixed sampler configuration.
-* ``GET /stats`` — request/image/batch counters and the mean device-batch
-  latency.
+* ``GET /stats`` — request/image/batch counters, request latency
+  percentiles, and the mean device-batch latency.
+* ``POST /v1/reload`` — ``{"ckpt": "<dir>"}`` hot-swaps the served
+  weights (no recompile: params are jit arguments). Admin-only surface:
+  bind the server to localhost (the default) — the path is read from the
+  request.
 
 Uses only the standard library (``http.server`` + threads): serving
 dependencies would be dead weight on the training image. Concurrency note:
@@ -79,6 +83,23 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"no route {self.path}"})
 
     def do_POST(self):  # noqa: N802
+        if self.path == "/v1/reload":
+            reload_fn = getattr(self.server, "reload_fn", None)
+            if reload_fn is None:
+                self._reply(404, {"error": "no reload_fn configured"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                info = reload_fn(str(req["ckpt"]))
+            except (KeyError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"need a 'ckpt' field: {e}"})
+                return
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._reply(200, {"ok": True, **(info or {})})
+            return
         if self.path != "/v1/generate":
             self._reply(404, {"error": f"no route {self.path}"})
             return
@@ -116,13 +137,16 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(batcher, meta: dict, host: str = "127.0.0.1",
-                port: int = 0, verbose: bool = False
+                port: int = 0, verbose: bool = False, reload_fn=None
                 ) -> Tuple[ThreadingHTTPServer, int]:
-    """Build the HTTP server (port 0 = ephemeral); returns (server, port)."""
+    """Build the HTTP server (port 0 = ephemeral); returns (server, port).
+
+    ``reload_fn(ckpt_path) -> dict|None`` enables POST /v1/reload."""
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.batcher = batcher
     srv.meta = dict(meta)
     srv.verbose = verbose
+    srv.reload_fn = reload_fn
     return srv, srv.server_address[1]
 
 

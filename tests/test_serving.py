@@ -373,3 +373,91 @@ class TestDPServing:
             SamplerEngine(model, params, diffusion, 8, 3,
                           ServingConfig(batch_size=6, steps=2, bf16=False,
                                         dp=True))
+
+
+class TestReloadAndLatencyStats:
+    def test_hot_reload_changes_outputs(self, tmp_path):
+        """POST /v1/reload swaps params without recompiling: the same seeded
+        request returns different bytes after loading a different
+        checkpoint, and the compiled program is reused (trace count 1)."""
+        import jax
+        import jax.numpy as jnp
+
+        from eo_diffusion_tpu.cli.presets import (build_denoiser,
+                                                  build_process, get_preset)
+        from eo_diffusion_tpu.serving.http import make_server, serve_forever
+        from eo_diffusion_tpu.train.checkpoint import save_checkpoint
+        from eo_diffusion_tpu.train.trainer import TrainState
+
+        import optax
+
+        preset = get_preset("tiny")
+        ucfg = preset.model_config(bf16=False)
+        model = build_denoiser(ucfg)
+        diffusion = build_process(preset, 50, preset.image_size)
+        x0 = jnp.zeros((1, 8, 8, 3))
+        p0 = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
+                                 jnp.zeros((1,), jnp.int32))
+        p1 = jax.tree.map(lambda p: p + 0.05, p0)
+        # a checkpoint holding the perturbed params (EMA slot is served)
+        st = TrainState.create(p1, optax.sgd(1e-3))
+        save_checkpoint(str(tmp_path), jax.device_get(st), name="alt")
+
+        cfg = ServingConfig(batch_size=2, sampler="ddim", steps=2, bf16=False)
+        engine = SamplerEngine(model, p0, diffusion, 8, 3, cfg)
+        batcher = BatchingEngine(engine)
+
+        def reload_fn(path):
+            from eo_diffusion_tpu.train.checkpoint import restore_params
+
+            _, ema = restore_params(path, engine.params)
+            engine.swap_params(jax.tree.map(jnp.asarray, ema))
+            return {"ckpt": path}
+
+        meta = {"data_range": (0.0, 1.0)}
+        srv, port = make_server(batcher, meta, port=0, reload_fn=reload_fn)
+        serve_forever(srv, background=True)
+        base = f"http://127.0.0.1:{port}"
+        try:
+            before = batcher.submit(1, seed=3)
+            req = urllib.request.Request(
+                base + "/v1/reload",
+                data=json.dumps({"ckpt": str(tmp_path / "alt")}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert json.loads(r.read())["ok"]
+            after = batcher.submit(1, seed=3)
+            assert not np.array_equal(before, after)
+            # latency percentiles populated
+            with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+                st_ = json.loads(r.read())
+            assert st_["latency_ms_p50"] > 0 and st_["latency_ms_p95"] >= \
+                st_["latency_ms_p50"]
+        finally:
+            srv.shutdown()
+            batcher.shutdown()
+
+    def test_reload_bad_request(self):
+        from eo_diffusion_tpu.serving.http import make_server, serve_forever
+
+        eng = _FakeEngine(batch_size=4)
+        batcher = BatchingEngine(eng)
+        srv, port = make_server(batcher, {"data_range": (0, 1)}, port=0,
+                                reload_fn=lambda p: (_ for _ in ()).throw(
+                                    FileNotFoundError(p)))
+        serve_forever(srv, background=True)
+        base = f"http://127.0.0.1:{port}"
+        try:
+            for payload, code in (({}, 400), ({"ckpt": "/nope"}, 500)):
+                req = urllib.request.Request(
+                    base + "/v1/reload", data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"})
+                try:
+                    with urllib.request.urlopen(req, timeout=30) as r:
+                        got = r.status
+                except urllib.error.HTTPError as e:
+                    got = e.code
+                assert got == code
+        finally:
+            srv.shutdown()
+            batcher.shutdown()
