@@ -211,7 +211,12 @@ def make_ddim_timesteps(
         raise NotImplementedError(
             f'There is no ddim discretization method called "{ddim_discr_method}"'
         )
-    return ddim_timesteps + 1
+    # deliberate divergence from the reference: when (T-1) % stride == 0
+    # (e.g. T=1000, S=3 -> steps [0,333,666,999]) the reference's +1 shift
+    # produces index T and crashes on the table gather (util.py:75); clamp
+    # to the last valid row instead of reproducing the crash (SURVEY §2.4
+    # policy: fix, don't reproduce)
+    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 
 def make_ddim_sampling_parameters(

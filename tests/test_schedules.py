@@ -231,3 +231,15 @@ class TestZeroTerminalSNR:
         assert dd.alphas[-1] == 0.0
         assert np.all(np.isfinite(dd.sigmas))
         assert np.all(np.isfinite(dd.alphas_prev))
+
+
+class TestUniformSpacingEdge:
+    def test_nondivisor_step_count_stays_in_range(self):
+        """T=1000, S=3: range(0,1000,333) ends at 999 and the reference's
+        +1 shift indexes past the table (a crash, util.py:75); the clamp
+        keeps every step valid (SURVEY §2.4 fix-don't-reproduce policy)."""
+        steps = S.make_ddim_timesteps("uniform", 3, 1000)
+        assert steps.max() <= 999 and steps.min() >= 0
+        sched = S.make_schedule(1000)
+        dd = S.make_ddim_schedule(sched, 3)  # must not raise
+        assert np.all(np.isfinite(dd.sigmas))
