@@ -120,6 +120,13 @@ class GaussianDiffusion:
     # weight = (k + snr)^-gamma; gamma=0 disables
     p2_loss_weight_k: float = 1.0
     p2_loss_weight_gamma: float = 0.0
+    # min-SNR-gamma loss weighting (Hang et al. 2023, arXiv:2303.09556;
+    # beyond-reference): clamp the per-timestep effective weight at
+    # gamma (5.0 in the paper) so easy low-noise steps stop dominating the
+    # gradient — measured there to ~3x convergence on DiT/UNet trainings.
+    # 0 disables. Objective-aware: eps -> min(SNR,g)/SNR, x0 -> min(SNR,g),
+    # v -> min(SNR,g)/(SNR+1) (paper §3.2; mutually composable with p2).
+    min_snr_gamma: float = 0.0
     # self-conditioning (Chen et al. 2022; denoising_diffusion_pytorch.py:433,539+):
     # the denoiser additionally sees its own x0 estimate, appended as extra
     # cond channels (the UNet's in_channels must budget for them). Training
@@ -146,6 +153,7 @@ class GaussianDiffusion:
         self_condition: bool = False,
         elbo_weight: float = 0.0,
         zero_terminal_snr: bool = False,
+        min_snr_gamma: float = 0.0,
     ) -> "GaussianDiffusion":
         assert objective in ("eps", "x0", "v"), objective
         # Lin et al. 2023 (arXiv:2305.08891): with SNR(T) = 0 the model sees
@@ -167,6 +175,7 @@ class GaussianDiffusion:
             p2_loss_weight_gamma=p2_loss_weight_gamma,
             self_condition=self_condition,
             elbo_weight=elbo_weight,
+            min_snr_gamma=min_snr_gamma,
         )
 
     def _with_self_cond(self, cond, x_sc):
@@ -233,6 +242,21 @@ class GaussianDiffusion:
         snr = acp / (1.0 - acp)
         return (self.p2_loss_weight_k + snr) ** (-self.p2_loss_weight_gamma)
 
+    def _min_snr_weight(self, t):
+        """min-SNR-gamma weight per sample (arXiv:2303.09556 §3.2), in the
+        parameterization actually trained (the paper states weights w.r.t.
+        the x0 loss; dividing by the objective's SNR power converts)."""
+        if self.min_snr_gamma == 0.0:
+            return None
+        acp = jnp.asarray(self.schedule.alphas_cumprod)[t]
+        snr = acp / jnp.maximum(1.0 - acp, 1e-12)
+        clipped = jnp.minimum(snr, self.min_snr_gamma)
+        if self.objective == "eps":
+            return clipped / jnp.maximum(snr, 1e-12)
+        if self.objective == "v":
+            return clipped / (snr + 1.0)
+        return clipped  # x0
+
     def training_tuple(
         self,
         rng: jax.Array,
@@ -250,9 +274,10 @@ class GaussianDiffusion:
         assert not self.self_condition, (
             "training_tuple is a plain-MSE decomposition; self-conditioning "
             "needs the two-pass train_loss")
-        assert self.p2_loss_weight_gamma == 0.0 and self.elbo_weight == 0.0, (
-            "training_tuple cannot carry p2/VLB loss reweighting; use "
-            "train_loss")
+        assert (self.p2_loss_weight_gamma == 0.0 and self.elbo_weight == 0.0
+                and self.min_snr_gamma == 0.0), (
+            "training_tuple cannot carry p2/VLB/min-SNR loss reweighting; "
+            "use train_loss")
         t_rng, n_rng, _ = jax.random.split(rng, 3)
         n = x0.shape[0]
         t = jax.random.randint(t_rng, (n,), 0, self.timesteps)
@@ -310,6 +335,9 @@ class GaussianDiffusion:
         w = self._p2_weight(t)
         if w is not None:
             err = err * w[:, None, None, None]
+        w_snr = self._min_snr_weight(t)
+        if w_snr is not None:
+            err = err * w_snr[:, None, None, None]
         loss = jnp.mean(err)
         if self.elbo_weight > 0.0:
             # per-sample squared error reweighted by the VLB terms

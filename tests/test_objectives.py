@@ -395,3 +395,64 @@ class TestZeroTerminalSNR:
         loss = d.train_loss(model, jax.random.PRNGKey(0),
                             jnp.zeros((8, SIZE, SIZE, 3)))
         assert np.isfinite(float(loss))
+
+
+class TestMinSNRWeight:
+    """min-SNR-gamma loss weighting (arXiv:2303.09556)."""
+
+    def _mk(self, objective="eps", gamma=5.0):
+        return GaussianDiffusion.create(
+            timesteps=100, image_size=SIZE, in_channels=3,
+            objective=objective, min_snr_gamma=gamma)
+
+    def test_weight_formula_eps(self):
+        d = self._mk("eps")
+        t = jnp.arange(100)
+        acp = jnp.asarray(d.schedule.alphas_cumprod)
+        snr = acp / (1 - acp)
+        w = d._min_snr_weight(t)
+        expect = jnp.minimum(snr, 5.0) / snr
+        np.testing.assert_allclose(np.asarray(w), np.asarray(expect),
+                                   rtol=1e-5)
+        # low-noise (high-SNR) steps are down-weighted, high-noise keep 1
+        assert float(w[0]) < 1.0 and abs(float(w[-1]) - 1.0) < 1e-5
+
+    def test_weight_formula_v_and_x0(self):
+        dv, dx = self._mk("v"), self._mk("x0")
+        t = jnp.arange(100)
+        acp = jnp.asarray(dv.schedule.alphas_cumprod)
+        snr = acp / (1 - acp)
+        np.testing.assert_allclose(
+            np.asarray(dv._min_snr_weight(t)),
+            np.asarray(jnp.minimum(snr, 5.0) / (snr + 1.0)), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(dx._min_snr_weight(t)),
+            np.asarray(jnp.minimum(snr, 5.0)), rtol=1e-5)
+
+    def test_disabled_by_default_and_loss_changes(self):
+        d0 = GaussianDiffusion.create(timesteps=100, image_size=SIZE,
+                                      in_channels=3)
+        assert d0._min_snr_weight(jnp.arange(3)) is None
+        d1 = self._mk("eps")
+        model = lambda x, t, c, y: jnp.zeros_like(x)
+        x0 = jnp.full((8, SIZE, SIZE, 3), 0.3)
+        l0 = float(d0.train_loss(model, jax.random.PRNGKey(0), x0))
+        l1 = float(d1.train_loss(model, jax.random.PRNGKey(0), x0))
+        assert np.isfinite([l0, l1]).all() and l1 < l0  # down-weighted only
+
+    def test_training_tuple_rejects_weighting(self):
+        with pytest.raises(AssertionError, match="min-SNR"):
+            self._mk("eps").training_tuple(jax.random.PRNGKey(0),
+                                           jnp.zeros((4, SIZE, SIZE, 3)))
+
+    def test_ztsnr_v_composes(self):
+        d = GaussianDiffusion.create(timesteps=100, image_size=SIZE,
+                                     in_channels=3, objective="v",
+                                     zero_terminal_snr=True,
+                                     min_snr_gamma=5.0)
+        w = d._min_snr_weight(jnp.arange(100))
+        assert np.all(np.isfinite(np.asarray(w)))  # SNR=0 terminal row ok
+        loss = d.train_loss(lambda x, t, c, y: 0.1 * x,
+                            jax.random.PRNGKey(0),
+                            jnp.zeros((8, SIZE, SIZE, 3)))
+        assert np.isfinite(float(loss))
