@@ -1,15 +1,23 @@
-"""ReFlow distillation CLI: straighten a trained flow for 1-4-step sampling.
+"""Few-step distillation CLI: ReFlow (flow teachers) or consistency
+distillation (DDPM teachers).
 
 ``python -m eo_diffusion_tpu.cli.distill --preset flow64 \\
       --ckpt logs/flow_run/best --steps 2000 --n_pairs 4096``
+``python -m eo_diffusion_tpu.cli.distill --preset synthetic64 \\
+      --method consistency --ckpt logs/run/best --steps 4000``
 
-Beyond-reference entry point (the reference's fastest path is DDIM-250,
-inference.py:27): loads a flow-process teacher checkpoint, simulates
-deterministic (eps, x1) couplings with its ODE sampler, re-fits the same
-model on the paired endpoints (diffusion/distill.py), and reports the
-few-step integration error before/after. The student checkpoint is a
-normal TrainState save — ``cli/inference.py --sampler flow
---sampler_steps 1..4`` serves it unchanged.
+Beyond-reference entry points (the reference's fastest path is DDIM-250,
+inference.py:27):
+
+* **reflow** (flow-process presets): simulate deterministic (eps, x1)
+  couplings with the teacher ODE, re-fit the same model on the paired
+  endpoints (diffusion/distill.py). Serve with ``cli/inference.py
+  --sampler flow --sampler_steps 1..4``.
+* **consistency** (ddpm-process presets, diffusion/consistency.py):
+  data-free consistency distillation — the x0 pool is teacher DDIM
+  samples, the student learns f(x_t, t) -> x0 against its slow-EMA target
+  along teacher ODE steps. Serve with ``cli/inference.py --sampler cm
+  --sampler_steps 1..4``.
 """
 
 from __future__ import annotations
@@ -26,6 +34,16 @@ def parse_args(argv=None):
                    help="flow-process preset the teacher was trained with")
     p.add_argument("--ckpt", type=str, required=True,
                    help="teacher TrainState checkpoint directory")
+    p.add_argument("--method", type=str, default="reflow",
+                   choices=["reflow", "consistency"],
+                   help="reflow = flow-teacher straightening; consistency = "
+                        "DDPM-teacher consistency distillation")
+    p.add_argument("--cd_points", type=int, default=18,
+                   help="consistency: grid points over the teacher chain")
+    p.add_argument("--huber_c", type=float, default=0.0,
+                   help="consistency: pseudo-Huber c (0 = squared L2)")
+    p.add_argument("--target_decay", type=float, default=0.95,
+                   help="consistency: slow-EMA target network decay")
     p.add_argument("--dir", type=str, default="results/distill",
                    help="output directory (metrics + student checkpoint)")
     p.add_argument("--n_pairs", type=int, default=4096,
@@ -71,9 +89,16 @@ def main(args):
     from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
 
     preset = get_preset(args.preset)
+    if args.method == "consistency":
+        assert preset.process == "ddpm", (
+            f"consistency distillation needs a DDPM-chain teacher; preset "
+            f"{preset.name!r} trains {preset.process!r} (flow teachers "
+            f"use --method reflow)")
+        return _consistency_main(args, preset)
     assert preset.process == "flow", (
         f"ReFlow distills rectified flows; preset {preset.name!r} trains "
-        f"process {preset.process!r} (use a flow preset, e.g. flow64)")
+        f"process {preset.process!r} (use a flow preset, e.g. flow64, or "
+        f"--method consistency for DDPM teachers)")
     if args.image_size:
         preset.image_size = args.image_size
     batch_size = args.batch_size or preset.batch_size
@@ -175,6 +200,136 @@ def main(args):
         json.dump(results, f, indent=2)
     print(f"student checkpoint: {ckpt_path}")
     print(json.dumps({k: results[k] for k in ("teacher", "student")}))
+    return results
+
+
+def _consistency_main(args, preset):
+    """Consistency distillation of a DDPM-chain teacher (data-free: the x0
+    pool is the teacher's own DDIM samples)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from eo_diffusion_tpu.cli.presets import build_denoiser, build_process
+    from eo_diffusion_tpu.diffusion.consistency import ConsistencyDistillation
+    from eo_diffusion_tpu.train.checkpoint import restore_params, save_checkpoint
+    from eo_diffusion_tpu.train.trainer import TrainState
+
+    assert not preset.is_latent, (
+        "consistency distillation of latent presets is not wired (the x0 "
+        "pool would need first-stage decode/encode); use pixel presets")
+    if args.image_size:
+        preset.image_size = args.image_size
+    batch_size = args.batch_size or preset.batch_size
+    diffusion = build_process(preset, preset.timesteps, preset.image_size,
+                              cond_type=None)
+    mcfg = preset.model_config(bf16=not args.no_bf16)
+    model = build_denoiser(mcfg)
+    size, chans = diffusion.image_size, diffusion.in_channels
+
+    x0_tmpl = jnp.zeros((1, size, size, chans), jnp.float32)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), x0_tmpl,
+                                   jnp.zeros((1,), jnp.int32))
+    raw, ema = restore_params(args.ckpt, template)
+    teacher = jax.tree.map(jnp.asarray, raw if args.use_raw_params else ema)
+    print(f"teacher loaded from {args.ckpt}")
+
+    def fn_of(params):
+        return lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y)
+
+    dtype = jnp.float32 if args.no_bf16 else jnp.bfloat16
+    rng = jax.random.PRNGKey(args.seed)
+    cd = ConsistencyDistillation.create(diffusion, n_points=args.cd_points,
+                                        huber_c=args.huber_c)
+
+    # x0 pool: teacher DDIM samples (data-free distillation)
+    t0 = time.time()
+    pool = []
+
+    def gen_chunk(k):
+        return diffusion.ddim_sample(fn_of(teacher), k, batch_size,
+                                     num_steps=args.pair_steps,
+                                     dtype=dtype).x
+
+    jgen = jax.jit(gen_chunk)
+    for i in range(-(-args.n_pairs // batch_size)):
+        pool.append(np.asarray(jgen(jax.random.fold_in(rng, i)), np.float32))
+    pool = np.concatenate(pool)[:args.n_pairs]
+    print(f"{len(pool)} teacher DDIM-{args.pair_steps} samples as the x0 "
+          f"pool in {time.time()-t0:.1f}s")
+
+    # eval: endpoint gap of k-evaluation consistency sampling vs the
+    # teacher's DDIM-{pair_steps} PF-ODE endpoint from the SAME noise
+    eval_eps = jax.random.normal(jax.random.fold_in(rng, 10_007),
+                                 (args.eval_n, size, size, chans), jnp.float32)
+    ref = np.asarray(diffusion.ddim_sample(
+        fn_of(teacher), rng, args.eval_n, num_steps=args.pair_steps,
+        x_T=eval_eps, dtype=dtype).x)
+    ref_norm = float(np.sqrt((ref**2).mean()))
+
+    def score(params, label):
+        out = {}
+        for k in args.few_steps:
+            x = np.asarray(cd.sample(fn_of(params), jax.random.PRNGKey(99),
+                                     args.eval_n, steps=k, x_T=eval_eps,
+                                     dtype=dtype).x)
+            out[f"cm{k}_gap"] = float(
+                np.sqrt(((x - ref) ** 2).mean())) / ref_norm
+        print(f"[{label}] " + "  ".join(f"{k}={v:.4f}" for k, v in out.items()))
+        return out
+
+    results = {"teacher_init": score(teacher, "teacher-init")}
+
+    student = jax.tree.map(jnp.copy, teacher)
+    target = jax.tree.map(jnp.copy, teacher)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, max(args.steps // 20, 1), args.steps, args.lr * 0.01)
+    tx = optax.adamw(sched)
+    opt = tx.init(student)
+    teacher_fn = fn_of(teacher)
+
+    @jax.jit
+    def jstep(student, target, opt, rng, x0):
+        def loss_fn(sp):
+            return cd.distill_loss(fn_of(sp), fn_of(target), teacher_fn,
+                                   rng, x0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(student)
+        up, opt = tx.update(grads, opt, student)
+        student = optax.apply_updates(student, up)
+        target = ConsistencyDistillation.update_target(
+            target, student, args.target_decay)
+        return student, target, opt, loss
+
+    data_rng = np.random.default_rng(args.seed + 1)
+    t0 = time.time()
+    loss0 = loss = None
+    for i in range(args.steps):
+        rng, srng = jax.random.split(rng)
+        idx = data_rng.integers(0, len(pool), batch_size)
+        student, target, opt, l = jstep(student, target, opt, srng,
+                                        jnp.asarray(pool[idx]))
+        if i == 0:
+            loss0 = float(l)
+        if (i + 1) % max(args.steps // 10, 1) == 0:
+            loss = float(l)
+            print(f"step {i+1}/{args.steps} loss={loss:.5f} "
+                  f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)")
+    print(f"distilled: loss {loss0:.5f} -> {loss:.5f}")
+
+    results["student"] = score(target, "student")  # serve the slow-EMA
+
+    os.makedirs(args.dir, exist_ok=True)
+    state = TrainState.create(student, tx)
+    state = state.replace(ema_params=target)
+    ckpt_path = save_checkpoint(os.path.abspath(args.dir),
+                                jax.device_get(state), name="student")
+    results["config"] = {k: v for k, v in vars(args).items()}
+    with open(os.path.join(args.dir, "distill_metrics.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"student checkpoint: {ckpt_path}")
+    print(json.dumps({k: results[k] for k in ("teacher_init", "student")}))
     return results
 
 

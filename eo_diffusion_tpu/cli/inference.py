@@ -51,10 +51,15 @@ def parse_args(argv=None):
                              "embedding row so label-CFG checkpoints load")
     parser.add_argument("--cond_type", type=str, default=None)
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm", "flow"],
+                        choices=["ddpm", "ddim", "dpm", "flow", "cm"],
                         help="dpm = DPM-Solver++(2M) second-order multistep "
                              "sampler; flow = Euler ODE integration (only for "
-                             "flow-process presets, which force it)")
+                             "flow-process presets, which force it); cm = "
+                             "consistency-model few-step sampling (checkpoints "
+                             "from cli.distill --method consistency)")
+    parser.add_argument("--cd_points", type=int, default=18,
+                        help="cm sampler: consistency grid points (must "
+                             "match distillation)")
     parser.add_argument("--flow_method", type=str, default="euler",
                         choices=["euler", "heun"],
                         help="flow sampler integrator (heun = 2nd order, "
@@ -180,6 +185,18 @@ def main(args):
     assert not (args.sampler == "flow" and preset.process == "ddpm"), (
         f"--sampler flow requires a flow/edm-process preset; {preset.name} "
         f"trained the DDPM chain (use ddpm/ddim/dpm)")
+    assert not (args.sampler == "cm" and preset.process != "ddpm"), (
+        "--sampler cm samples a consistency-distilled DDPM-chain student "
+        f"(cli.distill --method consistency); {preset.name} trains "
+        f"{preset.process}")
+    assert not (args.sampler == "cm" and args.deepcache > 1), (
+        "cm is already 1-4 evaluations; DeepCache does not apply")
+    assert not (args.sampler == "cm" and preset.is_latent), (
+        "cm on latent presets is not wired (distill pixel-space students)")
+    if args.sampler == "cm" and args.guidance_scale != 1.0:
+        print("note: the cm sampler has no guidance combine; ignoring "
+              "--guidance_scale")
+        args.guidance_scale = 1.0
     assert args.deepcache <= 1 or preset.backbone == "unet", (
         "DeepCache caches the UNet's deep/shallow split; the DiT backbone "
         "has no resolution ladder to split")
@@ -307,7 +324,20 @@ def main(args):
                 example_cond=ex_cond,
                 refresh_every=args.deepcache,
             )
-        if args.sampler == "flow":
+        if args.sampler == "cm":
+            from eo_diffusion_tpu.diffusion.consistency import (
+                ConsistencyDistillation,
+            )
+
+            cd = ConsistencyDistillation.create(diffusion,
+                                                n_points=args.cd_points)
+            out = cd.sample(
+                fn_j, srng, bsz, steps=args.sampler_steps,
+                cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
+                y=jnp.asarray(y) if y is not None else None,
+            )
+            samples = np.asarray(out.x, np.float32)
+        elif args.sampler == "flow":
             mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
             out = diffusion.sample(
                 fn_j, srng, bsz, num_steps=args.sampler_steps,
