@@ -48,4 +48,10 @@ run edm 7200 python "$ROOT/tools/capstone_edm.py" --steps 6000
 run reflow64 7200 python "$ROOT/tools/capstone_reflow.py" --model unet64
 run reflow256 10800 python "$ROOT/tools/capstone_reflow.py" --model dit256
 
+# consistency distillation capstone (teacher train + distill + eval)
+run cm64 10800 python "$ROOT/tools/capstone_cm.py"
+
+# serving overhead at the headline protocol
+run serving 3600 python "$ROOT/tools/bench_serving.py"
+
 echo "[queue] all done $(date +%H:%M:%S)" | tee -a "$LOGS/queue.log"
