@@ -116,12 +116,18 @@ class ConsistencyDistillation:
     # -- training ------------------------------------------------------------
 
     def distill_loss(self, student_fn: Callable, target_fn: Callable,
-                     teacher_fn: Callable, rng: jax.Array, x0: jax.Array,
-                     cond=None, y=None) -> jax.Array:
+                     teacher_fn: Optional[Callable], rng: jax.Array,
+                     x0: jax.Array, cond=None, y=None) -> jax.Array:
         """Self-consistency loss for one batch (Song et al. Algorithm 2).
 
         ``student_fn`` carries gradients; ``target_fn`` (the slow-EMA
-        student) and ``teacher_fn`` are evaluated under stop_gradient."""
+        student) and ``teacher_fn`` are evaluated under stop_gradient.
+
+        ``teacher_fn=None`` switches to **consistency TRAINING** (Song et
+        al. Algorithm 3, teacher-free): the target's input is the exact
+        marginal point ``q_sample(x0, t1, eps)`` with the SAME noise draw
+        as x_{t2} — the paper's unbiased shared-Brownian estimator of the
+        ODE step, which needs only data."""
         i_rng, n_rng = jax.random.split(rng)
         n = x0.shape[0]
         g = self.grid()
@@ -130,7 +136,11 @@ class ConsistencyDistillation:
         eps = jax.random.normal(n_rng, x0.shape, jnp.float32)
         x0f = x0.astype(jnp.float32)
         x_t2 = self.diffusion.q_sample(x0f, t2, eps)
-        x_t1_hat = self._teacher_ddim_step(teacher_fn, x_t2, t2, t1, cond, y)
+        if teacher_fn is None:  # consistency training: shared-noise marginal
+            x_t1_hat = self.diffusion.q_sample(x0f, t1, eps)
+        else:
+            x_t1_hat = self._teacher_ddim_step(teacher_fn, x_t2, t2, t1,
+                                               cond, y)
         f2 = self.f(student_fn, x_t2, t2, cond, y)
         f1 = jax.lax.stop_gradient(
             self.f(target_fn, x_t1_hat, t1, cond, y))

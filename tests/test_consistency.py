@@ -234,3 +234,80 @@ class TestConsistencyCLI:
         with pytest.raises(AssertionError, match="ReFlow|reflow|flow"):
             distill_cli.main(distill_cli.parse_args([
                 "--preset", "tiny", "--ckpt", "/nonexistent"]))
+
+
+class TestConsistencyTraining:
+    """teacher_fn=None = consistency TRAINING (Algorithm 3, teacher-free)."""
+
+    def test_ct_oracle_loss_near_zero(self):
+        """The oracle consistency function has zero CT loss too: both
+        branches feed exact marginal points of the same x0."""
+        cd = _cd()
+
+        def oracle_F(x_in, t, c, y):
+            c_skip, c_out, c_in = cd._coeffs(t)
+            cb = lambda v: v[:, None, None, None]
+            x_t = x_in.astype(jnp.float32) / cb(c_in)
+            return (0.4 - cb(c_skip) * x_t) / cb(c_out)
+
+        x0 = jnp.full((8, SIZE, SIZE, 3), 0.4)
+        loss = cd.distill_loss(oracle_F, oracle_F, None,
+                               jax.random.PRNGKey(0), x0)
+        assert float(loss) < 1e-6
+
+    def test_ct_trains_from_scratch(self):
+        """Teacher-free CT on the bimodal fixture: a fresh tiny UNet's
+        1-step samples acquire bimodal structure (no DDPM pretraining at
+        all — data only)."""
+        import optax
+
+        from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+
+        rng_np = np.random.default_rng(0)
+        mk = lambda bs=16: (
+            rng_np.choice([-0.6, 0.6], size=(bs, 1, 1, 1))
+            + 0.05 * rng_np.normal(size=(bs, SIZE, SIZE, 3))
+        ).astype(np.float32)
+
+        ucfg = UNetConfig(image_size=SIZE, in_channels=3, model_channels=32,
+                          out_channels=3, num_res_blocks=1,
+                          attention_resolutions=(), channel_mult=(1, 2),
+                          num_heads=1)
+        model = UNet(ucfg)
+        diffusion = GaussianDiffusion.create(timesteps=100, image_size=SIZE,
+                                             in_channels=3)
+        cd = ConsistencyDistillation.create(diffusion, n_points=10)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, SIZE, SIZE, 3)),
+                                     jnp.zeros((1,), jnp.int32))
+        student = params
+        target = jax.tree.map(jnp.copy, params)
+        tx = optax.adam(2e-3)
+        opt = tx.init(student)
+
+        @jax.jit
+        def step(student, target, opt, rng, x0):
+            loss, grads = jax.value_and_grad(
+                lambda sp: cd.distill_loss(
+                    lambda x, t, c, y: model.apply(sp, x, t, cond=c, y=y),
+                    lambda x, t, c, y: model.apply(target, x, t, cond=c, y=y),
+                    None, rng, x0))(student)
+            up, opt = tx.update(grads, opt, student)
+            student = optax.apply_updates(student, up)
+            target = ConsistencyDistillation.update_target(target, student,
+                                                           0.95)
+            return student, target, opt, loss
+
+        key = jax.random.PRNGKey(3)
+        for i in range(500):
+            key, k = jax.random.split(key)
+            student, target, opt, loss = step(student, target, opt, k,
+                                              jnp.asarray(mk()))
+        assert np.isfinite(float(loss))
+        fn = lambda x, t, c, y: model.apply(target, x, t, cond=c, y=y)
+        one = cd.sample(fn, jax.random.PRNGKey(9), 64, steps=1).x
+        spread = float(np.asarray(one).mean(axis=(1, 2, 3)).std())
+        # data spread is 0.6, an untrained f gives ~0.04; 500 CT steps
+        # reach ~0.19 — structure is clearly forming, though CT converges
+        # slower than CD (the paper anneals n_points over long schedules)
+        assert spread > 0.12, spread
