@@ -130,12 +130,17 @@ def main(args):
     def fn_of(params):
         return lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y)
 
+    # threaded-params form for all jitted paths (closed-over trees hit the
+    # remote-compile HTTP-413 payload limit on the chip, CLAUDE.md)
+    apply5 = lambda p, x, t, c, y: model.apply(p, x, t, cond=c, y=y)
+
     dtype = jnp.float32 if args.no_bf16 else jnp.bfloat16
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     eps, x1 = generate_couplings(
-        flow, fn_of(teacher), rng, args.n_pairs, num_steps=args.pair_steps,
-        method=args.pair_method, batch_size=batch_size, dtype=dtype)
+        flow, apply5, rng, args.n_pairs, num_steps=args.pair_steps,
+        method=args.pair_method, batch_size=batch_size, dtype=dtype,
+        params=teacher)
     print(f"{args.n_pairs} couplings via {args.pair_method}-{args.pair_steps} "
           f"in {time.time()-t0:.1f}s")
 
@@ -144,16 +149,17 @@ def main(args):
         jax.random.fold_in(rng, 10_007),
         (args.eval_n, flow.image_size, flow.image_size,
          flow.in_channels), jnp.float32)
-    eval_x1 = flow.sample(fn_of(teacher), rng, args.eval_n,
-                          num_steps=args.pair_steps, method=args.pair_method,
-                          x_T=eval_eps, dtype=dtype).x
+    eval_x1 = jax.jit(lambda tp, e: flow.sample(
+        fn_of(tp), rng, args.eval_n, num_steps=args.pair_steps,
+        method=args.pair_method, x_T=e, dtype=dtype).x)(teacher, eval_eps)
 
     def score(params, label):
-        fn = fn_of(params)
-        out = {"straightness": float(straightness(flow, fn, eval_eps, eval_x1))}
+        out = {"straightness": float(straightness(
+            flow, apply5, eval_eps, eval_x1, params=params))}
         for k in args.few_steps:
             out[f"euler{k}_gap"] = float(endpoint_gap(
-                flow, fn, eval_eps, few_steps=k, dtype=dtype))
+                flow, apply5, eval_eps, few_steps=k, dtype=dtype,
+                params=params))
         print(f"[{label}] " + "  ".join(f"{k}={v:.4f}" for k, v in out.items()))
         return out
 
@@ -243,18 +249,21 @@ def _consistency_main(args, preset):
     cd = ConsistencyDistillation.create(diffusion, n_points=args.cd_points,
                                         huber_c=args.huber_c)
 
-    # x0 pool: teacher DDIM samples (data-free distillation)
+    # x0 pool: teacher DDIM samples (data-free distillation). The teacher
+    # tree is THREADED as a jit argument everywhere below — closing over it
+    # is the HTTP-413 remote-compile failure mode (CLAUDE.md)
     t0 = time.time()
     pool = []
 
-    def gen_chunk(k):
-        return diffusion.ddim_sample(fn_of(teacher), k, batch_size,
+    def gen_chunk(tp, k):
+        return diffusion.ddim_sample(fn_of(tp), k, batch_size,
                                      num_steps=args.pair_steps,
                                      dtype=dtype).x
 
     jgen = jax.jit(gen_chunk)
     for i in range(-(-args.n_pairs // batch_size)):
-        pool.append(np.asarray(jgen(jax.random.fold_in(rng, i)), np.float32))
+        pool.append(np.asarray(jgen(teacher, jax.random.fold_in(rng, i)),
+                               np.float32))
     pool = np.concatenate(pool)[:args.n_pairs]
     print(f"{len(pool)} teacher DDIM-{args.pair_steps} samples as the x0 "
           f"pool in {time.time()-t0:.1f}s")
@@ -263,17 +272,22 @@ def _consistency_main(args, preset):
     # teacher's DDIM-{pair_steps} PF-ODE endpoint from the SAME noise
     eval_eps = jax.random.normal(jax.random.fold_in(rng, 10_007),
                                  (args.eval_n, size, size, chans), jnp.float32)
-    ref = np.asarray(diffusion.ddim_sample(
-        fn_of(teacher), rng, args.eval_n, num_steps=args.pair_steps,
-        x_T=eval_eps, dtype=dtype).x)
+    ref = np.asarray(jax.jit(lambda tp, e: diffusion.ddim_sample(
+        fn_of(tp), rng, args.eval_n, num_steps=args.pair_steps,
+        x_T=e, dtype=dtype).x)(teacher, eval_eps))
     ref_norm = float(np.sqrt((ref**2).mean()))
+
+    def _cm_k(params, eps, k):
+        return cd.sample(fn_of(params), jax.random.PRNGKey(99),
+                         args.eval_n, steps=k, x_T=eps, dtype=dtype).x
+
+    jcm = {k: jax.jit(lambda p, e, k=k: _cm_k(p, e, k))
+           for k in args.few_steps}
 
     def score(params, label):
         out = {}
         for k in args.few_steps:
-            x = np.asarray(cd.sample(fn_of(params), jax.random.PRNGKey(99),
-                                     args.eval_n, steps=k, x_T=eval_eps,
-                                     dtype=dtype).x)
+            x = np.asarray(jcm[k](params, eval_eps))
             out[f"cm{k}_gap"] = float(
                 np.sqrt(((x - ref) ** 2).mean())) / ref_norm
         print(f"[{label}] " + "  ".join(f"{k}={v:.4f}" for k, v in out.items()))
@@ -287,13 +301,12 @@ def _consistency_main(args, preset):
         0.0, args.lr, max(args.steps // 20, 1), args.steps, args.lr * 0.01)
     tx = optax.adamw(sched)
     opt = tx.init(student)
-    teacher_fn = fn_of(teacher)
 
     @jax.jit
-    def jstep(student, target, opt, rng, x0):
+    def jstep(student, target, teacher_p, opt, rng, x0):
         def loss_fn(sp):
-            return cd.distill_loss(fn_of(sp), fn_of(target), teacher_fn,
-                                   rng, x0)
+            return cd.distill_loss(fn_of(sp), fn_of(target),
+                                   fn_of(teacher_p), rng, x0)
 
         loss, grads = jax.value_and_grad(loss_fn)(student)
         up, opt = tx.update(grads, opt, student)
@@ -308,7 +321,7 @@ def _consistency_main(args, preset):
     for i in range(args.steps):
         rng, srng = jax.random.split(rng)
         idx = data_rng.integers(0, len(pool), batch_size)
-        student, target, opt, l = jstep(student, target, opt, srng,
+        student, target, opt, l = jstep(student, target, teacher, opt, srng,
                                         jnp.asarray(pool[idx]))
         if i == 0:
             loss0 = float(l)

@@ -175,6 +175,13 @@ def main(args):
                                class_dropout_prob=args.class_dropout)
     model = build_denoiser(ucfg)
     diffusion = build_process(preset, timesteps, image_size, cond_type=cond_type)
+    # an explicit cm request on a non-DDPM preset is an error, not a
+    # coercion target (review finding: the flow/edm coercion below used to
+    # swallow it into ordinary ODE sampling with only a print)
+    assert not (args.sampler == "cm" and preset.process != "ddpm"), (
+        "--sampler cm samples a consistency-distilled DDPM-chain student "
+        f"(cli.distill --method consistency); {preset.name} trains "
+        f"{preset.process}")
     # "flow" here means "the process's native ODE sampler": FlowMatching's
     # Euler/Heun velocity integration or EDM's Karras-grid Heun — both
     # expose the same .sample surface
@@ -185,14 +192,13 @@ def main(args):
     assert not (args.sampler == "flow" and preset.process == "ddpm"), (
         f"--sampler flow requires a flow/edm-process preset; {preset.name} "
         f"trained the DDPM chain (use ddpm/ddim/dpm)")
-    assert not (args.sampler == "cm" and preset.process != "ddpm"), (
-        "--sampler cm samples a consistency-distilled DDPM-chain student "
-        f"(cli.distill --method consistency); {preset.name} trains "
-        f"{preset.process}")
     assert not (args.sampler == "cm" and args.deepcache > 1), (
         "cm is already 1-4 evaluations; DeepCache does not apply")
     assert not (args.sampler == "cm" and preset.is_latent), (
         "cm on latent presets is not wired (distill pixel-space students)")
+    assert not (args.sampler == "cm" and cond_type == "sum"), (
+        "cm has no RePaint mask plumbing; cond_type='sum' metrics would "
+        "silently compare unconditional samples against gt (use ddim/dpm)")
     if args.sampler == "cm" and args.guidance_scale != 1.0:
         print("note: the cm sampler has no guidance combine; ignoring "
               "--guidance_scale")
@@ -331,12 +337,22 @@ def main(args):
 
             cd = ConsistencyDistillation.create(diffusion,
                                                 n_points=args.cd_points)
-            out = cd.sample(
-                fn_j, srng, bsz, steps=args.sampler_steps,
-                cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
-                y=jnp.asarray(y) if y is not None else None,
-            )
-            samples = np.asarray(out.x, np.float32)
+
+            # one jitted program with params THREADED (a closed-over tree
+            # is the HTTP-413 remote-compile failure mode, CLAUDE.md), and
+            # the f-hops compile as one computation instead of per-call
+            # dispatches through the tunnel
+            def _cm_run(params, rng, cc, yy):
+                fn = lambda x, t, c, yv: model.apply(params, x, t,
+                                                     cond=c, y=yv)
+                return cd.sample(fn, rng, bsz, steps=args.sampler_steps,
+                                 cond=cc, y=yy).x
+
+            out_x = jax.jit(_cm_run)(
+                ema_params, srng,
+                jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
+                jnp.asarray(y) if y is not None else None)
+            samples = np.asarray(out_x, np.float32)
         elif args.sampler == "flow":
             mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
             out = diffusion.sample(

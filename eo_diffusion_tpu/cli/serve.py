@@ -48,8 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--no_bf16", action="store_true")
     p.add_argument("--dp", action="store_true",
                    help="shard each device batch over all visible chips "
-                        "(data-parallel serving; batch_size must divide "
-                        "the device count)")
+                        "(data-parallel serving; the device count must "
+                        "divide batch_size)")
     p.add_argument("--ae_ckpt", type=str, default=None,
                    help="latent presets: trained first-stage directory "
                         "(default: 'ae' beside --ckpt)")

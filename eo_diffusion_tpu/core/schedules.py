@@ -204,8 +204,14 @@ def make_ddim_timesteps(
             np.linspace(0, np.sqrt(num_ddpm_timesteps * 0.8), num_ddim_timesteps) ** 2
         ).astype(int)
     elif ddim_discr_method == "trailing":
-        steps = np.arange(num_ddpm_timesteps, 0,
-                          -num_ddpm_timesteps / num_ddim_timesteps)
+        # linspace, not arange-by-float-stride: arange(T, 0, -T/S) yields
+        # S+1 entries whenever T - S*(T/S) rounds above 0 in FP (e.g.
+        # T=1000, S=61), and the extra entry becomes timestep -1 after the
+        # shift — wrapping to the terminal table row (NaN sigmas under
+        # zero-terminal-SNR). linspace(T, T/S, S) is exactly S values.
+        steps = np.linspace(num_ddpm_timesteps,
+                            num_ddpm_timesteps / num_ddim_timesteps,
+                            num_ddim_timesteps)
         return np.round(steps).astype(int)[::-1] - 1  # ascending, ends T-1
     else:
         raise NotImplementedError(

@@ -49,6 +49,7 @@ def generate_couplings(
     cond: Optional[np.ndarray] = None,
     y: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    params=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Simulate the teacher ODE from fixed noise: ``(eps, x1)`` couplings.
 
@@ -58,17 +59,24 @@ def generate_couplings(
     device-resident activation. ``cond``/``y`` are full-length [n, ...]
     arrays sliced per chunk (conditional teachers distill to conditional
     students on the same conditioning marginal).
+
+    ``params``: when given, ``model_fn`` is ``(params, x, t, c, y)`` and
+    the tree is THREADED as a jit argument — required through the axon
+    remote-compile tunnel, where a closed-over tree becomes literal
+    constants in the compile payload (HTTP-413 failure mode, CLAUDE.md).
     """
     shape = (batch_size, flow.image_size, flow.image_size, flow.in_channels)
 
-    def chunk(params_free_rng, c, yy):
+    def chunk(p, params_free_rng, c, yy):
+        fn = (model_fn if p is None
+              else (lambda x, t, cc, yy2: model_fn(p, x, t, cc, yy2)))
         eps = jax.random.normal(params_free_rng, shape, jnp.float32)
-        out = flow.sample(model_fn, params_free_rng, batch_size,
+        out = flow.sample(fn, params_free_rng, batch_size,
                           num_steps=num_steps, method=method, x_T=eps,
                           cond=c, y=yy, dtype=dtype)
         return eps, out.x
 
-    jchunk = jax.jit(chunk)
+    jchunk = jax.jit(chunk)  # p=None is an empty pytree: same trace as before
     eps_all, x1_all = [], []
     n_chunks = -(-n // batch_size)
     for i in range(n_chunks):
@@ -82,7 +90,7 @@ def generate_couplings(
         if yy is not None and yy.shape[0] < batch_size:
             pad = batch_size - yy.shape[0]
             yy = jnp.concatenate([yy, yy[:pad]], 0)
-        eps, x1 = jchunk(jax.random.fold_in(rng, i), c, yy)
+        eps, x1 = jchunk(params, jax.random.fold_in(rng, i), c, yy)
         eps_all.append(np.asarray(eps, np.float32))
         x1_all.append(np.asarray(x1, np.float32))
     eps_np = np.concatenate(eps_all)[:n]
@@ -123,26 +131,38 @@ def straightness(
     num_probe: int = 8,
     cond: Optional[jax.Array] = None,
     y: Optional[jax.Array] = None,
+    params=None,
 ) -> jax.Array:
     """Mean squared deviation of the field from the chord velocity.
 
     S = E_t ||v((1-t)·x1 + t·eps, t) − (eps − x1)||² over a uniform probe
     grid — exactly the quantity ReFlow minimizes (zero iff the flow moves
     every coupling along a straight line, i.e. 1-step Euler is exact).
+
+    ``params``: as in :func:`generate_couplings` — thread the tree through
+    jit instead of closing over it (remote-compile payload limit).
     """
-    eps = eps.astype(jnp.float32)
-    x1 = x1.astype(jnp.float32)
-    chord = eps - x1
-    ts = (jnp.arange(num_probe, dtype=jnp.float32) + 0.5) / num_probe
 
-    def probe(carry, t):
-        x_t = (1.0 - t) * x1 + t * eps
-        tt = jnp.full((x_t.shape[0],), t * flow.time_scale, jnp.float32)
-        v = model_fn(x_t, tt, cond, y).astype(jnp.float32)
-        return carry + jnp.mean((v - chord) ** 2), None
+    def run(p, eps, x1, cond, y):
+        fn = (model_fn if p is None
+              else (lambda x, t, c, yy: model_fn(p, x, t, c, yy)))
+        epsf = eps.astype(jnp.float32)
+        x1f = x1.astype(jnp.float32)
+        chord = epsf - x1f
+        ts = (jnp.arange(num_probe, dtype=jnp.float32) + 0.5) / num_probe
 
-    total, _ = jax.lax.scan(probe, jnp.float32(0.0), ts)
-    return total / num_probe
+        def probe(carry, t):
+            x_t = (1.0 - t) * x1f + t * epsf
+            tt = jnp.full((x_t.shape[0],), t * flow.time_scale, jnp.float32)
+            v = fn(x_t, tt, cond, y).astype(jnp.float32)
+            return carry + jnp.mean((v - chord) ** 2), None
+
+        total, _ = jax.lax.scan(probe, jnp.float32(0.0), ts)
+        return total / num_probe
+
+    if params is None:
+        return run(None, eps, x1, cond, y)
+    return jax.jit(run)(params, eps, x1, cond, y)
 
 
 def endpoint_gap(
@@ -154,13 +174,26 @@ def endpoint_gap(
     cond: Optional[jax.Array] = None,
     y: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    params=None,
 ) -> jax.Array:
     """RMS distance between the few-step Euler endpoint and the same
     model's high-resolution reference trajectory from identical noise —
-    the few-step integration error the distillation is meant to remove."""
-    n = eps.shape[0]
-    few = flow.sample(model_fn, jax.random.PRNGKey(0), n, num_steps=few_steps,
-                      method="euler", x_T=eps, cond=cond, y=y, dtype=dtype).x
-    ref = flow.sample(model_fn, jax.random.PRNGKey(0), n, num_steps=ref_steps,
-                      method="heun", x_T=eps, cond=cond, y=y, dtype=dtype).x
-    return jnp.sqrt(jnp.mean((few - ref) ** 2))
+    the few-step integration error the distillation is meant to remove.
+
+    ``params``: as in :func:`generate_couplings` (threaded-tree jit)."""
+
+    def run(p, eps, cond, y):
+        fn = (model_fn if p is None
+              else (lambda x, t, c, yy: model_fn(p, x, t, c, yy)))
+        n = eps.shape[0]
+        few = flow.sample(fn, jax.random.PRNGKey(0), n, num_steps=few_steps,
+                          method="euler", x_T=eps, cond=cond, y=y,
+                          dtype=dtype).x
+        ref = flow.sample(fn, jax.random.PRNGKey(0), n, num_steps=ref_steps,
+                          method="heun", x_T=eps, cond=cond, y=y,
+                          dtype=dtype).x
+        return jnp.sqrt(jnp.mean((few - ref) ** 2))
+
+    if params is None:
+        return run(None, eps, cond, y)
+    return jax.jit(run)(params, eps, cond, y)

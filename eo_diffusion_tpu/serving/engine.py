@@ -58,7 +58,7 @@ class ServingConfig:
     # the samplers are pure jitted scans, so multi-chip serving is one
     # out_sharding — GSPMD partitions the whole trajectory with zero
     # collectives in the loop (contract pinned by tests/test_sample_dp.py).
-    # batch_size must divide the device count.
+    # The device count must divide batch_size.
     dp: bool = False
 
 
@@ -211,9 +211,11 @@ class BatchingEngine:
         if y is not None:
             y = np.asarray(y, np.int32).reshape(n)
             assert self.cfg.num_classes, "engine is not class-conditional"
-            assert int(y.max()) < self.cfg.num_classes, (
-                f"label {int(y.max())} out of vocabulary "
-                f"[0, {self.cfg.num_classes})")
+            # both bounds: a negative label would be silently clamped by
+            # JAX's gather semantics into a wrong class (review finding)
+            assert 0 <= int(y.min()) and int(y.max()) < self.cfg.num_classes, (
+                f"label out of vocabulary [0, {self.cfg.num_classes}): "
+                f"{y.tolist()}")
         if cond is not None:
             cond = np.asarray(cond, np.float32)
             assert self.cfg.cond_channels, "engine is not concat-conditioned"

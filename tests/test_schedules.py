@@ -243,3 +243,25 @@ class TestUniformSpacingEdge:
         sched = S.make_schedule(1000)
         dd = S.make_ddim_schedule(sched, 3)  # must not raise
         assert np.all(np.isfinite(dd.sigmas))
+
+
+class TestTrailingEdgeCases:
+    def test_no_step_count_produces_negative_or_extra_steps(self):
+        """Regression (review finding): arange-by-float-stride yielded S+1
+        entries incl. timestep -1 for e.g. T=1000,S=61 (NaN sigmas on ZTSNR
+        schedules); trailing must give exactly S in-range unique steps for
+        every S."""
+        for T in (50, 100, 1000):
+            for S_ in range(1, min(T, 130) + 1):
+                steps = S.make_ddim_timesteps("trailing", S_, T)
+                assert steps.shape == (S_,), (T, S_, steps.shape)
+                assert steps.min() >= 0 and steps.max() == T - 1, (T, S_)
+                assert len(np.unique(steps)) == S_, (T, S_)
+
+    def test_ztsnr_trailing_61_steps_finite(self):
+        """The exact reproduced failure: T=1000 ZTSNR, 61 trailing steps."""
+        sched = S.make_schedule(1000, zero_terminal_snr=True)
+        dd = S.make_ddim_schedule(sched, 61, method="trailing")
+        assert np.all(np.isfinite(dd.sigmas))
+        assert np.all(np.isfinite(dd.alphas_prev))
+        assert dd.timesteps.min() >= 0

@@ -461,3 +461,12 @@ class TestReloadAndLatencyStats:
         finally:
             srv.shutdown()
             batcher.shutdown()
+
+
+class TestNegativeLabelRejected:
+    def test_negative_label_is_an_error(self):
+        eng = _FakeEngine(batch_size=4, num_classes=3)
+        batcher = BatchingEngine(eng)
+        with pytest.raises(AssertionError, match="out of vocabulary"):
+            batcher.submit(1, y=[-1])
+        batcher.shutdown()

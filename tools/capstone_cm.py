@@ -97,10 +97,11 @@ def main():
         t0 = time.time()
         bs = C.BATCH
 
-        jgen = jax.jit(lambda k: diffusion.ddim_sample(
-            fn_of(teacher), k, bs, num_steps=25, dtype=dtype).x)
+        # teacher threaded as a jit arg (remote-compile 413, CLAUDE.md)
+        jgen = jax.jit(lambda tp, k: diffusion.ddim_sample(
+            fn_of(tp), k, bs, num_steps=25, dtype=dtype).x)
         pool = np.concatenate([
-            np.asarray(jgen(jax.random.PRNGKey(500 + i)), np.float32)
+            np.asarray(jgen(teacher, jax.random.PRNGKey(500 + i)), np.float32)
             for i in range(-(-args.n_pool // bs))])[:args.n_pool]
         print(f"{len(pool)} teacher DDIM-25 pool samples in "
               f"{time.time()-t0:.1f}s", flush=True)
@@ -112,13 +113,12 @@ def main():
             1e-6)
         tx = optax.adamw(sched)
         opt = tx.init(student)
-        teacher_fn = fn_of(teacher)
 
         @jax.jit
-        def jstep(student, target, opt, rng, x0):
+        def jstep(student, target, teacher_p, opt, rng, x0):
             loss, grads = jax.value_and_grad(
                 lambda sp: cd.distill_loss(fn_of(sp), fn_of(target),
-                                           teacher_fn, rng, x0))(student)
+                                           fn_of(teacher_p), rng, x0))(student)
             up, opt = tx.update(grads, opt, student)
             student = optax.apply_updates(student, up)
             target = ConsistencyDistillation.update_target(target, student,
@@ -131,7 +131,8 @@ def main():
         for i in range(args.distill_steps):
             key, k = jax.random.split(key)
             idx = drng.integers(0, len(pool), C.BATCH)
-            student, target, opt, loss = jstep(student, target, opt, k,
+            student, target, opt, loss = jstep(student, target, teacher,
+                                               opt, k,
                                                jnp.asarray(pool[idx]))
             if (i + 1) % 1000 == 0:
                 print(f"distill {i+1}/{args.distill_steps} "

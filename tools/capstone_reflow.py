@@ -103,6 +103,9 @@ def main():
     fm = FlowMatching.create(image_size=SIZE, in_channels=3)
     model, teacher = load_params(TEACHER_CKPT, args.model)
     fn_of = lambda p: (lambda x, t, c, y: model.apply(p, x, t, cond=c, y=y))
+    # 5-arg form for the threaded-params jit paths (a closed-over tree is
+    # the remote-compile HTTP-413 failure mode, CLAUDE.md)
+    apply5 = lambda p, x, t, c, y: model.apply(p, x, t, cond=c, y=y)
 
     # real-side features for KID (same protocol as capstone_dit_flow)
     ds = SyntheticEO(size=SIZE, length=N_EVAL, data_range=(-1.0, 1.0), seed=0)
@@ -114,10 +117,10 @@ def main():
 
     if not args.skip_distill:
         t0 = time.time()
-        eps, x1 = generate_couplings(fm, fn_of(teacher), jax.random.PRNGKey(0),
+        eps, x1 = generate_couplings(fm, apply5, jax.random.PRNGKey(0),
                                      args.n_pairs, num_steps=args.pair_steps,
                                      method="heun", batch_size=BATCH,
-                                     dtype=jnp.bfloat16)
+                                     dtype=jnp.bfloat16, params=teacher)
         results["coupling_s"] = time.time() - t0
         print(f"{args.n_pairs} couplings in {results['coupling_s']:.1f}s")
 
@@ -148,35 +151,36 @@ def main():
 
     # functionals on held-out noise (teacher-transport reference)
     held = jax.random.normal(jax.random.PRNGKey(99), (64, SIZE, SIZE, 3))
-    held_x1 = fm.sample(fn_of(teacher), jax.random.PRNGKey(0), 64,
-                        num_steps=32, method="heun", x_T=held,
-                        dtype=jnp.bfloat16).x
+    jtransport = jax.jit(lambda p, xT: fm.sample(
+        (lambda x, t, c, y: model.apply(p, x, t, cond=c, y=y)),
+        jax.random.PRNGKey(0), 64, num_steps=32, method="heun", x_T=xT,
+        dtype=jnp.bfloat16).x)
+    held_x1 = jtransport(teacher, held)
     for tag, p in (("teacher", teacher), ("student", student)):
-        fn = fn_of(p)
-        x1s = (held_x1 if tag == "teacher" else
-               fm.sample(fn, jax.random.PRNGKey(0), 64, num_steps=32,
-                         method="heun", x_T=held, dtype=jnp.bfloat16).x)
-        r = {"straightness": float(straightness(fm, fn, held, x1s))}
+        x1s = held_x1 if tag == "teacher" else jtransport(p, held)
+        r = {"straightness": float(straightness(fm, apply5, held, x1s,
+                                                params=p))}
         for k in (1, 2, 4):
-            r[f"euler{k}_gap"] = float(endpoint_gap(fm, fn, held, few_steps=k,
-                                                    dtype=jnp.bfloat16))
+            r[f"euler{k}_gap"] = float(endpoint_gap(fm, apply5, held,
+                                                    few_steps=k,
+                                                    dtype=jnp.bfloat16,
+                                                    params=p))
         print(f"[{tag}] " + "  ".join(f"{k}={v:.4f}" for k, v in r.items()))
         results[tag] = r
 
     # KID + wall-clock at few-step configs, both models
     for tag, p in (("teacher", teacher), ("student", student)):
-        fn = fn_of(p)
         for label, steps, method in (("euler1", 1, "euler"),
                                      ("euler2", 2, "euler"),
                                      ("euler4", 4, "euler"),
                                      ("heun8", 8, "heun")):
-            j = jax.jit(lambda r: fm.sample(
-                fn, r, BATCH, num_steps=steps, method=method,
+            j = jax.jit(lambda pp, r, steps=steps, method=method: fm.sample(
+                fn_of(pp), r, BATCH, num_steps=steps, method=method,
                 dtype=jnp.bfloat16).x.astype(jnp.float32))
             feats, ims, t_steady = [], [], None
             for i in range(N_EVAL // BATCH):
                 t0 = time.time()
-                x = np.asarray(j(jax.random.PRNGKey(200 + i)), np.float32)
+                x = np.asarray(j(p, jax.random.PRNGKey(200 + i)), np.float32)
                 _ = float(x.sum())  # host fetch: real completion barrier
                 if i == 1:
                     t_steady = time.time() - t0
