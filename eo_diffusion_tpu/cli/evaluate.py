@@ -53,7 +53,9 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
     extractor returns ``(feats, probs)`` per batch)."""
     import numpy as np
 
-    from eo_diffusion_tpu.utils.metrics import FrechetDistance, inception_score, kid
+    from eo_diffusion_tpu.utils.metrics import (FrechetDistance,
+                                                 density_coverage,
+                                                 inception_score, kid)
 
     fd = FrechetDistance(None if with_logits else extractor)
     probs = []
@@ -69,11 +71,17 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
             fd.update_real(real[i : i + batch])
         for i in range(0, len(fake), batch):
             fd.update_fake(fake[i : i + batch])
-    kid_mean, kid_std = kid(np.concatenate(fd._real), np.concatenate(fd._fake))
+    rf, ff = np.concatenate(fd._real), np.concatenate(fd._fake)
+    kid_mean, kid_std = kid(rf, ff)
+    # density (fidelity-like) / coverage (diversity-like): separates what
+    # FID/KID conflate; mode collapse reads high density + low coverage
+    density, coverage = density_coverage(rf, ff, k=min(5, len(rf) - 1))
     out = {
         "frechet_distance": fd.compute(),
         "kid_mean": kid_mean,
         "kid_std": kid_std,
+        "density": density,
+        "coverage": coverage,
         "n_real": len(real),
         "n_fake": len(fake),
     }

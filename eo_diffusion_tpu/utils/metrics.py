@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["ssim", "psnr", "FrechetDistance", "tiny_feature_extractor",
-           "inception_score", "kid"]
+           "inception_score", "kid", "density_coverage"]
 
 
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
@@ -203,3 +203,30 @@ def inception_score(probs: np.ndarray, splits: int = 10) -> tuple:
         kl = (part * (np.log(part + 1e-12) - np.log(py + 1e-12))).sum(1)
         scores.append(np.exp(kl.mean()))
     return float(np.mean(scores)), float(np.std(scores))
+
+
+def density_coverage(real_feats: np.ndarray, fake_feats: np.ndarray,
+                     k: int = 5) -> tuple:
+    """Density & coverage (Naeem et al. 2020, arXiv:2002.09797;
+    beyond-reference — the reference evaluates FID/IS only).
+
+    FID/KID conflate fidelity and diversity into one number; density
+    (how many real-manifold kNN balls each fake sample falls inside,
+    fidelity-like, can exceed 1) and coverage (the fraction of real
+    samples whose kNN ball contains at least one fake, diversity-like,
+    in [0, 1]) separate them — a mode-collapsed generator reads high
+    density / low coverage. O(N*M) pairwise distances in numpy: feature
+    sets here are hundreds of rows, not worth a device program.
+    """
+    real = np.asarray(real_feats, np.float64)
+    fake = np.asarray(fake_feats, np.float64)
+    assert real.ndim == fake.ndim == 2 and real.shape[1] == fake.shape[1]
+    assert 1 <= k < len(real), (k, len(real))
+    d_rr = np.linalg.norm(real[:, None] - real[None], axis=-1)  # [N, N]
+    # k-th NN radius per real point (excluding self: column 0 is 0)
+    radii = np.sort(d_rr, axis=1)[:, k]
+    d_fr = np.linalg.norm(fake[:, None] - real[None], axis=-1)  # [M, N]
+    inside = d_fr <= radii[None]  # fake j inside real i's ball
+    density = float(inside.sum() / (k * len(fake)))
+    coverage = float(inside.any(axis=0).mean())
+    return density, coverage

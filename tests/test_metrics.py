@@ -119,3 +119,32 @@ class TestKID:
         far, _ = M.kid(a, c, subset_size=50)
         assert far > near
         assert far > 1.0
+
+
+class TestDensityCoverage:
+    """Naeem et al. 2020 density/coverage (beyond-reference metric)."""
+
+    def test_matched_distributions_near_one(self):
+        import numpy as np
+
+        from eo_diffusion_tpu.utils.metrics import density_coverage
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(256, 16))
+        b = rng.normal(size=(256, 16))
+        d, c = density_coverage(a, b)
+        assert 0.7 < d < 1.3 and c > 0.85, (d, c)
+
+    def test_mode_collapse_reads_low_coverage(self):
+        import numpy as np
+
+        from eo_diffusion_tpu.utils.metrics import density_coverage
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(256, 16))
+        collapsed = np.tile(a[:1], (256, 1)) + 0.01 * rng.normal(size=(256, 16))
+        d, c = density_coverage(a, collapsed)
+        assert c < 0.1, c  # diversity axis catches it
+        far = rng.normal(size=(256, 16)) + 100.0
+        d2, c2 = density_coverage(a, far)
+        assert d2 == 0.0 and c2 == 0.0
