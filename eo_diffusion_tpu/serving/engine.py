@@ -54,6 +54,10 @@ class ServingConfig:
     batch_window_ms: float = 20.0
     request_timeout_s: float = 300.0
     max_queue: int = 256
+    # per-request image cap: n > batch_size streams through ceil(n/B) device
+    # batches (one compiled program, no reshapes); this bounds how much work
+    # one API call can pin the worker with
+    max_request: int = 1024
     # shard each device batch over all visible chips ('data' mesh axis):
     # the samplers are pure jitted scans, so multi-chip serving is one
     # out_sharding — GSPMD partitions the whole trajectory with zero
@@ -170,6 +174,10 @@ class _Request:
     y: Optional[np.ndarray]  # [n] int32 or None
     cond: Optional[np.ndarray]  # [n, H, W, Cc] or None
     seed: Optional[int]
+    # chunk index of a streamed (n > B) seeded request: the device key is
+    # fold_in(PRNGKey(seed), fold). None = plain PRNGKey(seed), so chunk 0
+    # of a streamed request is byte-identical to a solo n<=B request
+    fold: Optional[int] = None
     done: threading.Event = dataclasses.field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
@@ -183,7 +191,9 @@ class BatchingEngine:
     the first request opens a ``batch_window_ms`` window; requests arriving
     inside it join until the rows are full. Seeded requests are never
     packed with others (reproducibility contract) — they run as their own
-    batch keyed by ``PRNGKey(seed)``.
+    batch keyed by ``PRNGKey(seed)``. Requests larger than ``B`` stream
+    through multiple device batches (see :meth:`submit`); ``stats()``
+    counts each streamed chunk as one request at the device layer.
     """
 
     _STOP = object()
@@ -205,9 +215,20 @@ class BatchingEngine:
     # -- public --------------------------------------------------------------
     def submit(self, n: int, y=None, cond=None,
                seed: Optional[int] = None) -> np.ndarray:
+        """Sample ``n`` images; blocks until the rows come back.
+
+        ``n > batch_size`` streams: the request is split into ceil(n/B)
+        chunk requests enqueued together, so the worker runs them
+        back-to-back through the one compiled program (full-B chunks fill a
+        device batch outright; an unseeded remainder coalesces with other
+        callers as usual). Seeded streams stay reproducible — chunk i runs
+        solo under ``fold_in(PRNGKey(seed), i)`` (chunk 0 under the plain
+        key, so its bytes match an n<=B request with the same seed).
+        """
         t0 = time.time()
         B = self.engine.batch_size
-        assert 1 <= n <= B, f"n must be in [1, batch_size={B}], got {n}"
+        assert 1 <= n <= self.cfg.max_request, (
+            f"n must be in [1, max_request={self.cfg.max_request}], got {n}")
         if y is not None:
             y = np.asarray(y, np.int32).reshape(n)
             assert self.cfg.num_classes, "engine is not class-conditional"
@@ -222,17 +243,39 @@ class BatchingEngine:
             want = (n, self.engine.image_size, self.engine.image_size,
                     self.cfg.cond_channels)
             assert cond.shape == want, (cond.shape, want)
-        req = _Request(n=n, y=y, cond=cond, seed=seed)
-        self._q.put(req, timeout=self.cfg.request_timeout_s)
-        if not req.done.wait(self.cfg.request_timeout_s):
+        reqs = []
+        off = 0
+        while off < n:
+            k = min(B, n - off)
+            reqs.append(_Request(
+                n=k,
+                y=None if y is None else y[off:off + k],
+                cond=None if cond is None else cond[off:off + k],
+                seed=seed,
+                fold=(off // B if seed is not None and off else None)))
+            off += k
+        for req in reqs:
+            self._q.put(req, timeout=self.cfg.request_timeout_s)
+        # one shared deadline for the whole request, not per chunk
+        deadline = t0 + self.cfg.request_timeout_s
+        error = timed_out = None
+        for req in reqs:
+            if not req.done.wait(max(deadline - time.time(), 0.0)):
+                timed_out = True
+                break  # later chunks can't have finished in order anyway
+            if req.error is not None and error is None:
+                error = req.error
+        if timed_out:
             raise TimeoutError(f"sampling did not finish within "
                                f"{self.cfg.request_timeout_s}s")
-        if req.error is not None:
-            raise req.error
+        if error is not None:
+            raise error
         self._lat_ms.append((time.time() - t0) * 1e3)
         if len(self._lat_ms) > 1024:  # bounded window for the percentiles
             del self._lat_ms[:512]
-        return req.result
+        if len(reqs) == 1:
+            return reqs[0].result
+        return np.concatenate([r.result for r in reqs], axis=0)
 
     def stats(self) -> dict:
         lat = sorted(self._lat_ms)
@@ -301,6 +344,8 @@ class BatchingEngine:
             off += r.n
         if group[0].seed is not None:
             key = jax.random.PRNGKey(group[0].seed)
+            if group[0].fold is not None:  # streamed chunk i>0 of a seeded
+                key = jax.random.fold_in(key, group[0].fold)  # request
         else:
             key = jax.random.fold_in(self._base_key, self._batches)
         t0 = time.time()

@@ -7,7 +7,9 @@ Endpoints (all JSON):
   ``n`` optional. Returns ``{"images": [<base64 png>, ...]}`` (one entry
   per sample, values rescaled to the dataset range) or
   ``{"npy_b64": <base64 .npy>}`` with the raw float32 ``[n, H, W, C]``
-  model-range array.
+  model-range array. ``n`` may exceed the engine batch size (up to
+  ``ServingConfig.max_request``): the batcher streams the request through
+  multiple device batches and returns the concatenated rows.
 * ``GET /healthz`` — liveness + the engine's fixed sampler configuration.
 * ``GET /stats`` — request/image/batch counters, request latency
   percentiles, and the mean device-batch latency.

@@ -115,11 +115,45 @@ class TestBatching:
         assert r.shape[0] == 2
         with pytest.raises(AssertionError, match="out of vocabulary"):
             batcher.submit(1, y=[7])
-        with pytest.raises(AssertionError, match="batch_size"):
-            batcher.submit(99)
+        with pytest.raises(AssertionError, match="max_request"):
+            batcher.submit(eng.cfg.max_request + 1)
         batcher.shutdown()
         y0 = eng.calls[0][0]
         assert list(y0[:2]) == [2, 1] and list(y0[2:]) == [0] * 4  # padded
+
+    def test_large_request_streams_over_batches(self):
+        """n > B streams through ceil(n/B) device batches; labels follow
+        their rows across chunk boundaries."""
+        eng = _FakeEngine(batch_size=4, num_classes=12)
+        batcher = BatchingEngine(eng)
+        labels = list(range(10))
+        out = batcher.submit(10, y=labels)
+        batcher.shutdown()
+        assert out.shape[0] == 10
+        assert len(eng.calls) == 3  # 4 + 4 + 2
+        routed = np.concatenate([eng.calls[0][0], eng.calls[1][0],
+                                 eng.calls[2][0][:2]])
+        assert list(routed) == labels
+        # row identities prove result order: chunk b contributes its own
+        # batch index in [0,0,0] and row index in [0,1,0]
+        assert [int(out[i][0, 0, 0]) for i in (0, 4, 8)] == [0, 1, 2]
+        assert [int(out[i][0, 1, 0]) for i in (0, 5, 9)] == [0, 1, 1]
+        st = batcher.stats()
+        assert st["images"] == 10 and st["batches"] == 3
+
+    def test_seeded_stream_reproduces_and_prefixes(self):
+        """A seeded n>B request is reproducible, and its first chunk uses
+        the plain PRNGKey(seed) — the same bytes an n<=B request gets."""
+        eng = _FakeEngine(batch_size=4)
+        batcher = BatchingEngine(eng)
+        a = batcher.submit(10, seed=123)
+        b = batcher.submit(10, seed=123)
+        solo = batcher.submit(4, seed=123)
+        batcher.shutdown()
+        # the fake engine echoes the key's last word into [0,0,2,0]
+        np.testing.assert_array_equal(a[:, 0, 2, 0], b[:, 0, 2, 0])
+        assert a[0, 0, 2, 0] == solo[0, 0, 2, 0]  # chunk-0 key == solo key
+        assert a[4, 0, 2, 0] != a[0, 0, 2, 0]  # later chunks fold the index
 
     def test_engine_error_propagates(self):
         eng = _FakeEngine(batch_size=4)
@@ -172,6 +206,17 @@ class TestEngineEndToEnd:
         b = batcher.submit(1, seed=7)
         np.testing.assert_array_equal(a, b)
 
+    def test_streaming_through_real_sampler(self, tiny_serving):
+        """n > batch_size through the real compiled sampler: right shape,
+        finite, and the seeded stream's first chunk matches a solo batch."""
+        engine, batcher, preset = tiny_serving
+        B = engine.batch_size
+        out = batcher.submit(B + 2, seed=11)
+        assert out.shape == (B + 2, preset.image_size, preset.image_size, 3)
+        assert np.isfinite(out).all()
+        solo = batcher.submit(B, seed=11)
+        np.testing.assert_array_equal(out[:B], solo)
+
 
 class TestHTTP:
     @pytest.fixture(scope="class")
@@ -223,8 +268,8 @@ class TestHTTP:
         assert arr.shape == (1, 8, 8, 3) and np.isfinite(arr).all()
 
     def test_bad_request_is_400(self, server):
-        code, resp = self._post(server, {"n": 99})
-        assert code == 400 and "batch_size" in resp["error"]
+        code, resp = self._post(server, {"n": 2000})
+        assert code == 400 and "max_request" in resp["error"]
         code, resp = self._post(server, {"n": 1, "y": [0]})
         assert code == 400  # engine is unconditional
 
