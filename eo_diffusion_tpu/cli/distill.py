@@ -18,6 +18,12 @@ inference.py:27):
   samples, the student learns f(x_t, t) -> x0 against its slow-EMA target
   along teacher ODE steps. Serve with ``cli/inference.py --sampler cm
   --sampler_steps 1..4``.
+
+Both methods compose with latent presets: everything runs on the inner
+latent grid (couplings / the x0 pool are latents), the first stage is never
+loaded here, and the student decodes through ``--ae_ckpt`` at inference —
+latent consistency students pair with ``--sigma_data 1.0`` (scaled latents
+are ~unit std).
 """
 
 from __future__ import annotations
@@ -42,6 +48,10 @@ def parse_args(argv=None):
                    help="consistency: grid points over the teacher chain")
     p.add_argument("--huber_c", type=float, default=0.0,
                    help="consistency: pseudo-Huber c (0 = squared L2)")
+    p.add_argument("--sigma_data", type=float, default=0.5,
+                   help="consistency: data std for the boundary "
+                        "coefficients (pixel data in [-1,1] ~ 0.5; latent "
+                        "presets scale latents to ~unit std, use 1.0)")
     p.add_argument("--target_decay", type=float, default=0.95,
                    help="consistency: slow-EMA target network decay")
     p.add_argument("--dir", type=str, default="results/distill",
@@ -222,14 +232,23 @@ def _consistency_main(args, preset):
     from eo_diffusion_tpu.train.checkpoint import restore_params, save_checkpoint
     from eo_diffusion_tpu.train.trainer import TrainState
 
-    assert not preset.is_latent, (
-        "consistency distillation of latent presets is not wired (the x0 "
-        "pool would need first-stage decode/encode); use pixel presets")
     if args.image_size:
         preset.image_size = args.image_size
     batch_size = args.batch_size or preset.batch_size
+    # build_process returns the INNER chain on the model-facing grid (the
+    # latent grid for latent presets). Like ReFlow above, the whole
+    # distillation runs in that space — the x0 pool is teacher DDIM samples,
+    # which for latent presets ARE latents, so the first stage is never
+    # touched here. The student serves through cli/inference.py --sampler cm
+    # (+ --ae_ckpt), which decodes exactly as it did for the teacher.
     diffusion = build_process(preset, preset.timesteps, preset.image_size,
                               cond_type=None)
+    if preset.is_latent:
+        print(f"latent preset: consistency-distilling the inner chain on "
+              f"the {diffusion.image_size}x{diffusion.image_size}x"
+              f"{diffusion.in_channels} latent grid (sigma_data="
+              f"{args.sigma_data}; scaled latents are ~unit std — "
+              f"consider --sigma_data 1.0)")
     mcfg = preset.model_config(bf16=not args.no_bf16)
     model = build_denoiser(mcfg)
     size, chans = diffusion.image_size, diffusion.in_channels
@@ -247,7 +266,8 @@ def _consistency_main(args, preset):
     dtype = jnp.float32 if args.no_bf16 else jnp.bfloat16
     rng = jax.random.PRNGKey(args.seed)
     cd = ConsistencyDistillation.create(diffusion, n_points=args.cd_points,
-                                        huber_c=args.huber_c)
+                                        huber_c=args.huber_c,
+                                        sigma_data=args.sigma_data)
 
     # x0 pool: teacher DDIM samples (data-free distillation). The teacher
     # tree is THREADED as a jit argument everywhere below — closing over it

@@ -60,6 +60,9 @@ def parse_args(argv=None):
     parser.add_argument("--cd_points", type=int, default=18,
                         help="cm sampler: consistency grid points (must "
                              "match distillation)")
+    parser.add_argument("--sigma_data", type=float, default=0.5,
+                        help="cm sampler: data std for the boundary "
+                             "coefficients (must match distillation)")
     parser.add_argument("--flow_method", type=str, default="euler",
                         choices=["euler", "heun"],
                         help="flow sampler integrator (heun = 2nd order, "
@@ -194,8 +197,6 @@ def main(args):
         f"trained the DDPM chain (use ddpm/ddim/dpm)")
     assert not (args.sampler == "cm" and args.deepcache > 1), (
         "cm is already 1-4 evaluations; DeepCache does not apply")
-    assert not (args.sampler == "cm" and preset.is_latent), (
-        "cm on latent presets is not wired (distill pixel-space students)")
     assert not (args.sampler == "cm" and cond_type == "sum"), (
         "cm has no RePaint mask plumbing; cond_type='sum' metrics would "
         "silently compare unconditional samples against gt (use ddim/dpm)")
@@ -335,8 +336,16 @@ def main(args):
                 ConsistencyDistillation,
             )
 
-            cd = ConsistencyDistillation.create(diffusion,
-                                                n_points=args.cd_points)
+            # latent presets: the student was distilled on the INNER chain
+            # (cli/distill.py runs entirely on the latent grid), so cm hops
+            # happen in latent space and the first stage decodes the result
+            # — same division as every other sampler, done here explicitly
+            # because ConsistencyDistillation reads schedule tables the
+            # LatentDiffusion wrapper doesn't forward
+            inner = diffusion.diffusion if preset.is_latent else diffusion
+            cd = ConsistencyDistillation.create(inner,
+                                                n_points=args.cd_points,
+                                                sigma_data=args.sigma_data)
 
             # one jitted program with params THREADED (a closed-over tree
             # is the HTTP-413 remote-compile failure mode, CLAUDE.md), and
@@ -345,8 +354,11 @@ def main(args):
             def _cm_run(params, rng, cc, yy):
                 fn = lambda x, t, c, yv: model.apply(params, x, t,
                                                      cond=c, y=yv)
-                return cd.sample(fn, rng, bsz, steps=args.sampler_steps,
-                                 cond=cc, y=yy).x
+                if preset.is_latent and cc is not None:
+                    cc = diffusion.encode(cc)  # cond rides the first stage
+                z = cd.sample(fn, rng, bsz, steps=args.sampler_steps,
+                              cond=cc, y=yy).x
+                return diffusion.decode(z) if preset.is_latent else z
 
             out_x = jax.jit(_cm_run)(
                 ema_params, srng,

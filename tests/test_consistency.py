@@ -224,6 +224,55 @@ class TestConsistencyCLI:
         assert np.isfinite(
             np.asarray(PIL.Image.open(sorted(pngs)[0]))).all()
 
+    def test_latent_consistency_distill(self, tmp_path):
+        """Latent DDPM preset: the x0 pool is teacher samples ON the latent
+        grid (no AE in the distill CLI at all); the cm student serves
+        through the inference CLI, which decodes with the teacher's first
+        stage."""
+        import os
+
+        from eo_diffusion_tpu.cli import distill as distill_cli
+        from eo_diffusion_tpu.cli import inference as infer_cli
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-latent", "--epochs", "1",
+                "--steps_per_epoch", "3", "--batch_size", "8",
+                "--dir", "res_lcm", "--sample_every", "0",
+                "--save_every", "3", "--log_freq", "1",
+            ]))
+            ckpt_root = os.path.join(str(tmp_path), "logs", "res_lcm")
+            step = sorted(d for d in os.listdir(ckpt_root)
+                          if d.startswith("steps_"))[-1]
+
+            ddir = str(tmp_path / "distill_lcm")
+            res = distill_cli.main(distill_cli.parse_args([
+                "--preset", "tiny-latent", "--method", "consistency",
+                "--ckpt", os.path.join(ckpt_root, step), "--dir", ddir,
+                "--n_pairs", "16", "--pair_steps", "4", "--steps", "6",
+                "--batch_size", "8", "--cd_points", "5", "--eval_n", "8",
+                "--few_steps", "1", "--sigma_data", "1.0", "--no_bf16",
+            ]))
+            assert np.isfinite(res["student"]["cm1_gap"])
+
+            outdir = str(tmp_path / "infer_lcm")
+            infer_cli.main(infer_cli.parse_args([
+                "--preset", "tiny-latent", "--ckpt",
+                os.path.join(ddir, "student"),
+                "--ae_ckpt", os.path.join(ckpt_root, "ae"),
+                "--sampler", "cm", "--sampler_steps", "2",
+                "--cd_points", "5", "--sigma_data", "1.0",
+                "--save", "--samples_fid", "--n_iter", "0",
+                "--batch_size", "4", "--outdir", outdir,
+            ]))
+            fid_files = os.listdir(os.path.join(outdir, "samples_fid"))
+            assert fid_files
+        finally:
+            os.chdir(cwd)
+
     def test_method_process_mismatch_rejected(self):
         from eo_diffusion_tpu.cli import distill as distill_cli
 
