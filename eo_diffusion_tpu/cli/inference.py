@@ -101,7 +101,8 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def _build_cond(batch, cond_type, image_size, random_label=False, mask_rng=None):
+def _build_cond(batch, cond_type, image_size, random_label=False, mask_rng=None,
+                sr_factor=0):
     """Build (cond, mask) for one test batch.
 
     Mirrors reference inference.py:98-109 -- mask inversion for
@@ -109,10 +110,17 @@ def _build_cond(batch, cond_type, image_size, random_label=False, mask_rng=None)
     mask, (image|mask) channel-concat -- extended with the paired-view path:
     when the dataset supplies a "cond_image" (e.g. the cloudy SEN12MS-CR S2
     view), that image IS the concat conditioning and there is no mask.
+    ``sr_factor`` presets condition on the degraded view of the ground
+    truth itself (data/transforms.sr_cond), so the loop's SSIM/PSNR become
+    a true super-resolution reconstruction score.
     """
     if cond_type is None:
         return None, None
     image = np.asarray(batch["image"], np.float32)
+    if cond_type == "concat" and sr_factor:
+        from eo_diffusion_tpu.data.transforms import sr_cond
+
+        return sr_cond(image, sr_factor), None
     if cond_type == "concat" and "cond_image" in batch:
         return np.asarray(batch["cond_image"], np.float32), None
     mask = (np.asarray(batch["segmentation"], np.float32)
@@ -158,7 +166,8 @@ def main(args):
         fkw["image_size"] = image_size
         fkw["channels"] = preset.in_channels
         if cond_type == "concat":
-            fkw["with_cond_image"] = True  # synthetic cloudy view as cond
+            if not preset.sr_factor:  # SR presets derive cond from gt
+                fkw["with_cond_image"] = True  # synthetic cloudy view as cond
         fkw.pop("test")
     _, test_loader = factory(**fkw)
     data_range = test_loader.dataset.data_range
@@ -168,7 +177,8 @@ def main(args):
     # image|mask is 4. Peeking dataset[0] directly avoids spinning up (and
     # abandoning) a prefetch worker + a full decoded batch just for a shape.
     peek_item = {k: np.asarray(v)[None] for k, v in test_loader.dataset[0].items()}
-    peek_cond, _ = _build_cond(peek_item, cond_type, image_size)
+    peek_cond, _ = _build_cond(peek_item, cond_type, image_size,
+                               sr_factor=preset.sr_factor)
     has_cond = cond_type == "concat" and peek_cond is not None
     # latent presets: concat cond is first-stage-encoded -> latent_channels
     cond_channels = ((preset.latent_channels if preset.is_latent
@@ -273,7 +283,8 @@ def main(args):
         image = np.asarray(batch["image"], np.float32)
         bsz = image.shape[0]
         cond, mask = _build_cond(batch, cond_type, image_size,
-                                 random_label=args.random_label, mask_rng=mask_rng)
+                                 random_label=args.random_label, mask_rng=mask_rng,
+                                 sr_factor=preset.sr_factor)
 
         # class rotation like inference.py:110 (guarded: the reference
         # divides by zero when num_classes == 1)

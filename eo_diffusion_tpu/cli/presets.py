@@ -58,6 +58,14 @@ class Preset:
     # --ddim_spacing trailing at inference so sampling starts at t=T-1
     objective: str = "eps"  # "eps" | "x0" | "v"
     zero_terminal_snr: bool = False
+    # super-resolution stage (reference SuperResModel capability,
+    # backbones/unet.py:828-842, generalized to an end-to-end recipe):
+    # sr_factor > 0 makes this a concat-conditioned SR model — the CLIs
+    # derive the conditioning as data.transforms.sr_cond(image, factor)
+    # (avg-pool degrade, nearest-upsample back), so ANY dataset trains an
+    # SR stage and cli/cascade.py chains it behind a base preset whose
+    # image_size * sr_factor matches
+    sr_factor: int = 0
 
     @property
     def is_latent(self) -> bool:
@@ -209,6 +217,15 @@ PRESETS = {
                            patch_size=4, depth=2, process="edm"),
     "tiny-flow": Preset("tiny-flow", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
                         batch_size=16, process="flow"),
+    # super-resolution stages (SuperResModel capability as a recipe):
+    # sr64-256 upsamples a 64px base 4x (cascade partner: synthetic64);
+    # tiny-sr upsamples 2x from 8px (cascade partner: tiny)
+    "sr64-256": Preset("sr64-256", "synthetic", 256, 3, 128, (1, 2, 3, 4),
+                       (4, 8), 2, 8, cond_type="concat", batch_size=16,
+                       sr_factor=4),
+    "tiny-sr": Preset("tiny-sr", "synthetic", 16, 3, 32, (1, 2), (), 1, 1,
+                      cond_type="concat", timesteps=50, batch_size=16,
+                      sr_factor=2),
     # latent rectified flow (FlowMatching inside LatentDiffusion): 16px
     # pixels -> 8x8x4 latents, ODE sampling in latent space
     "tiny-latent-flow": Preset("tiny-latent-flow", "synthetic", 16, 3, 32,

@@ -153,8 +153,9 @@ def main(args):
     if dataset == "synthetic":
         fkw["image_size"] = image_size
         fkw["channels"] = preset.in_channels
-        if cond_type == "concat":
+        if cond_type == "concat" and not preset.sr_factor:
             fkw["with_cond_image"] = True  # synthetic cloudy view as cond
+            # (SR presets derive cond from the image itself instead)
     train_loader, test_loader = factory(**fkw)
     steps_per_epoch = len(train_loader)
     if args.steps_per_epoch:
@@ -165,7 +166,7 @@ def main(args):
     # UNet stays unconditional. "concat" feeds the dataset's cond channels in
     # (paired image like SEN12MS-CR cloudy view, or image|mask).
     first = next(iter(train_loader))
-    batch0 = _to_model_batch(first, cond_type)
+    batch0 = _to_model_batch(first, cond_type, sr_factor=preset.sr_factor)
     has_cond = cond_type == "concat" and "cond" in batch0
     # latent presets: the concat cond rides the first stage too, so the UNet
     # sees latent_channels of conditioning, not the pixel cond width
@@ -252,7 +253,7 @@ def main(args):
         for j, batch in enumerate(train_loader):
             if j >= steps_per_epoch:
                 break
-            mb = _to_model_batch(batch, cond_type)
+            mb = _to_model_batch(batch, cond_type, sr_factor=preset.sr_factor)
             state, metrics = trainer.step(state, mb)
             global_steps += 1
             loss = float(metrics["loss"])
@@ -357,21 +358,28 @@ def _latent_first_stage(args, preset, inner, train_loader, ckpt_dir, cond_type):
                            cond_via_encoder=True)
 
 
-def _to_model_batch(batch, cond_type):
+def _to_model_batch(batch, cond_type, sr_factor=0):
     """Build the model batch dict.
 
     * cond_type="sum": cond = (image | 1-mask) channel-concat like
       inference.py:101,109 -- used at sampling time only.
-    * cond_type="concat": cond is either the dataset's paired conditioning
-      image ("cond_image", e.g. the cloudy SEN12MS-CR view) or
-      (image | mask) when only a segmentation is available.
+    * cond_type="concat": cond is either the SR view derived from the image
+      itself (``sr_factor`` presets: avg-pool degrade + nearest-upsample,
+      data/transforms.sr_cond), the dataset's paired conditioning image
+      ("cond_image", e.g. the cloudy SEN12MS-CR view), or (image | mask)
+      when only a segmentation is available.
     """
     out = {"image": batch["image"]}
     if cond_type == "sum" and "segmentation" in batch:
         inv_mask = 1.0 - batch["segmentation"]
         out["cond"] = np.concatenate([batch["image"], inv_mask], axis=-1)
     elif cond_type == "concat":
-        if "cond_image" in batch:
+        if sr_factor:
+            from eo_diffusion_tpu.data.transforms import sr_cond
+
+            out["cond"] = sr_cond(np.asarray(batch["image"], np.float32),
+                                  sr_factor)
+        elif "cond_image" in batch:
             out["cond"] = batch["cond_image"]
         elif "segmentation" in batch:
             out["cond"] = np.concatenate([batch["image"], batch["segmentation"]], axis=-1)

@@ -27,6 +27,8 @@ __all__ = [
     "CenterCrop",
     "Resize",
     "random_rect_mask",
+    "sr_degrade",
+    "sr_cond",
 ]
 
 Array = np.ndarray
@@ -184,3 +186,28 @@ def random_rect_mask(
     label = np.zeros((w, h, 1), np.float32)
     label[x : x + ws, y : y + hs] = 1.0
     return label
+
+
+def sr_degrade(image: Array, factor: int) -> Array:
+    """Average-pool an [N,H,W,C] (or [H,W,C]) batch by ``factor``: the
+    low-res view an SR stage conditions on (beyond-reference — the
+    reference's ``SuperResModel``, backbones/unet.py:828-842, takes the
+    low-res pairing as given; this is the standard bicubic-free degradation
+    that makes any dataset an SR dataset)."""
+    squeeze = image.ndim == 3
+    x = image[None] if squeeze else image
+    n, h, w, c = x.shape
+    assert h % factor == 0 and w % factor == 0, (h, w, factor)
+    x = x.reshape(n, h // factor, factor, w // factor, factor, c)
+    out = x.mean(axis=(2, 4), dtype=np.float32)
+    return out[0] if squeeze else out
+
+
+def sr_cond(image: Array, factor: int) -> Array:
+    """The SR conditioning view: ``sr_degrade`` then nearest-upsample back
+    to the target grid (reference SuperResModel upsamples its low-res input
+    to the model resolution before the channel concat, unet.py:836-839).
+    Shape-preserving, so the cond plumbing (concat channels, preview grids,
+    first-stage encode) needs no SR-specific cases."""
+    low = sr_degrade(image, factor)
+    return np.repeat(np.repeat(low, factor, axis=-3), factor, axis=-2)
