@@ -54,4 +54,7 @@ run cm64 10800 python "$ROOT/tools/capstone_cm.py"
 # serving overhead at the headline protocol
 run serving 3600 python "$ROOT/tools/bench_serving.py"
 
+# super-resolution stage + cascaded generation (base 64px -> SR 128px)
+run sr128 10800 python "$ROOT/tools/capstone_sr.py"
+
 echo "[queue] all done $(date +%H:%M:%S)" | tee -a "$LOGS/queue.log"
