@@ -75,6 +75,13 @@ def parse_args(argv=None):
                              "class_dropout_prob > 0); concat-conditioned "
                              "models guide against a zero conditioning "
                              "image. All samplers support it.")
+    parser.add_argument("--classifier_ckpt", type=str, default=None,
+                        help="classifier guidance (Dhariwal & Nichol 2021): "
+                             "directory written by cli.train_classifier "
+                             "(classifier/ + classifier.json)")
+    parser.add_argument("--classifier_scale", type=float, default=0.0,
+                        help="classifier-guidance gradient scale (>0 "
+                             "enables; needs --classifier_ckpt)")
     parser.add_argument("--deepcache", type=int, default=1, metavar="K",
                         help="DeepCache (arXiv 2312.00858): recompute the deep "
                              "UNet branch only every K sampler steps (K>1 "
@@ -156,6 +163,9 @@ def main(args):
         preset.base_dim = args.model_base_dim
     cond_type = args.cond_type or preset.cond_type
     num_classes = args.num_classes if args.num_classes > 0 else None
+    assert not (args.classifier_scale and not args.classifier_ckpt), (
+        "--classifier_scale needs --classifier_ckpt (train one with "
+        "cli.train_classifier)")
 
 
     factory = DATASET_FACTORIES[dataset]
@@ -262,6 +272,45 @@ def main(args):
         print("loaded!")
 
     model_fn = lambda x, t, c, y: model.apply(ema_params, x, t, cond=c, y=y)
+
+    # classifier guidance (Dhariwal & Nichol 2021): wrap the denoiser with a
+    # noisy-image classifier's input gradient. The reference vendors the
+    # EncoderUNetModel (backbones/unet.py:845+) but never trains or wires
+    # it; cli.train_classifier produces the checkpoint consumed here.
+    classifier_fn, clf_classes = None, 0
+    if args.classifier_ckpt:
+        import json
+
+        from eo_diffusion_tpu.cli.presets import get_preset as _gp
+        from eo_diffusion_tpu.cli.train_classifier import build_classifier
+        from eo_diffusion_tpu.train.checkpoint import restore_params as _rp
+
+        assert not preset.is_latent, (
+            "classifier guidance reads pixels; latent presets are not wired")
+        assert args.sampler in ("ddpm", "ddim", "dpm"), (
+            "classifier guidance steers the DDPM chain via an eps-space "
+            f"gradient; --sampler {args.sampler} does not apply")
+        assert args.deepcache <= 1, (
+            "classifier guidance wraps the plain denoiser fn; it is not "
+            "composed with DeepCache's stateful fn")
+        assert args.guidance_scale == 1.0, (
+            "classifier guidance and classifier-FREE guidance are separate "
+            "steering mechanisms (CFG doubles the batch under the wrapper, "
+            "breaking the classifier's per-sample labels); pick one")
+        with open(os.path.join(args.classifier_ckpt, "classifier.json")) as f:
+            cmeta = json.load(f)
+        clf_preset = _gp(cmeta["preset"])
+        assert clf_preset.image_size == image_size, (
+            f"classifier was trained at {clf_preset.image_size}px "
+            f"(preset {cmeta['preset']}); sampling at {image_size}px")
+        clf_classes = int(cmeta["num_classes"])
+        clf = build_classifier(clf_preset, clf_classes)
+        _, clf_params = _rp(os.path.join(args.classifier_ckpt, "classifier"),
+                            None)
+        classifier_fn = lambda x, t: clf.apply(clf_params, x, t)
+        print(f"classifier guidance: scale={args.classifier_scale}, "
+              f"{clf_classes} classes from {args.classifier_ckpt}")
+
     # per-dataset class vocabulary for samples_fid naming (the reference
     # hardcodes the Inria cities for every dataset, inference.py:110-111)
     from eo_diffusion_tpu.data.datasets import class_names
@@ -342,6 +391,19 @@ def main(args):
                 example_cond=ex_cond,
                 refresh_every=args.deepcache,
             )
+        if classifier_fn is not None and args.classifier_scale:
+            from eo_diffusion_tpu.diffusion.classifier_guidance import (
+                classifier_guided,
+            )
+
+            # unconditional denoisers still get per-batch guidance targets:
+            # rotate through the classifier's vocabulary like the y rotation
+            clf_y = y if y is not None else np.full((bsz,), j % clf_classes)
+            fn_j = classifier_guided(diffusion, fn_j, classifier_fn,
+                                     jnp.asarray(clf_y, jnp.int32),
+                                     scale=args.classifier_scale)
+            if y is None:
+                catg = class_names(dataset, clf_classes)[int(clf_y[0])]
         if args.sampler == "cm":
             from eo_diffusion_tpu.diffusion.consistency import (
                 ConsistencyDistillation,
