@@ -58,6 +58,13 @@ class Preset:
     # --ddim_spacing trailing at inference so sampling starts at t=T-1
     objective: str = "eps"  # "eps" | "x0" | "v"
     zero_terminal_snr: bool = False
+    # Mixture-of-Experts DiT (models/moe.py, beyond-reference): > 0 routes
+    # every moe_every-th block's FFN over num_experts experts (top-k
+    # token-choice, GShard dense dispatch). Train with --ep on a mesh with
+    # a model axis for expert parallelism.
+    num_experts: int = 0
+    moe_top_k: int = 1
+    moe_every: int = 2
     # super-resolution stage (reference SuperResModel capability,
     # backbones/unet.py:828-842, generalized to an end-to-end recipe):
     # sr_factor > 0 makes this a concat-conditioned SR model — the CLIs
@@ -123,6 +130,9 @@ class Preset:
             num_classes=num_classes if num_classes else (self.num_classes or None),
             class_dropout_prob=class_dropout_prob,
             dtype=jnp.bfloat16 if bf16 else jnp.float32,
+            num_experts=self.num_experts,
+            moe_top_k=self.moe_top_k,
+            moe_every=self.moe_every,
         )
 
     def ae_config(self, bf16: bool = False):
@@ -217,6 +227,15 @@ PRESETS = {
                            patch_size=4, depth=2, process="edm"),
     "tiny-flow": Preset("tiny-flow", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
                         batch_size=16, process="flow"),
+    # beyond-reference: Mixture-of-Experts DiT — 8-expert top-1 routed FFN
+    # in every second block (GLaM interleave); sparse capacity scaling with
+    # near-constant per-token FLOPs. Expert-parallel via --ep.
+    "moe-dit64": Preset("moe-dit64", "synthetic", 64, 3, 384, (), (), 0, 6,
+                        batch_size=64, backbone="dit", patch_size=4,
+                        depth=12, num_experts=8, moe_top_k=2),
+    "tiny-moe": Preset("tiny-moe", "synthetic", 16, 3, 64, (), (), 0, 4,
+                       timesteps=50, batch_size=16, backbone="dit",
+                       patch_size=4, depth=2, num_experts=4),
     # super-resolution stages (SuperResModel capability as a recipe):
     # sr64-256 upsamples a 64px base 4x (cascade partner: synthetic64);
     # tiny-sr upsamples 2x from 8px (cascade partner: tiny)

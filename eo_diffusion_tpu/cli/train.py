@@ -67,8 +67,12 @@ def parse_args(argv=None):
                         help="Megatron tensor parallelism on the attention "
                              "projections over the 'model' axis (composes "
                              "with --fsdp)")
+    parser.add_argument("--ep", action="store_true",
+                        help="expert parallelism: shard MoE expert weights "
+                             "over the 'model' axis (MoE presets, e.g. "
+                             "moe-dit64; composes with --fsdp/--tp)")
     parser.add_argument("--model_parallel", type=int, default=1,
-                        help="mesh 'model' axis size for --fsdp/--tp "
+                        help="mesh 'model' axis size for --fsdp/--tp/--ep "
                              "(devices/model_parallel become the data axis)")
     parser.add_argument("--pp_micro", type=int, default=0,
                         help="1F1B pipeline parallelism over the 'model' "
@@ -201,16 +205,16 @@ def main(args):
         sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
         grad_clip=args.grad_clip,
         preview_sampler=preview_sampler, preview_steps=args.preview_steps,
-        fsdp=args.fsdp, tp=args.tp, pp_micro=args.pp_micro,
+        fsdp=args.fsdp, tp=args.tp, ep=args.ep, pp_micro=args.pp_micro,
         pp_virtual=args.pp_virtual,
     )
     mesh = None
-    if args.fsdp or args.tp or args.model_parallel > 1:
+    if args.fsdp or args.tp or args.ep or args.model_parallel > 1:
         from eo_diffusion_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(model=args.model_parallel)
         print(f"mesh: {dict(mesh.shape)} (fsdp={args.fsdp}, tp={args.tp}, "
-              f"pp_micro={args.pp_micro})")
+              f"ep={args.ep}, pp_micro={args.pp_micro})")
     trainer = Trainer(tcfg, model, diffusion, steps_per_epoch, mesh=mesh)
 
     state = trainer.init(jax.random.PRNGKey(args.seed), batch0)

@@ -61,6 +61,16 @@ class DiTConfig:
     # a zero-init cross-attention over `context` tokens after its
     # self-attention (the PixArt/SD3-style placement)
     context_dim: int = 0
+    # Mixture-of-Experts FFN (models/moe.py — GShard/Switch dense dispatch,
+    # beyond-reference): > 0 replaces the dense MLP with num_experts
+    # routed experts in every moe_every-th block (GLaM-style interleave:
+    # blocks 1, 1+moe_every, ... stay MoE, the rest dense). Expert weights
+    # carry a leading E dim that parallel.mesh.ep_param_specs shards over
+    # the mesh 'model' axis (expert parallelism).
+    num_experts: int = 0
+    moe_top_k: int = 1
+    moe_every: int = 2
+    moe_capacity: float = 1.25
 
     @property
     def label_vocab(self) -> Optional[int]:
@@ -145,6 +155,9 @@ class DiTBlock(nn.Module):
     dtype: Any
     attn_impl: str
     context_dim: int = 0
+    num_experts: int = 0  # > 0: MoE FFN instead of the dense MLP
+    moe_top_k: int = 1
+    moe_capacity: float = 1.25
 
     @nn.compact
     def __call__(self, x: jax.Array, c: jax.Array,
@@ -169,9 +182,18 @@ class DiTBlock(nn.Module):
                                          name="cross")(x, context)
 
         h = _modulated_ln(x, shift_m, scale_m)
-        h = Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_in")(h)
-        h = nn.gelu(h, approximate=True)
-        h = Dense(d, dtype=self.dtype, name="mlp_out")(h)
+        if self.num_experts:
+            from eo_diffusion_tpu.models.moe import MoEMLP
+
+            h = MoEMLP(d, int(d * self.mlp_ratio), self.num_experts,
+                       top_k=self.moe_top_k,
+                       capacity_factor=self.moe_capacity,
+                       dtype=self.dtype, name="moe")(h)
+        else:
+            h = Dense(int(d * self.mlp_ratio), dtype=self.dtype,
+                      name="mlp_in")(h)
+            h = nn.gelu(h, approximate=True)
+            h = Dense(d, dtype=self.dtype, name="mlp_out")(h)
         return x + gate_m[:, None, :].astype(x.dtype) * h
 
 
@@ -196,7 +218,14 @@ class DiT(nn.Module):
                                         dtype=jnp.float32)
         self.blocks = [
             DiTBlock(d, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
-                     cfg.attn_impl, cfg.context_dim, name=f"block_{i}")
+                     cfg.attn_impl, cfg.context_dim,
+                     # GLaM-style interleave: MoE in blocks 1, 1+every, ...
+                     num_experts=(cfg.num_experts if cfg.num_experts and
+                                  i % cfg.moe_every == cfg.moe_every - 1
+                                  else 0),
+                     moe_top_k=cfg.moe_top_k,
+                     moe_capacity=cfg.moe_capacity,
+                     name=f"block_{i}")
             for i in range(cfg.depth)
         ]
         self.final_mod = ZeroDense(2 * d, name="final_mod")

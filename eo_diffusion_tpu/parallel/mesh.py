@@ -26,6 +26,7 @@ __all__ = [
     "replicated",
     "fsdp_param_specs",
     "tp_param_specs",
+    "ep_param_specs",
     "merge_specs",
     "shard_batch",
 ]
@@ -126,6 +127,32 @@ def tp_param_specs(params, mesh: Mesh, axis: str = "model"):
         if size > 1 and out_proj and leaf == "kernel" and p.ndim == 2 \
                 and p.shape[0] % size == 0:
             return P(axis, None)  # row-parallel; bias stays replicated
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def ep_param_specs(params, mesh: Mesh, axis: str = "model"):
+    """Expert-parallel PartitionSpecs (SURVEY.md §2.3 EP row — N/A in the
+    reference, implemented here for the MoE-DiT family, models/moe.py).
+
+    Every expert-batched leaf under a ``moe`` module (``w_in [E, d, h]``,
+    ``b_in [E, h]``, ``w_out [E, h, d]``, ``b_out [E, d]``) shards its
+    leading expert dim over ``axis``; the router and everything else stay
+    replicated. The dispatch/combine einsums contract tokens against the
+    expert shards, so GSPMD places the expert FFN matmuls entirely on the
+    owning device and inserts the token exchange (the all-to-all
+    equivalent) around them. Annotation-only: numerics are unchanged
+    (tests/test_moe.py asserts EP loss == replicated loss).
+    """
+    size = mesh.shape[axis]
+    expert_leaves = ("w_in", "b_in", "w_out", "b_out")
+
+    def spec_for(path, p):
+        names = [getattr(k, "key", str(k)) for k in path]
+        if (size > 1 and "moe" in names and names[-1] in expert_leaves
+                and p.ndim >= 1 and p.shape[0] % size == 0):
+            return P(axis, *([None] * (p.ndim - 1)))
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

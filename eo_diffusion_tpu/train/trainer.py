@@ -32,6 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
 from eo_diffusion_tpu.parallel.mesh import (
     data_sharding,
+    ep_param_specs,
     fsdp_param_specs,
     make_mesh,
     merge_specs,
@@ -72,6 +73,7 @@ def make_train_step(
     class_dropout_prob: float = 0.0,
     num_classes: int = 0,
     ema_warmup: bool = True,
+    moe_aux_weight: float = 0.0,
 ):
     """Build the pure train-step fn: (state, batch, rng) -> (state, metrics).
 
@@ -93,17 +95,35 @@ def make_train_step(
         # per-step dropout key (a constant key here would freeze the dropout
         # mask for the whole run -- stochastic only in name)
         rng, dropout_rng = jax.random.split(rng)
-        model_fn = lambda x, t, c, yy: apply_fn(
-            params, x, t, cond=c, y=yy, train=True, dropout_rng=dropout_rng
-        )
+        if moe_aux_weight > 0.0:
+            # MoE load-balance loss: the model sows per-layer aux scalars
+            # (models/moe.py); apply_fn(with_aux=True) returns their mean.
+            # The list is local to this trace, so calls from inside
+            # train_loss (incl. self-cond's double apply) all accumulate.
+            auxes = []
+
+            def model_fn(x, t, c, yy):
+                out, aux = apply_fn(params, x, t, cond=c, y=yy, train=True,
+                                    dropout_rng=dropout_rng, with_aux=True)
+                auxes.append(aux)
+                return out
+        else:
+            auxes = None
+            model_fn = lambda x, t, c, yy: apply_fn(
+                params, x, t, cond=c, y=yy, train=True,
+                dropout_rng=dropout_rng
+            )
         extra = {}
         if "noise" in batch:
             # paired-eps batch (ReFlow coupling distillation, diffusion/
             # distill.py): the endpoint noise rides the batch instead of
             # being drawn fresh inside the loss
             extra["noise"] = batch["noise"]
-        return diffusion.train_loss(model_fn, rng, batch["image"], cond=cond,
+        loss = diffusion.train_loss(model_fn, rng, batch["image"], cond=cond,
                                     y=y, **extra)
+        if auxes:
+            loss = loss + moe_aux_weight * sum(auxes) / len(auxes)
+        return loss
 
     def train_step(state: TrainState, batch, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
@@ -165,6 +185,14 @@ class TrainerConfig:
     # the mesh 'model' axis (parallel/mesh.tp_param_specs); composes with
     # fsdp (TP specs win where they apply, FSDP covers the rest)
     tp: bool = False
+    # expert parallelism for MoE-DiT backbones (parallel/mesh.ep_param_specs):
+    # shard every expert-batched FFN leaf over the mesh 'model' axis.
+    # Composes with tp and fsdp (disjoint leaves; EP specs win where they
+    # apply). No-op unless the model has MoE layers.
+    ep: bool = False
+    # MoE load-balance aux-loss weight (Switch Transformer uses 0.01);
+    # applied automatically when the model config has num_experts > 0
+    moe_aux_weight: float = 0.01
     # global-norm gradient clipping (0 = off, reference parity). Strongly
     # recommended for small micro-batches at high resolution: the 256px
     # concat capstone at micro-batch 8 collapsed (loss 0.016 -> 1.0) right
@@ -239,13 +267,28 @@ class Trainer:
             cfg.model_ema_decay, cfg.batch_size, cfg.model_ema_steps, cfg.epochs
         )
 
-        apply_fn = (
-            lambda params, x, t, cond=None, y=None, train=False, dropout_rng=None:
-            self.model.apply(
-                params, x, t, cond=cond, y=y, train=train,
-                rngs=None if dropout_rng is None else {"dropout": dropout_rng},
-            )
-        )
+        def apply_fn(params, x, t, cond=None, y=None, train=False,
+                     dropout_rng=None, with_aux=False):
+            rngs = None if dropout_rng is None else {"dropout": dropout_rng}
+            if not with_aux:
+                return self.model.apply(params, x, t, cond=cond, y=y,
+                                        train=train, rngs=rngs)
+            # with_aux: collect the sown MoE load-balance scalars
+            out, variables = self.model.apply(
+                params, x, t, cond=cond, y=y, train=train, rngs=rngs,
+                mutable=["intermediates"])
+            leaves = [
+                l for path, l in jax.tree_util.tree_leaves_with_path(
+                    variables.get("intermediates", {}))
+                if any(getattr(k, "key", "") == "moe_aux" for k in path)
+            ]
+            aux = (sum(jnp.mean(l) for l in leaves) / len(leaves)
+                   if leaves else jnp.float32(0.0))
+            return out, aux
+
+        model_cfg = (getattr(model, "config", None)
+                     or getattr(model, "cfg", None))
+        num_experts = getattr(model_cfg, "num_experts", 0) or 0
         step_fn = make_train_step(
             diffusion,
             apply_fn,
@@ -258,10 +301,9 @@ class Trainer:
             use_cond=cfg.cond_type == "concat",
             # the module config attribute is .config (UNet) or .cfg (DiT);
             # the train step is the single owner of CFG label dropout
-            class_dropout_prob=getattr(
-                getattr(model, "config", None) or getattr(model, "cfg", None),
-                "class_dropout_prob", 0.0),
+            class_dropout_prob=getattr(model_cfg, "class_dropout_prob", 0.0),
             num_classes=cfg.num_classes,
+            moe_aux_weight=cfg.moe_aux_weight if num_experts else 0.0,
         )
 
         if cfg.pp_micro > 0:
@@ -305,10 +347,15 @@ class Trainer:
         assert "model" in self.mesh.shape and self.mesh.shape["model"] > 1, (
             "pp_micro>0 needs a mesh with a model axis > 1 to serve as the "
             "stage axis (pass mesh=make_mesh(model=S))")
-        assert not (cfg.tp or cfg.fsdp), (
-            "pp_micro composes with DP only: tp nests shard_maps and fsdp "
-            "re-stacks gathered block params inside the pipeline — both "
+        assert not (cfg.tp or cfg.fsdp or cfg.ep), (
+            "pp_micro composes with DP only: tp nests shard_maps, fsdp "
+            "re-stacks gathered block params inside the pipeline, and ep "
+            "shards MoE experts the stage scan doesn't thread — all "
             "unvalidated; shard data over 'data' instead")
+        assert not getattr(
+            getattr(self.model, "cfg", None), "num_experts", 0), (
+            "pp_micro with MoE blocks is not wired: the pipeline's stage "
+            "scan does not thread the sown moe_aux intermediates")
         assert not hasattr(self.diffusion, "encode"), (
             "pp_micro with LatentDiffusion is not wired (training_tuple "
             "would need the first-stage encode); train the inner process")
@@ -386,6 +433,18 @@ class Trainer:
             )
             tp_specs = tp_param_specs(state, self.mesh, axis="model")
             specs = tp_specs if specs is None else merge_specs(tp_specs, specs)
+        if self.cfg.ep:
+            assert "model" in self.mesh.shape and self.mesh.shape["model"] > 1, (
+                "TrainerConfig.ep=True needs a mesh with a model axis > 1 "
+                "(pass mesh=make_mesh(model=N)); with model=1 EP would "
+                "silently no-op"
+            )
+            ep_specs = ep_param_specs(state, self.mesh, axis="model")
+            assert any(s != P() for s in jax.tree.leaves(
+                ep_specs, is_leaf=lambda s: isinstance(s, P))), (
+                "ep=True but no expert-batched leaves found — the model has "
+                "no MoE layers (set DiTConfig.num_experts > 0)")
+            specs = ep_specs if specs is None else merge_specs(ep_specs, specs)
         if specs is not None:
             self._state_shardings = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s), specs,

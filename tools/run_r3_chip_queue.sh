@@ -57,4 +57,7 @@ run serving 3600 python "$ROOT/tools/bench_serving.py"
 # super-resolution stage + cascaded generation (base 64px -> SR 128px)
 run sr128 10800 python "$ROOT/tools/capstone_sr.py"
 
+# classifier guidance: unconditional denoiser + trained noisy classifier
+run clf 10800 python "$ROOT/tools/capstone_clf.py"
+
 echo "[queue] all done $(date +%H:%M:%S)" | tee -a "$LOGS/queue.log"
