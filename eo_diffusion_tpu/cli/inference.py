@@ -87,6 +87,12 @@ def parse_args(argv=None):
                              "UNet branch only every K sampler steps (K>1 "
                              "enables; all samplers)")
     parser.add_argument("--n_iter", type=int, default=None)
+    parser.add_argument("--jump_len", type=int, default=0,
+                        help="RePaint resampling jump length (ddpm sampler; "
+                             "arXiv:2201.09865 Alg. 2)")
+    parser.add_argument("--jump_n", type=int, default=1,
+                        help="RePaint resamplings per jump point (1 = the "
+                             "reference's single-descent composite)")
     parser.add_argument("--eta", type=float, default=0.0)
     parser.add_argument("--ddim_spacing", type=str, default="uniform",
                         choices=["uniform", "quad", "trailing"],
@@ -467,6 +473,7 @@ def main(args):
                 cond=jnp.asarray(cond) if cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
                 clip=not args.no_clip,
+                jump_len=args.jump_len, jump_n=args.jump_n,
                 model_state=st0, **gkw,
             )
             samples = np.asarray(out.x, np.float32)

@@ -34,7 +34,51 @@ from eo_diffusion_tpu.core.schedules import (
 )
 
 __all__ = ["GaussianDiffusion", "DiffusionOutput", "cfg_double_inputs",
-           "cfg_combine"]
+           "cfg_combine", "repaint_op_sequence"]
+
+
+def repaint_op_sequence(timesteps: int, jump_len: int, jump_n: int):
+    """RePaint resampling trajectory (Lugmayr et al. 2022, arXiv:2201.09865,
+    Alg. 2 / the paper's ``get_schedule_jump``).
+
+    Every ``jump_len`` levels the sampler jumps back up ``jump_len`` one-step
+    forward diffusions and re-descends, ``jump_n - 1`` extra times -- the
+    re-noising lets the generated region re-harmonize with the freshly
+    composited known region instead of only seeing it once per level. The
+    reference's working RePaint (model.py:58-60) is the jump-free special
+    case (``jump_n=1``).
+
+    Returns host-side numpy arrays ``(t_ops, is_reverse)``: at op ``k``,
+    ``is_reverse[k]==1`` means an ancestral reverse step at level
+    ``t_ops[k]`` (x_t -> x_{t-1}); ``0`` means one forward q-step *to* level
+    ``t_ops[k]`` (x_{t-1} -> x_t with beta_t). Deltas are always +-1, so the
+    whole trajectory compiles to one ``lax.scan`` with a two-way
+    ``lax.cond`` (the forward branch never calls the model).
+    """
+    import numpy as np
+
+    assert jump_len >= 1 and jump_n >= 1, (jump_len, jump_n)
+    jumps = {j: jump_n - 1 for j in range(0, timesteps - jump_len, jump_len)}
+    t = timesteps
+    ts = []
+    while t >= 1:
+        t -= 1
+        ts.append(t)
+        if jumps.get(t, 0) > 0:
+            jumps[t] -= 1
+            for _ in range(jump_len):
+                t += 1
+                ts.append(t)
+    ts.append(-1)
+    t_ops, is_rev = [], []
+    for a, b in zip(ts[:-1], ts[1:]):
+        if b < a:  # reverse step at level a (always b == a - 1)
+            t_ops.append(a)
+            is_rev.append(1)
+        else:  # forward q-step to level b (always b == a + 1)
+            t_ops.append(b)
+            is_rev.append(0)
+    return np.asarray(t_ops, np.int32), np.asarray(is_rev, np.int32)
 
 
 def cfg_double_inputs(x, t, cond, y, uncond=None, y_uncond=None,
@@ -423,6 +467,8 @@ class GaussianDiffusion:
         y_uncond: Optional[jax.Array] = None,
         dtype=jnp.float32,
         model_state: Any = None,
+        jump_len: int = 0,
+        jump_n: int = 1,
     ) -> DiffusionOutput:
         """Ancestral DDPM sampling (reference ``EODiffusion.sampling``, model.py:47-75).
 
@@ -437,6 +483,16 @@ class GaussianDiffusion:
         HBM buffer inside the scan (device-side; no host sync per step --
         unlike the reference's save_image calls, and without materializing
         the full T-step trajectory, which at T=1000/256^2/bs8 would be ~6 GB).
+
+        ``jump_len``/``jump_n``: RePaint resampling (arXiv:2201.09865; see
+        :func:`repaint_op_sequence`). ``jump_n > 1`` re-noises ``jump_len``
+        levels up and re-descends at every jump point, which harmonizes the
+        inpainted region with the known region far better than the
+        single-descent composite. The reference has no equivalent (its
+        RePaint is the jump-free composite, model.py:58-60). Defaults keep
+        the exact single-descent trajectory (bit-identical RNG path). With a
+        stateful denoiser (DeepCache) the state index ``i`` counts ops, not
+        levels, so the cache cadence is in op-space under jumps.
         """
         assert clip or float(self.schedule.alphas[-1]) > 1e-8, (
             "clip=False uses the eps-form posterior mean (1/sqrt(alpha_t)) "
@@ -480,35 +536,66 @@ class GaussianDiffusion:
             gt, mask = cond[..., :c_img], cond[..., c_img : c_img + 1]
             cond = None
 
-        ts = jnp.arange(self.timesteps - 1, -1, -1)
-        n_frames = -(-self.timesteps // log_every) if log_every else 0
+        use_jumps = jump_len > 0 and jump_n > 1
+        if use_jumps:
+            # RePaint resampling (arXiv:2201.09865 Alg. 2): the op list is a
+            # static host-side array, so the jump trajectory is still ONE
+            # compiled scan; forward ops take the cheap lax.cond branch (no
+            # model call).
+            t_ops, rev_ops = repaint_op_sequence(self.timesteps, jump_len, jump_n)
+            ts = jnp.asarray(t_ops)
+            rev_flags = jnp.asarray(rev_ops)
+            n_ops = int(t_ops.shape[0])
+        else:
+            ts = jnp.arange(self.timesteps - 1, -1, -1)
+            rev_flags = jnp.ones((self.timesteps,), jnp.int32)
+            n_ops = self.timesteps
+        n_frames = -(-n_ops // log_every) if log_every else 0
         stateful = model_state is not None
 
         def step(carry, xs):
-            t_scalar, i = xs
+            t_scalar, is_rev, i = xs
             x_t, key, x_sc, frames, m_state = carry
             key, nk = jax.random.split(key)
             noise = jax.random.normal(nk, shape, jnp.float32)
             t = jnp.full((n_samples,), t_scalar, jnp.int32)
 
-            if gt is not None:
-                gt_noised = self.q_sample(gt, t, noise)
-                x_t = mask * gt_noised + (1.0 - mask) * x_t
+            def reverse_op(x_t, x_sc, m_state):
+                if gt is not None:
+                    gt_noised = self.q_sample(gt, t, noise)
+                    x_t = mask * gt_noised + (1.0 - mask) * x_t
 
-            c = self._with_self_cond(cond, x_sc) if self.self_condition else cond
-            x_in = x_t.astype(dtype)
-            if stateful:
-                # precompute the denoiser output on exactly the (x, t, c, y)
-                # _reverse_step would pass; feed it through as a constant fn
-                raw, m_state = model_fn(x_in, t, c, y, m_state, i)
-                eff_fn = lambda *_a: raw
+                c = self._with_self_cond(cond, x_sc) if self.self_condition else cond
+                x_in = x_t.astype(dtype)
+                if stateful:
+                    # precompute the denoiser output on exactly the (x, t, c,
+                    # y) _reverse_step would pass; feed it through as a
+                    # constant fn
+                    raw, m_state2 = model_fn(x_in, t, c, y, m_state, i)
+                    eff_fn = lambda *_a: raw
+                else:
+                    m_state2 = m_state
+                    eff_fn = lambda *_a: model_fn(x_in, t, c, y)
+                x_new, x0_pred = self._reverse_step(eff_fn, x_t, t, noise, c, y, clip)
+                if self.self_condition:
+                    # clamp the carried estimate (lucidrains clips x_start
+                    # during sampling; unclipped feedback diverges -- found
+                    # by driving)
+                    x_sc = jnp.clip(x0_pred, -1.0, 1.0).astype(dtype)
+                return x_new, x_sc, m_state2
+
+            if use_jumps:
+                def forward_op(x_t, x_sc, m_state):
+                    # one q-step up to level t: x_t = sqrt(1-beta_t) x_{t-1}
+                    # + sqrt(beta_t) eps (RePaint eq. 9)
+                    beta_t = _bcast(jnp.asarray(self.schedule.betas), t)
+                    x_up = jnp.sqrt(1.0 - beta_t) * x_t + jnp.sqrt(beta_t) * noise
+                    return x_up, x_sc, m_state
+
+                x_t, x_sc, m_state = jax.lax.cond(
+                    is_rev == 1, reverse_op, forward_op, x_t, x_sc, m_state)
             else:
-                eff_fn = lambda *_a: model_fn(x_in, t, c, y)
-            x_t, x0_pred = self._reverse_step(eff_fn, x_t, t, noise, c, y, clip)
-            if self.self_condition:
-                # clamp the carried estimate (lucidrains clips x_start during
-                # sampling; unclipped feedback diverges -- found by driving)
-                x_sc = jnp.clip(x0_pred, -1.0, 1.0).astype(dtype)
+                x_t, x_sc, m_state = reverse_op(x_t, x_sc, m_state)
             if log_every:
                 frames = _log_frame(frames, x_t.astype(dtype), i, log_every)
             return (x_t, key, x_sc, frames, m_state), None
@@ -517,7 +604,8 @@ class GaussianDiffusion:
         frames0 = jnp.zeros((n_frames,) + shape, dtype) if log_every else jnp.zeros((), dtype)
         state0 = model_state if stateful else jnp.zeros((), dtype)
         (x, _, _, frames, _), _ = jax.lax.scan(
-            step, (x_T, scan_rng, x_sc0, frames0, state0), (ts, jnp.arange(self.timesteps))
+            step, (x_T, scan_rng, x_sc0, frames0, state0),
+            (ts, rev_flags, jnp.arange(n_ops))
         )
         return DiffusionOutput(x=x, intermediates=frames if log_every else None)
 

@@ -57,6 +57,8 @@ class TestInferenceCLI:
         ("dpm", ["--sampler_steps", "5"]),
         # DeepCache: RePaint DDPM with the deep branch recomputed every 2 steps
         ("ddpm", ["--cond_type", "sum", "--deepcache", "2"]),
+        # RePaint resampling jumps (arXiv:2201.09865) on the sum path
+        ("ddpm", ["--cond_type", "sum", "--jump_len", "4", "--jump_n", "2"]),
         ("ddim", ["--sampler_steps", "6", "--deepcache", "3"]),
         ("dpm", ["--sampler_steps", "6", "--deepcache", "2"]),
     ])

@@ -209,6 +209,70 @@ class TestDDPMSampling:
         assert a.shape == b.shape
 
 
+class TestRePaintJumps:
+    """RePaint resampling (arXiv:2201.09865 Alg. 2): jump-schedule
+    construction and the jump-enabled ddpm sampler."""
+
+    @pytest.mark.parametrize("T,jl,jn", [(50, 10, 3), (20, 5, 2), (17, 4, 4)])
+    def test_op_sequence_is_consistent(self, T, jl, jn):
+        from eo_diffusion_tpu.diffusion.gaussian import repaint_op_sequence
+
+        t_ops, is_rev = repaint_op_sequence(T, jl, jn)
+        # walk the trajectory: reverse at level a needs the state at a;
+        # forward to level b needs the state at b-1; must end below 0
+        level = T - 1
+        for a, r in zip(t_ops.tolist(), is_rev.tolist()):
+            if r:
+                assert level == a
+                level -= 1
+            else:
+                assert level == a - 1
+                level = a
+        assert level == -1
+        # every forward climb is re-descended exactly once
+        rev_count = int(is_rev.sum())
+        fwd_count = int((1 - is_rev).sum())
+        assert rev_count - T == fwd_count
+        assert fwd_count > 0  # the schedule actually jumps
+
+    def test_jump_free_matches_default(self):
+        from eo_diffusion_tpu.diffusion.gaussian import repaint_op_sequence
+
+        t_ops, is_rev = repaint_op_sequence(20, 5, 1)
+        np.testing.assert_array_equal(t_ops, np.arange(19, -1, -1))
+        assert int(is_rev.sum()) == 20
+
+    def test_sampler_shape_determinism_and_difference(self):
+        d = make_diffusion(T=30, cond_type="sum")
+        gt = jnp.ones((2, SIZE, SIZE, 3)) * 0.5
+        mask = jnp.zeros((2, SIZE, SIZE, 1)).at[:, :4].set(1.0)
+        cond = jnp.concatenate([gt, mask], axis=-1)
+        kw = dict(cond=cond, jump_len=5, jump_n=2)
+        a = d.ddpm_sample(zero_model, jax.random.PRNGKey(0), 2, **kw).x
+        b = d.ddpm_sample(zero_model, jax.random.PRNGKey(0), 2, **kw).x
+        plain = d.ddpm_sample(zero_model, jax.random.PRNGKey(0), 2, cond=cond).x
+        assert a.shape == (2, SIZE, SIZE, CH)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # jumps change the trajectory (extra noise ops consume the key chain)
+        assert not np.allclose(np.asarray(a), np.asarray(plain))
+        # ... but the known region still lands on the composite
+        np.testing.assert_allclose(np.asarray(a)[:, :4].mean(), 0.5, atol=0.2)
+
+    def test_jumps_jit_and_log_every(self):
+        from eo_diffusion_tpu.diffusion.gaussian import repaint_op_sequence
+
+        d = make_diffusion(T=20)
+        n_ops = repaint_op_sequence(20, 4, 2)[0].shape[0]
+        def run(k):
+            out = d.ddpm_sample(zero_model, k, 1, jump_len=4, jump_n=2,
+                                log_every=7)
+            return out.x, out.intermediates
+
+        x, frames = jax.jit(run)(jax.random.PRNGKey(0))
+        assert frames.shape[0] == -(-n_ops // 7)
+        assert np.isfinite(np.asarray(x)).all()
+
+
 class TestInterpolate:
     """Latent interpolation (lucidrains denoising_diffusion_pytorch.py:638-651)."""
 
