@@ -211,13 +211,17 @@ def main(args):
         "--sampler cm samples a consistency-distilled DDPM-chain student "
         f"(cli.distill --method consistency); {preset.name} trains "
         f"{preset.process}")
-    # "flow" here means "the process's native ODE sampler": FlowMatching's
-    # Euler/Heun velocity integration or EDM's Karras-grid Heun — both
-    # expose the same .sample surface
-    if preset.process in ("flow", "edm") and args.sampler != "flow":
+    # "flow" here means "the process's native sampler": FlowMatching's
+    # Euler/Heun velocity integration, EDM's Karras-grid Heun, or the
+    # Brownian bridge's posterior walk — all expose the same .sample surface
+    if preset.process in ("flow", "edm", "bridge") and args.sampler != "flow":
         print(f"preset {preset.name} is a {preset.process} process; "
-              f"using --sampler flow (its native ODE sampler)")
+              f"using --sampler flow (its native sampler)")
         args.sampler = "flow"
+    if preset.process == "bridge" and args.guidance_scale != 1.0:
+        print("note: the bridge is endpoint-conditional; no CFG combine — "
+              "ignoring --guidance_scale")
+        args.guidance_scale = 1.0
     assert not (args.sampler == "flow" and preset.process == "ddpm"), (
         f"--sampler flow requires a flow/edm-process preset; {preset.name} "
         f"trained the DDPM chain (use ddpm/ddim/dpm)")
@@ -445,16 +449,31 @@ def main(args):
                 jnp.asarray(y) if y is not None else None)
             samples = np.asarray(out_x, np.float32)
         elif args.sampler == "flow":
-            mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
-            out = diffusion.sample(
-                fn_j, srng, bsz, num_steps=args.sampler_steps,
-                method=args.flow_method,
-                cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
-                y=jnp.asarray(y) if y is not None else None,
-                mask=mask_j,
-                x0=jnp.asarray(image) if mask_j is not None else None,
-                model_state=st0, **gkw,
-            )
+            if preset.process == "bridge":
+                # paired translation: cond is the bridge endpoint (required)
+                assert cond_type == "concat" and cond is not None, (
+                    "bridge sampling needs the source image (a dataset with "
+                    "cond_image and cond_type='concat')")
+                out = diffusion.sample(
+                    fn_j, srng, bsz, num_steps=args.sampler_steps,
+                    cond=jnp.asarray(cond),
+                    y=jnp.asarray(y) if y is not None else None,
+                    # --eta governs posterior noise exactly like DDIM's
+                    # (default 0 = deterministic mean path)
+                    clip=not args.no_clip, eta=args.eta,
+                    model_state=st0,
+                )
+            else:
+                mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
+                out = diffusion.sample(
+                    fn_j, srng, bsz, num_steps=args.sampler_steps,
+                    method=args.flow_method,
+                    cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
+                    y=jnp.asarray(y) if y is not None else None,
+                    mask=mask_j,
+                    x0=jnp.asarray(image) if mask_j is not None else None,
+                    model_state=st0, **gkw,
+                )
             samples = np.asarray(out.x, np.float32)
         elif args.sampler == "dpm":
             mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None

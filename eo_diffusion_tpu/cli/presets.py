@@ -51,7 +51,7 @@ class Preset:
     backbone: str = "unet"  # "unet" | "dit"
     patch_size: int = 4
     depth: int = 12
-    process: str = "ddpm"  # "ddpm" | "flow" | "edm"
+    process: str = "ddpm"  # "ddpm" | "flow" | "edm" | "bridge"
     # DDPM prediction objective + Lin et al. 2023 schedule fix
     # (arXiv:2305.08891, beyond-reference): zero_terminal_snr rescales the
     # schedule so SNR(T)=0 (requires objective="v"); pair with
@@ -245,6 +245,16 @@ PRESETS = {
     "tiny-sr": Preset("tiny-sr", "synthetic", 16, 3, 32, (1, 2), (), 1, 1,
                       cond_type="concat", timesteps=50, batch_size=16,
                       sr_factor=2),
+    # Brownian-bridge paired translation (BBDM, arXiv:2205.07680;
+    # beyond-reference): sampling starts AT the cloudy source image and
+    # walks the exact bridge posterior to the clear target — the direct
+    # image-to-image formulation of the flagship cloud-removal use-case
+    "bridge64": Preset("bridge64", "synthetic", 64, 3, 64, (1, 2, 3, 4),
+                       (4, 8), 1, 4, cond_type="concat", batch_size=64,
+                       process="bridge"),
+    "tiny-bridge": Preset("tiny-bridge", "synthetic", 8, 3, 32, (1, 2), (),
+                          1, 1, cond_type="concat", timesteps=50,
+                          batch_size=16, process="bridge"),
     # latent rectified flow (FlowMatching inside LatentDiffusion): 16px
     # pixels -> 8x8x4 latents, ODE sampling in latent space
     "tiny-latent-flow": Preset("tiny-latent-flow", "synthetic", 16, 3, 32,
@@ -290,6 +300,15 @@ def build_process(preset: Preset, timesteps: int, image_size: int,
 
         return EDMProcess.create(image_size=size, in_channels=chans,
                                  cond_type=cond_type)
+    if preset.process == "bridge":
+        from eo_diffusion_tpu.diffusion.bridge import BrownianBridge
+
+        # the source image is the bridge endpoint AND (concat) model input
+        assert cond_type == "concat", (
+            f"bridge presets are paired translation: cond_type must be "
+            f"'concat' (the source image), got {cond_type!r}")
+        return BrownianBridge.create(image_size=size, in_channels=chans,
+                                     timesteps=timesteps, cond_type=cond_type)
     assert preset.process == "ddpm", preset.process
     from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
 

@@ -190,10 +190,12 @@ def main(args):
     # a DDPM-process preset has no .sample ODE integrator, so fail fast
     # instead of crashing at the first periodic preview hours in
     assert not (args.preview_sampler == "flow"
-                and preset.process not in ("flow", "edm")), (
-        f"--preview_sampler flow requires a flow/edm-process preset; "
+                and preset.process not in ("flow", "edm", "bridge")), (
+        f"--preview_sampler flow requires a flow/edm/bridge-process preset; "
         f"{preset.name} trains the DDPM chain (use ddpm/ddim/dpm)")
-    preview_sampler = ("flow" if preset.process in ("flow", "edm")
+    # flow/edm/bridge processes all expose .sample as their integrator; the
+    # Trainer's "flow" preview branch dispatches through it
+    preview_sampler = ("flow" if preset.process in ("flow", "edm", "bridge")
                        else args.preview_sampler)
     tcfg = TrainerConfig(
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
