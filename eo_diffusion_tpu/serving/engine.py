@@ -213,19 +213,16 @@ class BatchingEngine:
         self._worker.start()
 
     # -- public --------------------------------------------------------------
-    def submit(self, n: int, y=None, cond=None,
-               seed: Optional[int] = None) -> np.ndarray:
-        """Sample ``n`` images; blocks until the rows come back.
+    def _split_and_enqueue(self, n: int, y, cond, seed):
+        """Validate + split a request into <=B-row chunks and enqueue them.
 
-        ``n > batch_size`` streams: the request is split into ceil(n/B)
-        chunk requests enqueued together, so the worker runs them
-        back-to-back through the one compiled program (full-B chunks fill a
-        device batch outright; an unseeded remainder coalesces with other
-        callers as usual). Seeded streams stay reproducible — chunk i runs
-        solo under ``fold_in(PRNGKey(seed), i)`` (chunk 0 under the plain
-        key, so its bytes match an n<=B request with the same seed).
-        """
-        t0 = time.time()
+        ``n > batch_size`` streams: ceil(n/B) chunk requests enqueued
+        together, so the worker runs them back-to-back through the one
+        compiled program (full-B chunks fill a device batch outright; an
+        unseeded remainder coalesces with other callers as usual). Seeded
+        streams stay reproducible — chunk i runs solo under
+        ``fold_in(PRNGKey(seed), i)`` (chunk 0 under the plain key, so its
+        bytes match an n<=B request with the same seed)."""
         B = self.engine.batch_size
         assert 1 <= n <= self.cfg.max_request, (
             f"n must be in [1, max_request={self.cfg.max_request}], got {n}")
@@ -256,6 +253,20 @@ class BatchingEngine:
             off += k
         for req in reqs:
             self._q.put(req, timeout=self.cfg.request_timeout_s)
+        return reqs
+
+    def _record_latency(self, t0: float) -> None:
+        self._lat_ms.append((time.time() - t0) * 1e3)
+        if len(self._lat_ms) > 1024:  # bounded window for the percentiles
+            del self._lat_ms[:512]
+
+    def submit(self, n: int, y=None, cond=None,
+               seed: Optional[int] = None) -> np.ndarray:
+        """Sample ``n`` images; blocks until ALL rows come back (see
+        :meth:`_split_and_enqueue` for the n > batch_size streaming split;
+        :meth:`submit_iter` yields the chunks as they finish instead)."""
+        t0 = time.time()
+        reqs = self._split_and_enqueue(n, y, cond, seed)
         # one shared deadline for the whole request, not per chunk
         deadline = t0 + self.cfg.request_timeout_s
         error = timed_out = None
@@ -270,12 +281,37 @@ class BatchingEngine:
                                f"{self.cfg.request_timeout_s}s")
         if error is not None:
             raise error
-        self._lat_ms.append((time.time() - t0) * 1e3)
-        if len(self._lat_ms) > 1024:  # bounded window for the percentiles
-            del self._lat_ms[:512]
+        self._record_latency(t0)
         if len(reqs) == 1:
             return reqs[0].result
         return np.concatenate([r.result for r in reqs], axis=0)
+
+    def submit_iter(self, n: int, y=None, cond=None,
+                    seed: Optional[int] = None):
+        """Streaming variant of :meth:`submit`: returns an iterator that
+        yields each chunk's rows ([<=B, H, W, C] float32, in request order)
+        AS SOON AS its device batch completes, instead of blocking for the
+        whole request. The chunks are enqueued eagerly (before the first
+        ``next()``), so the device starts working immediately; concatenating
+        every yielded array reproduces ``submit``'s result bytes (same
+        chunking, same per-chunk keys). Raises TimeoutError / the engine
+        error from the failing chunk onward."""
+        t0 = time.time()
+        reqs = self._split_and_enqueue(n, y, cond, seed)
+        deadline = t0 + self.cfg.request_timeout_s
+
+        def _gen():
+            for req in reqs:
+                if not req.done.wait(max(deadline - time.time(), 0.0)):
+                    raise TimeoutError(
+                        f"sampling did not finish within "
+                        f"{self.cfg.request_timeout_s}s")
+                if req.error is not None:
+                    raise req.error
+                yield req.result
+            self._record_latency(t0)
+
+        return _gen()
 
     def stats(self) -> dict:
         lat = sorted(self._lat_ms)

@@ -10,6 +10,14 @@ Endpoints (all JSON):
   model-range array. ``n`` may exceed the engine batch size (up to
   ``ServingConfig.max_request``): the batcher streams the request through
   multiple device batches and returns the concatenated rows.
+* ``POST /v1/generate_stream`` — same body as ``/v1/generate``; responds
+  with chunked ``application/x-ndjson``: one line per completed device
+  batch (``{"chunk": i, "images": [...]}`` or ``{"chunk": i, "npy_b64":
+  ...}``) streamed AS the sampler finishes it, then a terminal
+  ``{"done": true, "images_total": N}`` line. A mid-stream engine failure
+  arrives as an ``{"error": ...}`` line (the HTTP status is already sent).
+  Concatenating the chunk rows reproduces ``/v1/generate``'s bytes for the
+  same seed.
 * ``GET /healthz`` — liveness + the engine's fixed sampler configuration.
 * ``GET /stats`` — request/image/batch counters, request latency
   percentiles, and the mean device-batch latency.
@@ -102,9 +110,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             self._reply(200, {"ok": True, **(info or {})})
             return
-        if self.path != "/v1/generate":
+        if self.path not in ("/v1/generate", "/v1/generate_stream"):
             self._reply(404, {"error": f"no route {self.path}"})
             return
+        streaming = self.path.endswith("_stream")
         try:
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
@@ -116,8 +125,14 @@ class _Handler(BaseHTTPRequestHandler):
             cond = (_b64_npy(req["cond_b64"])
                     if req.get("cond_b64") is not None else None)
             seed = req.get("seed")
-            out = self.server.batcher.submit(
-                n, y=y, cond=cond, seed=None if seed is None else int(seed))
+            seed = None if seed is None else int(seed)
+            if streaming:
+                # validation + enqueue happen here (eagerly), so bad
+                # requests still get a clean 400 before headers go out
+                chunks = self.server.batcher.submit_iter(
+                    n, y=y, cond=cond, seed=seed)
+            else:
+                out = self.server.batcher.submit(n, y=y, cond=cond, seed=seed)
         except (AssertionError, ValueError, KeyError, json.JSONDecodeError) as e:
             self._reply(400, {"error": str(e)})
             return
@@ -127,7 +142,11 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # engine-side failure
             self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             return
-        if req.get("format", "png") == "npy":
+        fmt = req.get("format", "png")
+        if streaming:
+            self._stream_chunks(chunks, fmt)
+            return
+        if fmt == "npy":
             self._reply(200, {"npy_b64": _npy_b64(out),
                               "shape": list(out.shape)})
         else:
@@ -136,6 +155,40 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, {"images": [_png_b64(img01[i])
                                          for i in range(out.shape[0])],
                               "shape": list(out.shape)})
+
+    def _stream_chunks(self, chunks, fmt: str) -> None:
+        """Chunked-transfer NDJSON: one line per finished device batch."""
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def wline(obj: dict) -> None:
+            data = (json.dumps(obj) + "\n").encode()
+            self.wfile.write(f"{len(data):x}\r\n".encode())
+            self.wfile.write(data + b"\r\n")
+            self.wfile.flush()  # the whole point: bytes leave per chunk
+
+        total = 0
+        try:
+            for i, arr in enumerate(chunks):
+                if fmt == "npy":
+                    line = {"chunk": i, "npy_b64": _npy_b64(arr),
+                            "shape": list(arr.shape)}
+                else:
+                    lo, hi = self.server.meta["data_range"]
+                    img01 = (arr - lo) / (hi - lo)
+                    line = {"chunk": i,
+                            "images": [_png_b64(img01[j])
+                                       for j in range(arr.shape[0])]}
+                total += arr.shape[0]
+                wline(line)
+            wline({"done": True, "images_total": total})
+        except Exception as e:
+            # status line already went out; signal failure in-band
+            wline({"error": f"{type(e).__name__}: {e}"})
+        self.wfile.write(b"0\r\n\r\n")
+        self.wfile.flush()
 
 
 def make_server(batcher, meta: dict, host: str = "127.0.0.1",

@@ -167,6 +167,48 @@ class TestBatching:
             batcher.submit(1)
         batcher.shutdown()
 
+    def test_submit_iter_yields_progressively(self):
+        """submit_iter hands back chunk 0 before the later device batches
+        have run, and its concatenation equals submit's bytes."""
+        eng = _FakeEngine(batch_size=4, delay=0.15)
+        batcher = BatchingEngine(eng)
+        t0 = time.time()
+        it = batcher.submit_iter(12, seed=5)  # 3 chunks x 0.15s
+        first = next(it)
+        t_first = time.time() - t0
+        rest = list(it)
+        t_all = time.time() - t0
+        assert first.shape[0] == 4 and len(rest) == 2
+        # chunk 0 must arrive well before the full request completes
+        assert t_first < t_all - 0.2, (t_first, t_all)
+        streamed = np.concatenate([first] + rest, axis=0)
+        ref = batcher.submit(12, seed=5)
+        batcher.shutdown()
+        # the fake engine embeds a global batch counter, so full bytes can't
+        # match across calls; the per-row KEY echo (what actually drives
+        # real sampling) must — same seed, same chunking, same fold_in
+        np.testing.assert_array_equal(streamed[:, 0, 2, 0], ref[:, 0, 2, 0])
+
+    def test_submit_iter_error_surfaces_at_failing_chunk(self):
+        eng = _FakeEngine(batch_size=4)
+        calls = []
+
+        def boom(rng, y, cond):
+            calls.append(1)
+            if len(calls) > 1:
+                raise RuntimeError("device on fire")
+            out = np.zeros((4, 4, 4, 1), np.float32)
+            return out
+
+        eng.generate = boom
+        batcher = BatchingEngine(eng)
+        it = batcher.submit_iter(8, seed=3)
+        first = next(it)  # chunk 0 succeeds
+        assert first.shape[0] == 4
+        with pytest.raises(RuntimeError, match="device on fire"):
+            next(it)
+        batcher.shutdown()
+
 
 @pytest.fixture(scope="module")
 def tiny_serving():
@@ -272,6 +314,46 @@ class TestHTTP:
         assert code == 400 and "max_request" in resp["error"]
         code, resp = self._post(server, {"n": 1, "y": [0]})
         assert code == 400  # engine is unconditional
+
+    def test_generate_stream_ndjson(self, server):
+        """n > batch over /v1/generate_stream: one NDJSON line per device
+        batch + the done line; chunk concat equals /v1/generate's bytes."""
+        req = urllib.request.Request(
+            server + "/v1/generate_stream",
+            data=json.dumps({"n": 6, "seed": 9, "format": "npy"}).encode(),
+            headers={"Content-Type": "application/json"})
+        lines = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers.get("Content-Type") == "application/x-ndjson"
+            for raw in r:  # urllib de-chunks the transfer encoding
+                lines.append(json.loads(raw))
+        assert [ln.get("chunk") for ln in lines[:-1]] == [0, 1]  # B=4: 4+2
+        assert lines[-1] == {"done": True, "images_total": 6}
+        chunks = [np.load(io.BytesIO(base64.b64decode(ln["npy_b64"])),
+                          allow_pickle=False) for ln in lines[:-1]]
+        streamed = np.concatenate(chunks, axis=0)
+        code, resp = self._post(server, {"n": 6, "seed": 9, "format": "npy"})
+        assert code == 200
+        ref = np.load(io.BytesIO(base64.b64decode(resp["npy_b64"])),
+                      allow_pickle=False)
+        np.testing.assert_array_equal(streamed, ref)
+
+    def test_generate_stream_png_and_bad_request(self, server):
+        req = urllib.request.Request(
+            server + "/v1/generate_stream",
+            data=json.dumps({"n": 2, "seed": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            lines = [json.loads(raw) for raw in r]
+        assert len(lines[0]["images"]) == 2 and lines[-1]["done"]
+        # validation still happens before headers -> clean 400
+        req = urllib.request.Request(
+            server + "/v1/generate_stream",
+            data=json.dumps({"n": 2000}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
 
 
 class TestServeCLIBuild:

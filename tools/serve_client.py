@@ -5,6 +5,7 @@ Examples::
     python tools/serve_client.py --url http://127.0.0.1:8000 health
     python tools/serve_client.py generate -n 4 --seed 1 --out samples/
     python tools/serve_client.py generate -n 2 --y 3 --cond cloudy.npy
+    python tools/serve_client.py generate -n 32 --stream --out samples/
     python tools/serve_client.py reload --ckpt logs/run/steps_00001000
     python tools/serve_client.py stats
 """
@@ -36,6 +37,44 @@ def _call(url, path, payload=None, timeout=1200):
         sys.exit(1)
 
 
+def _generate_stream(args, payload):
+    """Consume /v1/generate_stream NDJSON lines (urllib de-chunks for us),
+    writing outputs incrementally as each device batch lands."""
+    import time
+
+    req = urllib.request.Request(
+        args.url + "/v1/generate_stream", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    os.makedirs(args.out, exist_ok=True)
+    t0, wrote = time.time(), 0
+    with urllib.request.urlopen(req, timeout=1200) as r:
+        for raw in r:
+            line = json.loads(raw)
+            if "error" in line:
+                print(f"stream error: {line['error']}", file=sys.stderr)
+                sys.exit(1)
+            if line.get("done"):
+                print(f"done: {line['images_total']} image(s) in "
+                      f"{time.time() - t0:.1f}s -> {args.out}/")
+                break
+            if args.npy:
+                import numpy as np
+
+                arr = np.load(io.BytesIO(base64.b64decode(line["npy_b64"])),
+                              allow_pickle=False)
+                p = os.path.join(args.out, f"chunk_{line['chunk']:04d}.npy")
+                np.save(p, arr)
+                wrote += arr.shape[0]
+            else:
+                for b64 in line["images"]:
+                    p = os.path.join(args.out, f"sample_{wrote}.png")
+                    with open(p, "wb") as f:
+                        f.write(base64.b64decode(b64))
+                    wrote += 1
+            print(f"chunk {line['chunk']}: {wrote} image(s) at "
+                  f"+{time.time() - t0:.1f}s")
+
+
 def main():
     ap = argparse.ArgumentParser(description="eo_diffusion_tpu serve client")
     ap.add_argument("cmd", choices=["health", "stats", "generate", "reload"])
@@ -50,6 +89,9 @@ def main():
                     help="directory for the returned PNGs")
     ap.add_argument("--npy", action="store_true",
                     help="fetch the raw float array instead of PNGs")
+    ap.add_argument("--stream", action="store_true",
+                    help="use /v1/generate_stream: write each device batch "
+                         "as it arrives instead of waiting for all of n")
     ap.add_argument("--ckpt", type=str, default=None, help="for reload")
     args = ap.parse_args()
 
@@ -75,6 +117,9 @@ def main():
             payload["cond_b64"] = base64.b64encode(buf.getvalue()).decode()
         if args.npy:
             payload["format"] = "npy"
+        if args.stream:
+            _generate_stream(args, payload)
+            return
         resp = _call(args.url, "/v1/generate", payload)
         if args.npy:
             import numpy as np
