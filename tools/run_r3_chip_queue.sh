@@ -60,4 +60,7 @@ run sr128 10800 python "$ROOT/tools/capstone_sr.py"
 # classifier guidance: unconditional denoiser + trained noisy classifier
 run clf 10800 python "$ROOT/tools/capstone_clf.py"
 
+# Brownian-bridge paired cloud removal vs the concat-DDPM baseline
+run bridge 10800 python "$ROOT/tools/capstone_bridge.py"
+
 echo "[queue] all done $(date +%H:%M:%S)" | tee -a "$LOGS/queue.log"
