@@ -253,11 +253,28 @@ def main(args):
     # the reference restarts from 0 and loses both (SURVEY.md §5)
     global_steps = int(state.step)
     y_test = np.full((args.n_samples,), 1) if args.num_classes > 0 else None
+
+    # preemption-safe shutdown (beyond-reference; SURVEY.md §5 names manual
+    # --ckpt resume as the reference's only recovery): cloud schedulers
+    # deliver SIGTERM with a grace window before reclaiming the host — mark
+    # the flag, finish the in-flight step, checkpoint, and exit cleanly so
+    # --resume continues from the exact step (opt state, EMA, LR cadence).
+    import signal
+
+    preempt = {"sig": None}
+    def _graceful(signum, frame):  # noqa: ANN001 (signal API)
+        preempt["sig"] = signum
+    old_term = signal.signal(signal.SIGTERM, _graceful)
+
     t_start = time.time()
     start_epoch = min(global_steps // steps_per_epoch, args.epochs)
     for epoch in range(start_epoch, args.epochs):
+        if preempt["sig"] is not None:
+            break
         for j, batch in enumerate(train_loader):
             if j >= steps_per_epoch:
+                break
+            if preempt["sig"] is not None:
                 break
             mb = _to_model_batch(batch, cond_type, sr_factor=preset.sr_factor)
             state, metrics = trainer.step(state, mb)
@@ -306,8 +323,15 @@ def main(args):
             if args.save_every and global_steps % args.save_every == 0:
                 save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step=global_steps)
 
+    signal.signal(signal.SIGTERM, old_term)
     save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step=global_steps)
     dt = time.time() - t_start
+    if preempt["sig"] is not None:
+        print(f"preempted (signal {preempt['sig']}): checkpoint saved at "
+              f"step {global_steps}; rerun with --resume to continue")
+        if run is not None:
+            run.finish()
+        return
     print(f"done: {global_steps} steps in {dt:.1f}s ({global_steps/max(dt,1e-9):.2f} steps/s)")
     if run is not None:
         run.finish()

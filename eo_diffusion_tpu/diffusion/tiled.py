@@ -31,7 +31,8 @@ from eo_diffusion_tpu.diffusion.gaussian import (
 )
 
 __all__ = ["TileGrid", "make_tile_grid", "unfold", "fold",
-           "make_tiled_denoiser", "tiled_ddim_sample", "tiled_flow_sample"]
+           "make_tiled_denoiser", "tiled_ddim_sample", "tiled_flow_sample",
+           "tiled_bridge_sample"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -383,4 +384,84 @@ def tiled_flow_sample(
     (x, _), _ = jax.lax.scan(step, (x, state0), jnp.arange(num_steps))
     if mask is not None:
         x = mask * x0.astype(jnp.float32) + (1.0 - mask) * x
+    return DiffusionOutput(x=x)
+
+
+def tiled_bridge_sample(
+    bridge,
+    model_fn: Callable,
+    rng: jax.Array,
+    n_samples: int,
+    height: int,
+    width: int,
+    num_steps: int = 25,
+    overlap: float = 0.5,
+    tile_batch: Optional[int] = None,
+    cond: Optional[jax.Array] = None,
+    y: Optional[jax.Array] = None,
+    eta: float = 0.0,
+    clip: bool = True,
+    dtype=jnp.float32,
+    model_state: Any = None,
+) -> DiffusionOutput:
+    """Tiled large-scene paired translation on the Brownian bridge
+    (diffusion/bridge.py): whole-scene cloud removal in one compiled pass.
+
+    ``cond`` is the REQUIRED full-scene source image (e.g. the cloudy
+    scene); x starts AT it (no noise init), tiles are denoised with the
+    tile-trained bridge model (the source rides per tile through the shared
+    :func:`make_tiled_denoiser` concat path), and the stitched RESIDUAL
+    prediction drives the full-scene bridge posterior. Like the velocity in
+    :func:`tiled_flow_sample`, the residual is a linear object, so the
+    weighted average of per-tile residuals is the stitched field's residual
+    — the posterior algebra then runs once on the full scene, keeping the
+    trajectory coherent across seams.
+    """
+    assert cond is not None, "bridge sampling requires the source scene (cond)"
+    tile = bridge.image_size
+    T = bridge.timesteps
+    assert num_steps >= 1, num_steps
+    num_steps = min(num_steps, T - 1)
+    grid = make_tile_grid(height, width, tile, overlap)
+    shape = (n_samples, height, width, bridge.in_channels)
+
+    ts = np.linspace(T - 1, 0, num_steps + 1).round().astype(np.int32)
+    t_seq = jnp.asarray(ts)
+    m_seq = t_seq.astype(jnp.float32) / float(T - 1)
+    d_seq = 2.0 * bridge.max_var * (m_seq - m_seq * m_seq)
+
+    yf = jnp.broadcast_to(cond.astype(jnp.float32), shape)
+    denoise_tiles, state0 = make_tiled_denoiser(
+        model_fn, grid, tile, n_samples,
+        cond=cond if bridge.cond_type == "concat" else None, y=y,
+        tile_batch=tile_batch, model_state=model_state,
+    )
+
+    def step(carry, xs):
+        i, key = xs
+        x, st = carry
+        x_tiles = unfold(x.astype(dtype), grid)
+        raw_tiles, st = denoise_tiles(x_tiles, t_seq[i], st, i)
+        pred = fold(raw_tiles, grid)  # stitched residual prediction
+        x0_hat = x - pred
+        if clip:
+            x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
+
+        m_t, m_s = m_seq[i], m_seq[i + 1]
+        d_t, d_s = d_seq[i], d_seq[i + 1]
+        a = (1.0 - m_t) / (1.0 - m_s)
+        safe_dt = jnp.where(d_t > 0, d_t, 1.0)
+        gain = jnp.where(d_t > 0, a * d_s / safe_dt, 0.0)
+        mu_t = (1.0 - m_t) * x0_hat + m_t * yf
+        mu_s = (1.0 - m_s) * x0_hat + m_s * yf
+        mean = mu_s + gain * (x - mu_t)
+        var = jnp.where(d_t > 0,
+                        d_s * jnp.maximum(d_t - a * a * d_s, 0.0) / safe_dt,
+                        d_s)
+        noise = jax.random.normal(key, shape, jnp.float32)
+        return (mean + eta * jnp.sqrt(var) * noise, st), None
+
+    keys = jax.random.split(rng, num_steps)
+    (x, _), _ = jax.lax.scan(step, (yf, state0),
+                             (jnp.arange(num_steps), keys))
     return DiffusionOutput(x=x)
