@@ -261,6 +261,15 @@ PRESETS = {
                                (1, 2), (), 1, 1, batch_size=16, process="flow",
                                latent_downs=1, latent_channels=4,
                                ae_base_dim=16, ae_steps=60),
+    # latent Brownian bridge: the paired translation runs between ENCODED
+    # endpoints (cloudy and clear latents) and decodes the result — the
+    # BBDM-in-latent-space composition (the BBDM paper's LBBDM variant)
+    "tiny-latent-bridge": Preset("tiny-latent-bridge", "synthetic", 16, 3, 32,
+                                 (1, 2), (), 1, 1, cond_type="concat",
+                                 timesteps=50, batch_size=16,
+                                 process="bridge", latent_downs=1,
+                                 latent_channels=4, ae_base_dim=16,
+                                 ae_steps=60),
 }
 
 

@@ -119,12 +119,14 @@ class LatentDiffusion:
     def sample(self, model_fn, rng, n_samples, cond=None, y=None,
                encode_cond: Optional[bool] = None, uncond=None,
                **kw) -> DiffusionOutput:
-        """Flow-process delegation: when the inner process is a
-        ``diffusion.flow.FlowMatching`` (latent rectified flow — beyond the
-        reference's pixel/DDPM-only LatentDiffusion), integrate the ODE in
-        latent space and decode."""
+        """Native-sampler delegation: when the inner process exposes
+        ``.sample`` (latent rectified flow, EDM, or the latent Brownian
+        bridge — all beyond the reference's pixel/DDPM-only
+        LatentDiffusion), integrate in latent space and decode."""
         c = self._cond(cond, encode_cond)
-        u = self._cond(uncond, encode_cond)
+        if uncond is not None:
+            # only CFG-capable processes take uncond (the bridge doesn't)
+            kw["uncond"] = self._cond(uncond, encode_cond)
         out = self.diffusion.sample(model_fn, rng, n_samples, cond=c, y=y,
-                                    uncond=u, **kw)
+                                    **kw)
         return DiffusionOutput(x=self.decode(out.x))

@@ -207,3 +207,41 @@ class TestBridgeCLI:
         infer_cli.main(args)
         assert os.path.exists(os.path.join(outdir, "metrics.txt"))
         assert os.listdir(os.path.join(outdir, "samples_fid"))
+
+
+class TestLatentBridgeCLI:
+    """Latent Brownian bridge (the BBDM paper's LBBDM variant): translation
+    between ENCODED endpoints through the CLIs — first stage trained
+    in-run, bridge posterior walked in latent space, pixels decoded."""
+
+    def test_train_infer_roundtrip(self, tmp_path):
+        from eo_diffusion_tpu.cli import inference as infer_cli
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        sample_dir = os.path.join(str(tmp_path), "results_lbridge")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            args = train_cli.parse_args([
+                "--preset", "tiny-latent-bridge", "--epochs", "1",
+                "--steps_per_epoch", "3", "--batch_size", "8",
+                "--lr", "2e-3", "--dir", sample_dir, "--sample_every", "2",
+                "--save_every", "3", "--log_freq", "1", "--n_samples", "4",
+            ])
+            train_cli.main(args)
+        finally:
+            os.chdir(cwd)
+        ckpt_root = os.path.join(str(tmp_path), "logs", "results_lbridge")
+        steps = sorted(d for d in os.listdir(ckpt_root)
+                       if d.startswith("steps_"))
+        assert steps, ckpt_root
+        outdir = os.path.join(str(tmp_path), "infer_lbridge")
+        args = infer_cli.parse_args([
+            "--preset", "tiny-latent-bridge",
+            "--ckpt", os.path.join(ckpt_root, steps[-1]),
+            "--sampler_steps", "6", "--metrics", "--save", "--samples_fid",
+            "--n_iter", "0", "--batch_size", "4", "--outdir", outdir,
+        ])
+        infer_cli.main(args)
+        assert os.path.exists(os.path.join(outdir, "metrics.txt"))
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
