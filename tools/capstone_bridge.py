@@ -165,6 +165,7 @@ def main():
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--skip_bridge", action="store_true")
     ap.add_argument("--skip_baseline", action="store_true")
+    ap.add_argument("--skip_scene", action="store_true")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -239,6 +240,54 @@ def main():
                     t_b = time.time() - t0
             score("bridge64_baseline", f"ddim{steps}", np.concatenate(outs),
                   clear_h, cloudy_h, extractor, real_feats, results, t_b)
+
+    # whole-scene stage: translate one large cloudy scene in ONE compiled
+    # tiled-bridge pass (tiled.tiled_bridge_sample) — the flagship
+    # large-scene cloud-removal artifact
+    if not args.skip_scene:
+        from eo_diffusion_tpu.data.datasets import SyntheticEO
+        from eo_diffusion_tpu.diffusion.tiled import tiled_bridge_sample
+        from eo_diffusion_tpu.utils.images import save_image_grid
+
+        scene_px = 32 if args.smoke else 1024
+        ds = SyntheticEO(size=scene_px, length=1, data_range=(-1.0, 1.0),
+                         seed=555, with_cond_image=True)
+        it = ds[0]
+        sc_clear = it["image"][None]
+        sc_cloudy = it["cond_image"][None]
+        tb = None if args.smoke else 64
+
+        jscene = jax.jit(lambda p, rng, c: tiled_bridge_sample(
+            bridge, fn_of(p), rng, 1, scene_px, scene_px, num_steps=10,
+            cond=c, eta=0.0, tile_batch=tb, dtype=dtype).x)
+        t0 = time.time()
+        sc_out = np.asarray(jscene(bp, jax.random.PRNGKey(9),
+                                   jnp.asarray(sc_cloudy)), np.float32)
+        # compile excluded: time the second (steady-state) scene
+        t0 = time.time()
+        sc_out = np.asarray(jscene(bp, jax.random.PRNGKey(10),
+                                   jnp.asarray(sc_cloudy)), np.float32)
+        dt = time.time() - t0
+
+        def seam_metric(img):
+            g_all = np.mean(np.abs(np.diff(img, axis=2)))
+            bounds = np.arange(SIZE // 2, scene_px, SIZE // 2)[:-1]
+            g_b = np.mean(np.abs(img[:, :, bounds] - img[:, :, bounds - 1]))
+            return float(g_b / max(g_all, 1e-9))
+
+        s = float(jnp.mean(M.ssim(jnp.asarray((sc_out + 1) / 2),
+                                  jnp.asarray((sc_clear + 1) / 2))))
+        s_in = float(jnp.mean(M.ssim(jnp.asarray((sc_cloudy + 1) / 2),
+                                     jnp.asarray((sc_clear + 1) / 2))))
+        results["scene"] = {"px": scene_px, "s_per_scene": dt,
+                            "ssim": s, "ssim_identity": s_in,
+                            "seam_ratio": seam_metric(sc_out)}
+        print(f"[scene] {scene_px}px bridge-10: {dt:.1f}s "
+              f"SSIM {s:.4f} (cloudy floor {s_in:.4f}) "
+              f"seam {results['scene']['seam_ratio']:.3f}", flush=True)
+        trip = np.stack([sc_cloudy[0], sc_out[0], sc_clear[0]])
+        save_image_grid(np.clip((trip + 1) / 2, 0, 1),
+                        os.path.join(GALLERY, "bridge_scene.png"), nrow=3)
 
     out = os.path.join(GALLERY, "bridge64_metrics.json")
     with open(out, "w") as f:
