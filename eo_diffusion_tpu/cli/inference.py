@@ -86,6 +86,15 @@ def parse_args(argv=None):
                         help="DeepCache (arXiv 2312.00858): recompute the deep "
                              "UNet branch only every K sampler steps (K>1 "
                              "enables; all samplers)")
+    parser.add_argument("--sdedit_strength", type=float, default=0.0,
+                        help="SDEdit editing (arXiv:2108.01073): noise the "
+                             "source image this fraction of the way up the "
+                             "chain and denoise back (0 = off; 0.3-0.6 "
+                             "edits, ~0.7+ regenerates). Source = the "
+                             "dataset's cond_image view when present (e.g. "
+                             "the cloudy pair), else the image itself. "
+                             "DDPM-chain presets run the DDIM tail; flow "
+                             "presets the Euler/Heun tail.")
     parser.add_argument("--n_iter", type=int, default=None)
     parser.add_argument("--jump_len", type=int, default=0,
                         help="RePaint resampling jump length (ddpm sampler; "
@@ -225,6 +234,19 @@ def main(args):
     assert not (args.sampler == "flow" and preset.process == "ddpm"), (
         f"--sampler flow requires a flow/edm-process preset; {preset.name} "
         f"trained the DDPM chain (use ddpm/ddim/dpm)")
+    if args.sdedit_strength:
+        assert preset.process in ("ddpm", "flow"), (
+            f"SDEdit is wired for DDPM-chain and flow presets; {preset.name} "
+            f"trains {preset.process}")
+        assert cond_type != "sum", (
+            "SDEdit starts FROM the source image; RePaint 'sum' masking is a "
+            "different mechanism (drop --sdedit_strength or use cond_type "
+            "concat/None)")
+        if args.sampler in ("ddpm", "dpm"):
+            print("note: SDEdit runs the DDIM tail; using --sampler ddim")
+            args.sampler = "ddim"
+        assert args.sampler in ("ddim", "flow"), (
+            f"--sdedit_strength does not compose with --sampler {args.sampler}")
     assert not (args.sampler == "cm" and args.deepcache > 1), (
         "cm is already 1-4 evaluations; DeepCache does not apply")
     assert not (args.sampler == "cm" and cond_type == "sum"), (
@@ -414,7 +436,26 @@ def main(args):
                                      scale=args.classifier_scale)
             if y is None:
                 catg = class_names(dataset, clf_classes)[int(clf_y[0])]
-        if args.sampler == "cm":
+        if args.sdedit_strength:
+            from eo_diffusion_tpu.diffusion.edit import sdedit_sample
+
+            # source = the paired view when the dataset has one (cloudy S2,
+            # degraded SR input, ...), else the gt image itself; metrics
+            # below then score edit fidelity against the gt
+            source = np.asarray(batch["cond_image"], np.float32) \
+                if "cond_image" in batch else image
+            out = sdedit_sample(
+                diffusion, fn_j, srng, jnp.asarray(source),
+                args.sdedit_strength, num_steps=args.sampler_steps,
+                eta=args.eta,
+                method=(args.flow_method if args.sampler == "flow"
+                        else args.ddim_spacing),
+                cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
+                y=jnp.asarray(y) if y is not None else None,
+                model_state=st0, **gkw,
+            )
+            samples = np.asarray(out.x, np.float32)
+        elif args.sampler == "cm":
             from eo_diffusion_tpu.diffusion.consistency import (
                 ConsistencyDistillation,
             )

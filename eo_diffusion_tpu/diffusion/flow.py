@@ -130,8 +130,14 @@ class FlowMatching:
         log_every: Optional[int] = None,
         dtype=jnp.float32,
         model_state: Any = None,
+        start_index: Optional[int] = None,
     ) -> DiffusionOutput:
         """Integrate the velocity ODE from t=1 to t=0 in one ``lax.scan``.
+
+        ``start_index=k`` integrates only the LAST k intervals of the
+        ``num_steps``-interval grid, i.e. from t = k/num_steps (static; the
+        SDEdit partial chain, diffusion/edit.py — pair with an ``x_T`` on
+        the straight-line path at that time). Grid spacing is unchanged.
 
         Heun (2nd-order) halves the step-count needed for a given error at
         2 model calls/step; with CFG, cond/uncond ride one doubled batch
@@ -152,10 +158,15 @@ class FlowMatching:
         x = (x_T.astype(jnp.float32) if x_T is not None
              else jax.random.normal(rng, shape, jnp.float32))
 
-        # uniform grid t_i: 1 -> 0 inclusive (num_steps intervals)
-        ts = jnp.linspace(1.0, 0.0, num_steps + 1)
+        # uniform grid t_i: 1 -> 0 inclusive (num_steps intervals); with
+        # start_index=k only the tail of the SAME grid runs (t = k/num_steps
+        # down to 0, identical spacing)
+        start = num_steps if start_index is None else int(start_index)
+        assert 1 <= start <= num_steps, (
+            f"start_index {start_index} outside the {num_steps}-interval grid")
+        ts = jnp.linspace(start / num_steps, 0.0, start + 1)
         stateful = model_state is not None
-        n_frames = -(-num_steps // log_every) if log_every else 0
+        n_frames = -(-start // log_every) if log_every else 0
 
         def call_model(xx, t_scalar, st, i):
             tt = jnp.full((xx.shape[0],), t_scalar * self.time_scale, jnp.float32)
@@ -191,7 +202,7 @@ class FlowMatching:
                     return 0.5 * (v1 + v2), st
 
                 v, st = jax.lax.cond(
-                    jnp.equal(i, num_steps - 1),
+                    jnp.equal(i, start - 1),
                     lambda st: (v1, st), _heun, st)
             else:
                 v = v1
@@ -204,7 +215,7 @@ class FlowMatching:
                    else jnp.zeros((), dtype))
         state0 = model_state if stateful else jnp.zeros((), dtype)
         (x, frames, _), _ = jax.lax.scan(
-            step, (x, frames0, state0), jnp.arange(num_steps))
+            step, (x, frames0, state0), jnp.arange(start))
         if mask is not None:
             # final paste: at t=0 the known region is exactly x0 (the last
             # in-loop composite happened at t > 0; RePaint semantics keep

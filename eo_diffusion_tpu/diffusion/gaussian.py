@@ -632,6 +632,8 @@ class GaussianDiffusion:
         log_every: Optional[int] = None,
         dtype=jnp.float32,
         model_state: Any = None,
+        start_index: Optional[int] = None,
+        x0_proj: Optional[Callable[[jax.Array], jax.Array]] = None,
     ) -> DiffusionOutput:
         """DDIM sampling (reference ``DDIMSampler``, ddim.py:57-207).
 
@@ -651,6 +653,14 @@ class GaussianDiffusion:
           a null-class pass (lucidrains classifier_free_guidance.py:374-386,
           596-686) -- pass the null-class index array (see
           ``UNetConfig.class_dropout_prob``).
+        * ``start_index``: run only the LAST ``start_index`` steps of the
+          subsequence (static; pairs with an ``x_T`` noised to
+          ``dd.timesteps[start_index-1]`` — the SDEdit partial chain,
+          diffusion/edit.py). Default runs the full subsequence.
+        * ``x0_proj``: per-step projection applied to pred_x0 after the
+          optional clip (DDNM's null-space data-consistency hook,
+          diffusion/inverse.py; the direction term keeps the ORIGINAL e_t,
+          arXiv:2212.00490 Alg. 1).
 
         The S-step loop is one ``lax.scan``.
         """
@@ -669,7 +679,11 @@ class GaussianDiffusion:
         alphas_prev = jnp.asarray(dd.alphas_prev)
         sigmas = jnp.asarray(dd.sigmas)
 
-        n_frames = -(-dd.num_steps // log_every) if log_every else 0
+        start = dd.num_steps if start_index is None else int(start_index)
+        assert 1 <= start <= dd.num_steps, (
+            f"start_index {start_index} outside the {dd.num_steps}-step "
+            "subsequence")
+        n_frames = -(-start // log_every) if log_every else 0
         # stateful model (DeepCache etc.): fn(x, t, cond, y, state, i) ->
         # (eps, state). With batch-doubling guidance the doubled batch flows
         # through the stateful fn too -- build the initial state for batch
@@ -712,6 +726,10 @@ class GaussianDiffusion:
                 a = _bcast(jnp.asarray(self.schedule.sqrt_alphas_cumprod), t)
                 s = _bcast(jnp.asarray(self.schedule.sqrt_one_minus_alphas_cumprod), t)
                 e_t = (xf - a * pred_x0) / jnp.maximum(s, 1e-8)
+            if x0_proj is not None:
+                # DDNM: range-space replacement happens LAST so the data
+                # consistency A x0_hat = y is exact; e_t stays as predicted
+                pred_x0 = x0_proj(pred_x0)
 
             a_t = alphas[idx]
             a_prev = alphas_prev[idx]
@@ -732,12 +750,12 @@ class GaussianDiffusion:
             return (x_prev, key, x_sc, frames, m_state), None
 
         # iterate DDIM indices in descending order (reference ddim.py:135,142)
-        idxs = jnp.arange(dd.num_steps - 1, -1, -1)
+        idxs = jnp.arange(start - 1, -1, -1)
         x_sc0 = jnp.zeros(shape, dtype) if self.self_condition else jnp.zeros((), dtype)
         frames0 = jnp.zeros((n_frames,) + shape, dtype) if log_every else jnp.zeros((), dtype)
         state0 = model_state if stateful else jnp.zeros((), dtype)
         (x, _, _, frames, _), _ = jax.lax.scan(
-            step, (img, scan_rng, x_sc0, frames0, state0), (idxs, jnp.arange(dd.num_steps))
+            step, (img, scan_rng, x_sc0, frames0, state0), (idxs, jnp.arange(start))
         )
         return DiffusionOutput(x=x, intermediates=frames if log_every else None)
 

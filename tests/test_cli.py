@@ -61,6 +61,9 @@ class TestInferenceCLI:
         ("ddpm", ["--cond_type", "sum", "--jump_len", "4", "--jump_n", "2"]),
         ("ddim", ["--sampler_steps", "6", "--deepcache", "3"]),
         ("dpm", ["--sampler_steps", "6", "--deepcache", "2"]),
+        # SDEdit partial chain (arXiv:2108.01073): source = the gt image on
+        # this uncond preset; runs the truncated DDIM tail
+        ("ddim", ["--sampler_steps", "5", "--sdedit_strength", "0.4"]),
     ])
     def test_inference_roundtrip(self, trained, run_dirs, sampler, extra):
         from eo_diffusion_tpu.cli import inference as infer_cli
@@ -70,6 +73,8 @@ class TestInferenceCLI:
         name = sampler
         if "--deepcache" in extra:
             name += "_dc" + extra[extra.index("--deepcache") + 1]
+        if "--sdedit_strength" in extra:
+            name += "_sdedit"
         outdir = os.path.join(run_dirs["infer"], name)
         args = infer_cli.parse_args([
             "--preset", "tiny", "--ckpt", ckpt, "--sampler", sampler,

@@ -103,6 +103,21 @@ class TestLatentFlowCLI:
 
 
 class TestFlowCLI:
+    def test_sdedit_roundtrip(self, flow_ckpt, run_dirs):
+        """SDEdit on the flow stack: the Euler tail from the partially
+        noised source (diffusion/edit.py)."""
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        outdir = os.path.join(run_dirs["infer"], "flow_sdedit")
+        args = infer_cli.parse_args([
+            "--preset", "tiny-flow", "--ckpt", flow_ckpt,
+            "--sampler_steps", "6", "--sdedit_strength", "0.5",
+            "--save", "--samples_fid", "--n_iter", "0", "--batch_size", "4",
+            "--outdir", outdir,
+        ])
+        infer_cli.main(args)
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
+
     def test_preview_grids_written(self, flow_ckpt, run_dirs):
         pngs = [f for f in os.listdir(run_dirs["flow_samples"]) if f.endswith(".png")]
         assert pngs, "flow training produced no preview grid"
