@@ -41,9 +41,15 @@ def parse_args(argv=None):
     p.add_argument("--ckpt", type=str, required=True,
                    help="teacher TrainState checkpoint directory")
     p.add_argument("--method", type=str, default="reflow",
-                   choices=["reflow", "consistency"],
+                   choices=["reflow", "consistency", "progressive"],
                    help="reflow = flow-teacher straightening; consistency = "
-                        "DDPM-teacher consistency distillation")
+                        "DDPM-teacher consistency distillation; progressive "
+                        "= Salimans-Ho halving rounds (DDPM teachers)")
+    p.add_argument("--pd_base_steps", type=int, default=16,
+                   help="progressive: round-1 teacher grid size (halves "
+                        "each round; final student = base/2^rounds steps)")
+    p.add_argument("--pd_rounds", type=int, default=2,
+                   help="progressive: halving rounds")
     p.add_argument("--cd_points", type=int, default=18,
                    help="consistency: grid points over the teacher chain")
     p.add_argument("--huber_c", type=float, default=0.0,
@@ -99,11 +105,13 @@ def main(args):
     from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
 
     preset = get_preset(args.preset)
-    if args.method == "consistency":
+    if args.method in ("consistency", "progressive"):
         assert preset.process == "ddpm", (
-            f"consistency distillation needs a DDPM-chain teacher; preset "
+            f"{args.method} distillation needs a DDPM-chain teacher; preset "
             f"{preset.name!r} trains {preset.process!r} (flow teachers "
             f"use --method reflow)")
+        if args.method == "progressive":
+            return _progressive_main(args, preset)
         return _consistency_main(args, preset)
     assert preset.process == "flow", (
         f"ReFlow distills rectified flows; preset {preset.name!r} trains "
@@ -363,6 +371,152 @@ def _consistency_main(args, preset):
         json.dump(results, f, indent=2)
     print(f"student checkpoint: {ckpt_path}")
     print(json.dumps({k: results[k] for k in ("teacher_init", "student")}))
+    return results
+
+
+def _progressive_main(args, preset):
+    """Progressive distillation (Salimans & Ho, diffusion/progressive.py):
+    ``--pd_rounds`` halving rounds starting from a ``--pd_base_steps``
+    teacher grid. Students are v-parameterized (paper §4; see the module
+    docstring for the measured eps-head failure) — round 1 re-calibrates
+    the head from the teacher's weights, later rounds distill v -> v.
+    Like the consistency path, the x0 pool is teacher DDIM samples
+    (data-free; also keeps latent presets AE-free here — the paper
+    distills on real data, a ``cli.train`` data pipe can be swapped in when
+    real datasets are mounted). Serve with ``cli.inference --sampler pd``
+    (which reads the checkpoint as a v head on the PD grid)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from eo_diffusion_tpu.cli.presets import build_denoiser, build_process
+    from eo_diffusion_tpu.diffusion.progressive import (
+        ProgressiveDistillation,
+        pd_sample,
+    )
+    from eo_diffusion_tpu.train.checkpoint import restore_params, save_checkpoint
+    from eo_diffusion_tpu.train.trainer import TrainState
+
+    if args.image_size:
+        preset.image_size = args.image_size
+    batch_size = args.batch_size or preset.batch_size
+    diffusion = build_process(preset, preset.timesteps, preset.image_size,
+                              cond_type=None)
+    if preset.is_latent:
+        print(f"latent preset: progressive rounds on the "
+              f"{diffusion.image_size}px latent grid")
+    mcfg = preset.model_config(bf16=not args.no_bf16)
+    model = build_denoiser(mcfg)
+    size, chans = diffusion.image_size, diffusion.in_channels
+
+    template = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, chans), jnp.float32),
+        jnp.zeros((1,), jnp.int32))
+    raw, ema = restore_params(args.ckpt, template)
+    teacher = jax.tree.map(jnp.asarray, raw if args.use_raw_params else ema)
+    print(f"teacher loaded from {args.ckpt}")
+
+    def fn_of(params):
+        return lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y)
+
+    dtype = jnp.float32 if args.no_bf16 else jnp.bfloat16
+    rng = jax.random.PRNGKey(args.seed)
+
+    # x0 pool: teacher DDIM samples (params threaded, CLAUDE.md HTTP-413)
+    t0 = time.time()
+    jgen = jax.jit(lambda tp, k: diffusion.ddim_sample(
+        fn_of(tp), k, batch_size, num_steps=args.pair_steps, dtype=dtype).x)
+    pool = np.concatenate([
+        np.asarray(jgen(teacher, jax.random.fold_in(rng, i)), np.float32)
+        for i in range(-(-args.n_pairs // batch_size))])[:args.n_pairs]
+    print(f"{len(pool)} teacher DDIM-{args.pair_steps} samples as the x0 "
+          f"pool in {time.time()-t0:.1f}s")
+
+    eval_eps = jax.random.normal(jax.random.fold_in(rng, 10_007),
+                                 (args.eval_n, size, size, chans), jnp.float32)
+    ref = np.asarray(jax.jit(lambda tp, e: diffusion.ddim_sample(
+        fn_of(tp), rng, args.eval_n, num_steps=args.pair_steps,
+        x_T=e, dtype=dtype).x)(teacher, eval_eps))
+    ref_norm = float(np.sqrt((ref**2).mean()))
+
+    v_process = dataclasses.replace(diffusion, objective="v")
+
+    def score(params, label, process):
+        out = {}
+        for k in args.few_steps:
+            x = np.asarray(jax.jit(
+                lambda p, e, k=k: pd_sample(process, fn_of(p),
+                                            jax.random.PRNGKey(99),
+                                            args.eval_n, steps=k, x_T=e,
+                                            dtype=dtype).x)(params, eval_eps))
+            out[f"pd{k}_gap"] = float(np.sqrt(((x - ref) ** 2).mean())) / ref_norm
+        print(f"[{label}] " + "  ".join(f"{k}={v:.4f}" for k, v in out.items()))
+        return out
+
+    results = {"teacher_init": score(teacher, "teacher-init", diffusion)}
+    data_rng = np.random.default_rng(args.seed + 1)
+    student = teacher
+    n_teacher = args.pd_base_steps
+    for r in range(args.pd_rounds):
+        n_student = n_teacher // 2
+        assert n_student >= 1, (
+            f"--pd_base_steps {args.pd_base_steps} halves below 1 step at "
+            f"round {r+1}; fewer --pd_rounds or a larger base")
+        # round 1 distills the preset's head into a v student; later
+        # rounds are v -> v
+        pd = ProgressiveDistillation.create(
+            diffusion, n_student,
+            teacher_objective=None if r == 0 else "v")
+        teacher_r = student
+        student = jax.tree.map(jnp.copy, teacher_r)
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, max(args.steps // 20, 1), args.steps, args.lr * 0.01)
+        tx = optax.adamw(sched)
+        opt = tx.init(student)
+
+        @jax.jit
+        def jstep(student, teacher_p, opt, rng, x0, pd=pd, tx=tx):
+            loss, grads = jax.value_and_grad(
+                lambda sp: pd.distill_loss(fn_of(sp), fn_of(teacher_p),
+                                           rng, x0))(student)
+            up, opt = tx.update(grads, opt, student)
+            return optax.apply_updates(student, up), opt, loss
+
+        t0 = time.time()
+        loss0 = loss = None
+        for i in range(args.steps):
+            rng, srng = jax.random.split(rng)
+            idx = data_rng.integers(0, len(pool), batch_size)
+            student, opt, l = jstep(student, teacher_r, opt, srng,
+                                    jnp.asarray(pool[idx]))
+            if i == 0:
+                loss0 = float(l)
+            if (i + 1) % max(args.steps // 5, 1) == 0:
+                loss = float(l)
+                print(f"round {r+1} ({n_teacher}->{n_student} steps) "
+                      f"step {i+1}/{args.steps} loss={loss:.5f} "
+                      f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)")
+        print(f"round {r+1}: loss {loss0:.5f} -> {loss:.5f}")
+        results[f"round{r+1}"] = score(student, f"round{r+1} ({n_student}-step)",
+                                       v_process)
+        n_teacher = n_student
+
+    os.makedirs(args.dir, exist_ok=True)
+    state = TrainState.create(student, optax.adamw(args.lr))
+    state = state.replace(ema_params=student)
+    ckpt_path = save_checkpoint(os.path.abspath(args.dir),
+                                jax.device_get(state), name="student")
+    results["config"] = {k: v for k, v in vars(args).items()}
+    results["final_steps"] = n_teacher
+    results["student_objective"] = "v"
+    with open(os.path.join(args.dir, "distill_metrics.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"student checkpoint: {ckpt_path}")
+    print(json.dumps({k: v for k, v in results.items()
+                      if k.startswith(("teacher", "round"))}))
     return results
 
 

@@ -51,12 +51,16 @@ def parse_args(argv=None):
                              "embedding row so label-CFG checkpoints load")
     parser.add_argument("--cond_type", type=str, default=None)
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm", "flow", "cm"],
+                        choices=["ddpm", "ddim", "dpm", "flow", "cm", "pd"],
                         help="dpm = DPM-Solver++(2M) second-order multistep "
                              "sampler; flow = Euler ODE integration (only for "
                              "flow-process presets, which force it); cm = "
                              "consistency-model few-step sampling (checkpoints "
-                             "from cli.distill --method consistency)")
+                             "from cli.distill --method consistency); pd = "
+                             "progressive-distillation grid sampling "
+                             "(checkpoints from cli.distill --method "
+                             "progressive; --sampler_steps = the final "
+                             "student's step count)")
     parser.add_argument("--cd_points", type=int, default=18,
                         help="cm sampler: consistency grid points (must "
                              "match distillation)")
@@ -220,6 +224,10 @@ def main(args):
         "--sampler cm samples a consistency-distilled DDPM-chain student "
         f"(cli.distill --method consistency); {preset.name} trains "
         f"{preset.process}")
+    assert not (args.sampler == "pd" and preset.process != "ddpm"), (
+        "--sampler pd samples a progressively-distilled DDPM-chain student "
+        f"(cli.distill --method progressive); {preset.name} trains "
+        f"{preset.process}")
     # "flow" here means "the process's native sampler": FlowMatching's
     # Euler/Heun velocity integration, EDM's Karras-grid Heun, or the
     # Brownian bridge's posterior walk — all expose the same .sample surface
@@ -247,14 +255,15 @@ def main(args):
             args.sampler = "ddim"
         assert args.sampler in ("ddim", "flow"), (
             f"--sdedit_strength does not compose with --sampler {args.sampler}")
-    assert not (args.sampler == "cm" and args.deepcache > 1), (
-        "cm is already 1-4 evaluations; DeepCache does not apply")
-    assert not (args.sampler == "cm" and cond_type == "sum"), (
-        "cm has no RePaint mask plumbing; cond_type='sum' metrics would "
-        "silently compare unconditional samples against gt (use ddim/dpm)")
-    if args.sampler == "cm" and args.guidance_scale != 1.0:
-        print("note: the cm sampler has no guidance combine; ignoring "
-              "--guidance_scale")
+    assert not (args.sampler in ("cm", "pd") and args.deepcache > 1), (
+        f"{args.sampler} is already 1-4 evaluations; DeepCache does not apply")
+    assert not (args.sampler in ("cm", "pd") and cond_type == "sum"), (
+        f"{args.sampler} has no RePaint mask plumbing; cond_type='sum' "
+        "metrics would silently compare unconditional samples against gt "
+        "(use ddim/dpm)")
+    if args.sampler in ("cm", "pd") and args.guidance_scale != 1.0:
+        print(f"note: the {args.sampler} sampler has no guidance combine; "
+              "ignoring --guidance_scale")
         args.guidance_scale = 1.0
     assert args.deepcache <= 1 or preset.backbone == "unet", (
         "DeepCache caches the UNet's deep/shallow split; the DiT backbone "
@@ -485,6 +494,32 @@ def main(args):
                 return diffusion.decode(z) if preset.is_latent else z
 
             out_x = jax.jit(_cm_run)(
+                ema_params, srng,
+                jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
+                jnp.asarray(y) if y is not None else None)
+            samples = np.asarray(out_x, np.float32)
+        elif args.sampler == "pd":
+            import dataclasses as _dc
+
+            from eo_diffusion_tpu.diffusion.progressive import pd_sample
+
+            # same latent division as cm: the student was distilled on the
+            # INNER chain, so pd hops run in latent space and the first
+            # stage decodes the result. PD students are v-parameterized
+            # (cli.distill --method progressive; diffusion/progressive.py)
+            inner = diffusion.diffusion if preset.is_latent else diffusion
+            inner = _dc.replace(inner, objective="v")
+
+            def _pd_run(params, rng, cc, yy):
+                fn = lambda x, t, c, yv: model.apply(params, x, t,
+                                                     cond=c, y=yv)
+                if preset.is_latent and cc is not None:
+                    cc = diffusion.encode(cc)
+                z = pd_sample(inner, fn, rng, bsz, steps=args.sampler_steps,
+                              cond=cc, y=yy).x
+                return diffusion.decode(z) if preset.is_latent else z
+
+            out_x = jax.jit(_pd_run)(
                 ema_params, srng,
                 jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 jnp.asarray(y) if y is not None else None)

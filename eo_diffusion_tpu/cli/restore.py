@@ -35,6 +35,13 @@ def parse_args(argv=None):
     p.add_argument("--sampler_steps", type=int, default=100)
     p.add_argument("--eta", type=float, default=0.85,
                    help="DDIM eta inside DDNM (paper default 0.85)")
+    p.add_argument("--ensemble", type=int, default=1,
+                   help="K>1: sample K stochastic restorations per batch "
+                        "(needs eta>0), report the ensemble mean as the "
+                        "restoration and the per-pixel std as an "
+                        "uncertainty map (saved as *_uncertainty.png; "
+                        "metrics add the uncertainty-vs-|error| Pearson "
+                        "correlation — calibrated maps correlate)")
     p.add_argument("--outdir", type=str, default="results/restore")
     p.add_argument("--ckpt", type=str, required=True)
     p.add_argument("--timesteps", type=int, default=None)
@@ -117,10 +124,15 @@ def main(args):
     _, ema_params = restore_params(args.ckpt, params)
     model_fn = lambda x, t, c, y: model.apply(ema_params, x, t, cond=c, y=y)
 
+    assert args.ensemble == 1 or args.eta > 0, (
+        "--ensemble needs stochastic DDNM (eta > 0); eta=0 members are "
+        "identical")
     os.makedirs(args.outdir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
     mask_rng = np.random.default_rng(args.seed)
     acc = {"ssim": 0.0, "psnr": 0.0, "ssim_naive": 0.0, "psnr_naive": 0.0}
+    if args.ensemble > 1:
+        acc["unc_err_corr"] = 0.0
     n = 0
     print(f"restoring: task={args.task}, {args.sampler_steps} steps, "
           f"eta={args.eta}")
@@ -129,13 +141,39 @@ def main(args):
         op = build_operator(args.task, image_size, batch, mask_rng)
         y = op.forward(gt)
         naive = op.pinv(y)
-        rng, srng = jax.random.split(rng)
-        restored = ddnm_sample(diffusion, model_fn, srng, y, op,
-                               num_steps=args.sampler_steps,
-                               eta=args.eta).x
+        if args.ensemble > 1:
+            # K stochastic members through ONE compiled program (rng is the
+            # only changing input); mean = restoration, std = uncertainty
+            jrun = jax.jit(lambda k: ddnm_sample(
+                diffusion, model_fn, k, y, op,
+                num_steps=args.sampler_steps, eta=args.eta).x)
+            members = []
+            for e in range(args.ensemble):
+                rng, srng = jax.random.split(rng)
+                members.append(np.asarray(jrun(srng), np.float32))
+            stack = np.stack(members)
+            restored = stack.mean(axis=0)
+            unc = stack.std(axis=0)
+        else:
+            rng, srng = jax.random.split(rng)
+            restored = ddnm_sample(diffusion, model_fn, srng, y, op,
+                                   num_steps=args.sampler_steps,
+                                   eta=args.eta).x
         gt01 = rescale_to_unit(np.asarray(gt), data_range)
         rest01 = rescale_to_unit(np.asarray(restored), data_range)
         naive01 = np.clip(rescale_to_unit(np.asarray(naive), data_range), 0, 1)
+        if args.ensemble > 1:
+            err = np.abs(np.asarray(restored) - np.asarray(gt))
+            u, e_ = unc.ravel(), err.ravel()
+            corr = float(np.corrcoef(u, e_)[0, 1]) if u.std() > 0 else 0.0
+            if args.metrics:
+                acc["unc_err_corr"] += corr
+            if args.save:
+                u01 = unc / max(float(unc.max()), 1e-8)
+                save_image_grid(
+                    u01, os.path.join(
+                        args.outdir, f"{args.task}_{j}_uncertainty.png"),
+                    nrow=int(math.sqrt(u01.shape[0])) or 1)
         if args.metrics:
             acc["ssim"] += float(M.ssim(jnp.asarray(rest01), jnp.asarray(gt01)))
             acc["psnr"] += float(M.psnr(jnp.asarray(rest01), jnp.asarray(gt01)))

@@ -170,6 +170,36 @@ class TestRestoreCLI:
         assert {f"{task}_0_gt.png", f"{task}_0_input.png",
                 f"{task}_0_restored.png"} <= set(pngs)
 
+    def test_ensemble_uncertainty(self, trained, tmp_path):
+        """K stochastic members: std map saved + uncertainty/|error|
+        correlation recorded in metrics.txt."""
+        from eo_diffusion_tpu.cli import restore as restore_cli
+
+        outdir = str(tmp_path / "ens")
+        restore_cli.main(restore_cli.parse_args([
+            "--preset", "tiny", "--ckpt", trained, "--task", "inpaint",
+            "--sampler_steps", "4", "--batch_size", "4", "--metrics",
+            "--save", "--n_iter", "0", "--ensemble", "3",
+            "--outdir", outdir,
+        ]))
+        assert os.path.exists(os.path.join(outdir,
+                                           "inpaint_0_uncertainty.png"))
+        with open(os.path.join(outdir, "metrics.txt")) as f:
+            txt = f.read()
+        assert "unc_err_corr" in txt
+        corr = float([ln for ln in txt.splitlines()
+                      if ln.startswith("unc_err_corr")][0].split(":")[1])
+        assert np.isfinite(corr) and -1.0 <= corr <= 1.0
+
+    def test_ensemble_needs_eta(self, trained):
+        from eo_diffusion_tpu.cli import restore as restore_cli
+
+        with pytest.raises(AssertionError):
+            restore_cli.main(restore_cli.parse_args([
+                "--preset", "tiny", "--ckpt", trained, "--task", "sr2",
+                "--ensemble", "2", "--eta", "0.0", "--n_iter", "0",
+            ]))
+
     def test_latent_preset_rejected(self, trained):
         from eo_diffusion_tpu.cli import restore as restore_cli
 

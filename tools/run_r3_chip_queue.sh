@@ -63,4 +63,7 @@ run clf 10800 python "$ROOT/tools/capstone_clf.py"
 # Brownian-bridge paired cloud removal vs the concat-DDPM baseline
 run bridge 10800 python "$ROOT/tools/capstone_bridge.py"
 
+# DDNM restoration + SDEdit sweep + progressive distillation (one teacher)
+run restore 10800 python "$ROOT/tools/capstone_restore.py"
+
 echo "[queue] all done $(date +%H:%M:%S)" | tee -a "$LOGS/queue.log"
