@@ -115,6 +115,10 @@ def parse_args(argv=None):
     parser.add_argument("--ddim_clip", action="store_true",
                         help="clamp pred_x0 in DDIM steps (stabilizes weak models; "
                              "the reference DDIM never clips)")
+    parser.add_argument("--lora", type=str, default=None,
+                        help="merge a LoRA adapter (directory written by "
+                             "cli.finetune) into the loaded params before "
+                             "sampling")
     parser.add_argument("--ae_ckpt", type=str, default=None,
                         help="latent presets: trained first-stage directory "
                              "(default: 'ae' beside --ckpt)")
@@ -311,6 +315,16 @@ def main(args):
 
             params = ema_params = load_torch_checkpoint(args.ckpt, ucfg)
         print("loaded!")
+
+    if args.lora:
+        from eo_diffusion_tpu.cli.finetune import load_lora
+        from eo_diffusion_tpu.train.lora import lora_merge
+
+        lora, lmeta = load_lora(args.lora)
+        lora = jax.tree.map(jnp.asarray, lora)
+        params = ema_params = lora_merge(ema_params, lora,
+                                         alpha=lmeta.get("alpha", 8.0))
+        print(f"LoRA adapter merged: {len(lora)} kernels from {args.lora}")
 
     model_fn = lambda x, t, c, y: model.apply(ema_params, x, t, cond=c, y=y)
 
