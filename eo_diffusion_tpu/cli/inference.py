@@ -147,6 +147,11 @@ def _build_cond(batch, cond_type, image_size, random_label=False, mask_rng=None,
     if cond_type is None:
         return None, None
     image = np.asarray(batch["image"], np.float32)
+    if cond_type == "spade":
+        # the segmap itself is the conditioning (SPADE norms consume it)
+        if "segmentation" not in batch:
+            return None, None
+        return np.asarray(batch["segmentation"], np.float32), None
     if cond_type == "concat" and sr_factor:
         from eo_diffusion_tpu.data.transforms import sr_cond
 
@@ -212,6 +217,13 @@ def main(args):
     peek_item = {k: np.asarray(v)[None] for k, v in test_loader.dataset[0].items()}
     peek_cond, _ = _build_cond(peek_item, cond_type, image_size,
                                sr_factor=preset.sr_factor)
+    # "spade" differs from "concat" only in how the cond tensor is BUILT
+    # (the segmap itself, _build_cond above) and which backbone consumes it
+    # (model_config); every downstream cond-passing decision is identical,
+    # so normalize here and keep the build-side name for the loop
+    build_cond_type = cond_type
+    if cond_type == "spade":
+        cond_type = "concat"
     has_cond = cond_type == "concat" and peek_cond is not None
     # latent presets: concat cond is first-stage-encoded -> latent_channels
     cond_channels = ((preset.latent_channels if preset.is_latent
@@ -386,7 +398,7 @@ def main(args):
         print(f"data {j}")
         image = np.asarray(batch["image"], np.float32)
         bsz = image.shape[0]
-        cond, mask = _build_cond(batch, cond_type, image_size,
+        cond, mask = _build_cond(batch, build_cond_type, image_size,
                                  random_label=args.random_label, mask_rng=mask_rng,
                                  sr_factor=preset.sr_factor)
 

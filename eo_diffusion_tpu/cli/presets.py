@@ -114,6 +114,30 @@ class Preset:
                 cfg = dataclasses.replace(
                     cfg, class_dropout_prob=class_dropout_prob)
             return cfg
+        if self.backbone == "spade":
+            # SDM/SPADE semantic-diffusion UNet (reference vendors it at
+            # backbones/unet.py:557+ without an entry point): the segmap is
+            # the SPATIAL conditioning (modulates every GroupNorm), so the
+            # embedding-based class/CFG machinery does not apply
+            assert not num_classes and class_dropout_prob == 0.0, (
+                "the SPADE backbone conditions on the segmap spatially; "
+                "embedding-class conditioning/CFG are not wired")
+            assert not self.is_latent, "spade presets are pixel-space"
+            from eo_diffusion_tpu.models.unet_spade import SpadeUNetConfig
+
+            return SpadeUNetConfig(
+                image_size=self.image_size,
+                in_channels=self.in_channels,
+                model_channels=self.base_dim,
+                out_channels=self.in_channels,
+                label_channels=max(cond_channels, 1),
+                num_res_blocks=self.num_res_blocks,
+                attention_resolutions=self.attention_resolutions,
+                channel_mult=self.dim_mults,
+                num_heads=self.num_heads,
+                spade_hidden=min(128, 2 * self.base_dim),
+                dtype=jnp.bfloat16 if bf16 else jnp.float32,
+            )
         assert self.backbone == "dit", self.backbone
         from eo_diffusion_tpu.models.dit import DiTConfig
 
@@ -168,6 +192,15 @@ PRESETS = {
     # tiny smoke config for CI / CPU runs
     "tiny": Preset("tiny", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
                    timesteps=50, batch_size=16),
+    # SPADE/SDM semantic-map conditioned generation (reference vendors the
+    # SDM UNet without an entry point; cond_type="spade" feeds the
+    # dataset's segmentation as the segmap that modulates every norm)
+    "spade64": Preset("spade64", "synthetic", 64, 3, 64, (1, 2, 3, 4),
+                      (8,), 2, 4, cond_type="spade", backbone="spade",
+                      batch_size=64),
+    "tiny-spade": Preset("tiny-spade", "synthetic", 8, 3, 32, (1, 2), (),
+                         1, 1, cond_type="spade", backbone="spade",
+                         timesteps=50, batch_size=16),
     # v-prediction + zero-terminal-SNR (Lin et al. 2023, arXiv:2305.08891;
     # beyond-reference): the schedule actually reaches SNR=0 so generations
     # stop inheriting x_T's mean; sample with --ddim_spacing trailing
@@ -283,9 +316,12 @@ def build_denoiser(model_cfg):
     """Instantiate the backbone for a config built by Preset.model_config."""
     from eo_diffusion_tpu.models.dit import DiT, DiTConfig
     from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+    from eo_diffusion_tpu.models.unet_spade import SpadeUNet, SpadeUNetConfig
 
     if isinstance(model_cfg, DiTConfig):
         return DiT(model_cfg)
+    if isinstance(model_cfg, SpadeUNetConfig):
+        return SpadeUNet(model_cfg)
     assert isinstance(model_cfg, UNetConfig), type(model_cfg)
     return UNet(model_cfg)
 
@@ -296,6 +332,11 @@ def build_process(preset: Preset, timesteps: int, image_size: int,
     latent grid for latent presets)."""
     size = preset.latent_size if preset.is_latent else image_size
     chans = preset.latent_channels if preset.is_latent else preset.in_channels
+    if cond_type == "spade":
+        # process-side the segmap is ordinary pass-through conditioning;
+        # "spade" only changes how the CLIs build the cond tensor and
+        # which backbone consumes it
+        cond_type = "concat"
     if preset.process == "flow":
         from eo_diffusion_tpu.diffusion.flow import FlowMatching
 

@@ -171,7 +171,7 @@ def main(args):
     # (paired image like SEN12MS-CR cloudy view, or image|mask).
     first = next(iter(train_loader))
     batch0 = _to_model_batch(first, cond_type, sr_factor=preset.sr_factor)
-    has_cond = cond_type == "concat" and "cond" in batch0
+    has_cond = cond_type in ("concat", "spade") and "cond" in batch0
     # latent presets: the concat cond rides the first stage too, so the UNet
     # sees latent_channels of conditioning, not the pixel cond width
     cond_channels = ((preset.latent_channels if preset.is_latent
@@ -202,7 +202,11 @@ def main(args):
         timesteps=timesteps, model_ema_steps=args.model_ema_steps,
         model_ema_decay=args.model_ema_decay, log_freq=args.log_freq,
         n_samples=args.n_samples, no_clip=args.no_clip,
-        num_classes=args.num_classes, cond_type=cond_type,
+        num_classes=args.num_classes,
+        # the Trainer's cond handling is pass-through for both concat and
+        # spade (use_cond + preview cond); only the CLI-side cond BUILD
+        # differs (_to_model_batch)
+        cond_type="concat" if cond_type == "spade" else cond_type,
         ckpt_dir=ckpt_dir,
         sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
         grad_clip=args.grad_clip,
@@ -403,6 +407,9 @@ def _to_model_batch(batch, cond_type, sr_factor=0):
     if cond_type == "sum" and "segmentation" in batch:
         inv_mask = 1.0 - batch["segmentation"]
         out["cond"] = np.concatenate([batch["image"], inv_mask], axis=-1)
+    elif cond_type == "spade":
+        # the segmap itself IS the conditioning (SPADE norms consume it)
+        out["cond"] = batch["segmentation"]
     elif cond_type == "concat":
         if sr_factor:
             from eo_diffusion_tpu.data.transforms import sr_cond
