@@ -79,6 +79,24 @@ def parse_args(argv=None):
                              "class_dropout_prob > 0); concat-conditioned "
                              "models guide against a zero conditioning "
                              "image. All samplers support it.")
+    parser.add_argument("--guidance_rescale", type=float, default=0.0,
+                        help="CFG-rescale phi (arXiv:2305.08891 §3.4): mixes "
+                             "the guided prediction back toward the cond-"
+                             "branch per-sample std to undo over-exposure at "
+                             "high --guidance_scale (paper suggests ~0.7; "
+                             "0 disables). Pairs with --preset vpred*'s "
+                             "zero-terminal-SNR schedule but works on any "
+                             "CFG-capable sampler.")
+    parser.add_argument("--tome_ratio", type=float, default=0.0,
+                        help="token merging (ToMe, arXiv:2303.17604) on DiT "
+                             "presets: fraction of tokens merged inside "
+                             "every block's attention. Parameter-free, so "
+                             "it applies to checkpoints trained without it "
+                             "(training-free speedup like --deepcache; "
+                             "~0.3-0.5 is the useful range).")
+    parser.add_argument("--tome_mlp", action="store_true",
+                        help="extend --tome_ratio's merge around the MLP "
+                             "branch too (faster, slightly lossier)")
     parser.add_argument("--classifier_ckpt", type=str, default=None,
                         help="classifier guidance (Dhariwal & Nichol 2021): "
                              "directory written by cli.train_classifier "
@@ -231,6 +249,16 @@ def main(args):
     ucfg = preset.model_config(num_classes=num_classes, bf16=not args.no_bf16,
                                cond_channels=cond_channels,
                                class_dropout_prob=args.class_dropout)
+    if args.tome_ratio:
+        import dataclasses as _dc
+
+        assert preset.backbone == "dit", (
+            "--tome_ratio merges transformer tokens (DiT presets); the UNet "
+            "has no token axis — use --deepcache there")
+        # parameter-free: the param tree is unchanged, so any trained
+        # checkpoint loads under the merged config (ops/tome.py)
+        ucfg = _dc.replace(ucfg, tome_ratio=args.tome_ratio,
+                           tome_mlp=args.tome_mlp)
     model = build_denoiser(ucfg)
     diffusion = build_process(preset, timesteps, image_size, cond_type=cond_type)
     # an explicit cm request on a non-DDPM preset is an error, not a
@@ -414,6 +442,8 @@ def main(args):
         gkw = {}
         if args.guidance_scale != 1.0:
             gkw["guidance_scale"] = args.guidance_scale
+            if args.guidance_rescale:
+                gkw["guidance_rescale"] = args.guidance_rescale
             if num_classes and y is not None:
                 # label-CFG needs the learned null row (index num_classes),
                 # which only exists when the model was built/trained with

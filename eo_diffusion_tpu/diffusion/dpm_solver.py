@@ -53,6 +53,7 @@ def dpm_solver_sample(
     mask: Optional[jax.Array] = None,
     x0: Optional[jax.Array] = None,
     guidance_scale: float = 1.0,
+    guidance_rescale: float = 0.0,
     uncond: Optional[jax.Array] = None,
     y_uncond: Optional[jax.Array] = None,
 ) -> DiffusionOutput:
@@ -124,7 +125,8 @@ def dpm_solver_sample(
         x2, t2, c2, y2, doubled = cfg_double_inputs(
             x_in, t, cond, y, uncond, y_uncond, guidance_scale)
         out, m_state = call_model(x2, t2, c2, y2, m_state, i)
-        raw = cfg_combine(out, guidance_scale) if doubled else out
+        raw = (cfg_combine(out, guidance_scale, guidance_rescale)
+               if doubled else out)
         _, x0 = diffusion._to_eps_x0(raw, x.astype(jnp.float32), t)
         if clip:
             x0 = jnp.clip(x0, -1.0, 1.0)

@@ -145,6 +145,7 @@ class EDMProcess:
         y: Optional[jax.Array] = None,
         x_T: Optional[jax.Array] = None,
         guidance_scale: float = 1.0,
+        guidance_rescale: float = 0.0,
         uncond: Optional[jax.Array] = None,
         y_uncond: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
@@ -194,7 +195,7 @@ class EDMProcess:
                 out = model_fn(x_in, t_in, c_in_arg, y_in)
             if doubled:
                 # D is affine in F, so combining raw outputs == combining Ds
-                out = cfg_combine(out, guidance_scale)
+                out = cfg_combine(out, guidance_scale, guidance_rescale)
             return cb(c_skip) * xx + cb(c_out) * out.astype(jnp.float32), st
 
         def step(carry, i):

@@ -123,6 +123,7 @@ class FlowMatching:
         y: Optional[jax.Array] = None,
         x_T: Optional[jax.Array] = None,
         guidance_scale: float = 1.0,
+        guidance_rescale: float = 0.0,
         uncond: Optional[jax.Array] = None,
         y_uncond: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
@@ -177,7 +178,7 @@ class FlowMatching:
             else:
                 out = model_fn(x_in, t_in, c_in, y_in)
             if doubled:
-                out = cfg_combine(out, guidance_scale)
+                out = cfg_combine(out, guidance_scale, guidance_rescale)
             return out.astype(jnp.float32), st
 
         mask_rng = jax.random.fold_in(rng, 7)

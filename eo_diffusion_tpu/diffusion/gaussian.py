@@ -108,11 +108,29 @@ def cfg_double_inputs(x, t, cond, y, uncond=None, y_uncond=None,
     return x_in, t_in, c_in, y_in, True
 
 
-def cfg_combine(out, guidance_scale: float):
+def cfg_combine(out, guidance_scale: float, guidance_rescale: float = 0.0):
     """Guided combine of a batch-doubled model output:
-    ``e_uncond + scale * (e_cond - e_uncond)`` (reference ddim.py:180)."""
+    ``e_uncond + scale * (e_cond - e_uncond)`` (reference ddim.py:180).
+
+    ``guidance_rescale`` (phi in arXiv:2305.08891 §3.4, the CFG-rescale half
+    of the zero-terminal-SNR paper — the schedule half lives in
+    core/schedules.rescale_zero_terminal_snr): large scales inflate the
+    per-sample std of the guided prediction, which over-exposes images;
+    rescaling it back toward the cond-branch std (then mixing by phi)
+    restores the contrast. phi=0 (default) is the plain combine; the paper
+    recommends phi≈0.7 with high scales. Applied to whatever the model
+    predicts (eps/v/x0) — the paper states it on x0, but the std ratio is
+    invariant to the affine eps<->x0 map only per-sample, so applying at the
+    raw-output policy point keeps every sampler consistent."""
     e_u, e_c = jnp.split(out, 2, axis=0)
-    return e_u + guidance_scale * (e_c - e_u)
+    guided = e_u + guidance_scale * (e_c - e_u)
+    if guidance_rescale:
+        axes = tuple(range(1, guided.ndim))
+        std_c = jnp.std(e_c, axis=axes, keepdims=True)
+        std_g = jnp.std(guided, axis=axes, keepdims=True)
+        fixed = guided * (std_c / jnp.maximum(std_g, 1e-8))
+        guided = guidance_rescale * fixed + (1.0 - guidance_rescale) * guided
+    return guided
 
 # A denoiser: (x_t [N,H,W,C], t [N], cond, y) -> eps_pred [N,H,W,C].
 DenoiseFn = Callable[..., jax.Array]
@@ -464,6 +482,7 @@ class GaussianDiffusion:
         clip: bool = True,
         log_every: Optional[int] = None,
         guidance_scale: float = 1.0,
+        guidance_rescale: float = 0.0,
         y_uncond: Optional[jax.Array] = None,
         dtype=jnp.float32,
         model_state: Any = None,
@@ -520,13 +539,13 @@ class GaussianDiffusion:
                     x_in, t_in, c_in, y_in, _ = cfg_double_inputs(
                         x, t, c, yy, None, y_uncond, guidance_scale)
                     out, st = inner_fn(x_in, t_in, c_in, y_in, st, i)
-                    return cfg_combine(out, guidance_scale), st
+                    return cfg_combine(out, guidance_scale, guidance_rescale), st
             else:
                 def model_fn(x, t, c, yy):  # noqa: F811
                     x_in, t_in, c_in, y_in, _ = cfg_double_inputs(
                         x, t, c, yy, None, y_uncond, guidance_scale)
                     return cfg_combine(inner_fn(x_in, t_in, c_in, y_in),
-                                       guidance_scale)
+                                       guidance_scale, guidance_rescale)
 
         gt = mask = None
         if cond is not None and self.cond_type == "sum":
@@ -626,6 +645,7 @@ class GaussianDiffusion:
         x_T: Optional[jax.Array] = None,
         temperature: float = 1.0,
         guidance_scale: float = 1.0,
+        guidance_rescale: float = 0.0,
         uncond: Optional[jax.Array] = None,
         y_uncond: Optional[jax.Array] = None,
         clip: bool = False,
@@ -717,7 +737,8 @@ class GaussianDiffusion:
             x_in, t_in, c_in, y_in, doubled = cfg_double_inputs(
                 x_m, t, cond_eff, y, uncond_eff, y_uncond, guidance_scale)
             out, m_state = call_model(x_in, t_in, c_in, y_in, m_state)
-            raw = cfg_combine(out, guidance_scale) if doubled else out
+            raw = (cfg_combine(out, guidance_scale, guidance_rescale)
+                   if doubled else out)
             xf = x.astype(jnp.float32)
             e_t, pred_x0 = self._to_eps_x0(raw, xf, t)
             if clip:

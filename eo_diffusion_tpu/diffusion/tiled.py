@@ -113,6 +113,7 @@ def make_tiled_denoiser(
     cond: Optional[jax.Array] = None,
     y: Optional[jax.Array] = None,
     guidance_scale: float = 1.0,
+    guidance_rescale: float = 0.0,
     uncond: Optional[jax.Array] = None,
     y_uncond: Optional[jax.Array] = None,
     tile_batch: Optional[int] = None,
@@ -153,7 +154,8 @@ def make_tiled_denoiser(
         x2, t2, c2, y2, doubled = cfg_double_inputs(
             xx, tt, cc, yy, uu, yu, guidance_scale)
         out, st = call_model(x2, t2, c2, y2, st, i)
-        return (cfg_combine(out, guidance_scale) if doubled else out), st
+        return (cfg_combine(out, guidance_scale, guidance_rescale)
+                if doubled else out), st
 
     def denoise_tiles(x_tiles, t_scalar, m_state, i):
         """Run the denoiser over [N, nT, t, t, C] tiles (optionally chunked)."""
@@ -224,6 +226,7 @@ def tiled_ddim_sample(
     dtype=jnp.float32,
     model_state: Any = None,
     guidance_scale: float = 1.0,
+    guidance_rescale: float = 0.0,
     uncond: Optional[jax.Array] = None,
     y_uncond: Optional[jax.Array] = None,
 ) -> DiffusionOutput:
@@ -267,7 +270,8 @@ def tiled_ddim_sample(
 
     denoise_tiles, state0 = make_tiled_denoiser(
         model_fn, grid, tile, n_samples, cond=cond, y=y,
-        guidance_scale=guidance_scale, uncond=uncond, y_uncond=y_uncond,
+        guidance_scale=guidance_scale, guidance_rescale=guidance_rescale,
+        uncond=uncond, y_uncond=y_uncond,
         tile_batch=tile_batch, model_state=model_state,
     )
 
@@ -320,6 +324,7 @@ def tiled_flow_sample(
     mask: Optional[jax.Array] = None,
     x0: Optional[jax.Array] = None,
     guidance_scale: float = 1.0,
+    guidance_rescale: float = 0.0,
     uncond: Optional[jax.Array] = None,
     y_uncond: Optional[jax.Array] = None,
     dtype=jnp.float32,
@@ -348,7 +353,8 @@ def tiled_flow_sample(
 
     denoise_tiles, state0 = make_tiled_denoiser(
         model_fn, grid, tile, n_samples, cond=cond, y=y,
-        guidance_scale=guidance_scale, uncond=uncond, y_uncond=y_uncond,
+        guidance_scale=guidance_scale, guidance_rescale=guidance_rescale,
+        uncond=uncond, y_uncond=y_uncond,
         tile_batch=tile_batch, model_state=model_state, t_dtype=jnp.float32,
     )
 

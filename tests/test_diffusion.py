@@ -464,3 +464,44 @@ class TestCFGHelpers:
         e_c = jnp.full((2, 1), 3.0)
         out = cfg_combine(jnp.concatenate([e_u, e_c], axis=0), 2.0)
         np.testing.assert_allclose(np.asarray(out), 5.0)  # 1 + 2*(3-1)
+
+    def test_rescale_restores_cond_std(self):
+        # CFG-rescale (arXiv:2305.08891 §3.4): at phi=1 the combined output's
+        # per-sample std must equal the cond branch's; at phi=0 the plain
+        # combine is returned bit-identically; 0<phi<1 is the convex mix.
+        from eo_diffusion_tpu.diffusion.gaussian import cfg_combine
+
+        k = jax.random.PRNGKey(3)
+        e_u = jax.random.normal(k, (2, 8, 8, 3))
+        e_c = jax.random.normal(jax.random.fold_in(k, 1), (2, 8, 8, 3)) * 2.0
+        out = jnp.concatenate([e_u, e_c], axis=0)
+
+        plain = cfg_combine(out, 7.5)
+        assert np.asarray(cfg_combine(out, 7.5, 0.0) == plain).all()
+
+        full = np.asarray(cfg_combine(out, 7.5, 1.0))
+        std_c = np.asarray(e_c).std(axis=(1, 2, 3))
+        np.testing.assert_allclose(full.std(axis=(1, 2, 3)), std_c, rtol=1e-5)
+        # high-scale CFG inflates std; the rescale undoes it
+        assert np.asarray(plain).std(axis=(1, 2, 3)).min() > std_c.max()
+
+        mid = np.asarray(cfg_combine(out, 7.5, 0.3))
+        np.testing.assert_allclose(
+            mid, 0.3 * full + 0.7 * np.asarray(plain), rtol=1e-5)
+
+    def test_rescale_through_ddim(self):
+        # e2e: guidance_rescale changes the trajectory (and stays finite)
+        # relative to the plain guided run, with a cond-sensitive denoiser.
+        d = make_diffusion(T=100)
+
+        def model(x, t, c, y):
+            return 0.1 * x + (0.2 * c if c is not None else 0.0)
+
+        cond = jnp.ones((2, SIZE, SIZE, CH))
+        kw = dict(num_steps=8, cond=cond, uncond=jnp.zeros_like(cond),
+                  guidance_scale=4.0)
+        a = d.ddim_sample(model, jax.random.PRNGKey(0), 2, **kw).x
+        b = d.ddim_sample(model, jax.random.PRNGKey(0), 2,
+                          guidance_rescale=0.7, **kw).x
+        assert np.isfinite(np.asarray(b)).all()
+        assert np.abs(np.asarray(a - b)).max() > 1e-6
