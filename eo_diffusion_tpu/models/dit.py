@@ -71,6 +71,14 @@ class DiTConfig:
     moe_top_k: int = 1
     moe_every: int = 2
     moe_capacity: float = 1.25
+    # Token merging (ToMe, arXiv:2303.17604 — ops/tome.py): fraction of the
+    # token count merged away inside every block's attention (parameter-
+    # free, so it can be switched on at inference over any trained DiT
+    # checkpoint; --tome_ratio in cli/inference.py). tome_mlp extends the
+    # same merge map around the MLP/MoE branch (faster, slightly lossier —
+    # the ToMe-SD paper's default is attention-only).
+    tome_ratio: float = 0.0
+    tome_mlp: bool = False
 
     @property
     def label_vocab(self) -> Optional[int]:
@@ -158,6 +166,9 @@ class DiTBlock(nn.Module):
     num_experts: int = 0  # > 0: MoE FFN instead of the dense MLP
     moe_top_k: int = 1
     moe_capacity: float = 1.25
+    tome_r: int = 0       # tokens merged around attention (ops/tome.py)
+    tome_mlp: bool = False
+    grid_hw: Tuple[int, int] = (0, 0)  # token grid (for the ToMe partition)
 
     @nn.compact
     def __call__(self, x: jax.Array, c: jax.Array,
@@ -170,10 +181,22 @@ class DiTBlock(nn.Module):
          shift_m, scale_m, gate_m) = jnp.split(mod, 6, axis=-1)
 
         h = _modulated_ln(x, shift_a, scale_a)
+        merge = unmerge = None
+        if self.tome_r:
+            from eo_diffusion_tpu.ops.tome import build_merge
+
+            # metric = the attention input (ToMe-SD computes it on the
+            # block input; post-LN is scale-normalized, which only helps
+            # the cosine similarity). One map serves attn and (optionally)
+            # the MLP branch, so both unmerges stay consistent.
+            merge, unmerge = build_merge(h, self.grid_hw, self.tome_r)
+            h = merge(h)
         qkv = Dense(3 * d, dtype=self.dtype, name="qkv")(h)
         a = attention_from_qkv(qkv, self.num_heads, new_order=True,
                                impl=self.attn_impl)
         a = Dense(d, dtype=self.dtype, name="proj_out")(a)
+        if merge is not None:
+            a = unmerge(a)
         x = x + gate_a[:, None, :].astype(x.dtype) * a
 
         if self.context_dim:
@@ -182,6 +205,8 @@ class DiTBlock(nn.Module):
                                          name="cross")(x, context)
 
         h = _modulated_ln(x, shift_m, scale_m)
+        if merge is not None and self.tome_mlp:
+            h = merge(h)
         if self.num_experts:
             from eo_diffusion_tpu.models.moe import MoEMLP
 
@@ -194,6 +219,8 @@ class DiTBlock(nn.Module):
                       name="mlp_in")(h)
             h = nn.gelu(h, approximate=True)
             h = Dense(d, dtype=self.dtype, name="mlp_out")(h)
+        if merge is not None and self.tome_mlp:
+            h = unmerge(h)
         return x + gate_m[:, None, :].astype(x.dtype) * h
 
 
@@ -216,6 +243,13 @@ class DiT(nn.Module):
         if cfg.num_classes is not None:
             self.label_embed = nn.Embed(cfg.label_vocab, d, name="label_embed",
                                         dtype=jnp.float32)
+        tome_r = 0
+        if cfg.tome_ratio:
+            from eo_diffusion_tpu.ops.tome import (aligned_merge_count,
+                                                   tome_partition)
+
+            _, src = tome_partition(cfg.grid, cfg.grid)
+            tome_r = aligned_merge_count(cfg.tokens, len(src), cfg.tome_ratio)
         self.blocks = [
             DiTBlock(d, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
                      cfg.attn_impl, cfg.context_dim,
@@ -225,6 +259,8 @@ class DiT(nn.Module):
                                   else 0),
                      moe_top_k=cfg.moe_top_k,
                      moe_capacity=cfg.moe_capacity,
+                     tome_r=tome_r, tome_mlp=cfg.tome_mlp,
+                     grid_hw=(cfg.grid, cfg.grid),
                      name=f"block_{i}")
             for i in range(cfg.depth)
         ]

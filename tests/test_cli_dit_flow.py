@@ -58,6 +58,10 @@ class TestDiTCLI:
     @pytest.mark.parametrize("sampler,extra", [
         ("ddim", ["--sampler_steps", "5"]),
         ("dpm", ["--sampler_steps", "5"]),
+        # ToMe (ops/tome.py) is parameter-free: the same trained checkpoint
+        # loads and samples under the merged config (arXiv:2303.17604)
+        ("ddim", ["--sampler_steps", "5", "--tome_ratio", "0.25",
+                  "--tome_mlp"]),
     ])
     def test_inference_roundtrip(self, dit_ckpt, run_dirs, sampler, extra):
         from eo_diffusion_tpu.cli import inference as infer_cli
