@@ -97,6 +97,14 @@ def parse_args(argv=None):
     parser.add_argument("--tome_mlp", action="store_true",
                         help="extend --tome_ratio's merge around the MLP "
                              "branch too (faster, slightly lossier)")
+    parser.add_argument("--phema_sigma_rel", type=float, default=0.0,
+                        help="post-hoc EMA (arXiv:2312.02696): synthesize "
+                             "the EMA profile of this relative width from "
+                             "the power-EMA snapshots saved by cli.train "
+                             "--posthoc_ema, instead of the checkpoint's "
+                             "baked-in EMA (typical range 0.02-0.15)")
+    parser.add_argument("--phema_dir", type=str, default=None,
+                        help="snapshot directory (default: <ckpt>/../phema)")
     parser.add_argument("--classifier_ckpt", type=str, default=None,
                         help="classifier guidance (Dhariwal & Nichol 2021): "
                              "directory written by cli.train_classifier "
@@ -355,6 +363,20 @@ def main(args):
 
             params = ema_params = load_torch_checkpoint(args.ckpt, ucfg)
         print("loaded!")
+
+    if args.phema_sigma_rel:
+        # post-hoc EMA synthesis (arXiv:2312.02696; train/posthoc_ema.py):
+        # rebuild the EMA of the requested length from the power-EMA
+        # snapshots written by cli.train --posthoc_ema, replacing the
+        # checkpoint's baked-in EMA for this run only
+        from eo_diffusion_tpu.train.posthoc_ema import synthesize_from_dir
+
+        phema_dir = args.phema_dir or os.path.join(
+            os.path.dirname(os.path.abspath(args.ckpt)), "phema")
+        ema_params = synthesize_from_dir(phema_dir, params,
+                                         args.phema_sigma_rel)
+        print(f"posthoc-ema: synthesized sigma_rel={args.phema_sigma_rel} "
+              f"from {phema_dir}")
 
     if args.lora:
         from eo_diffusion_tpu.cli.finetune import load_lora

@@ -25,6 +25,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -95,6 +96,16 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--sample_every", type=int, default=1000)
     parser.add_argument("--save_every", type=int, default=1000)
+    parser.add_argument("--posthoc_ema", action="store_true",
+                        help="maintain power-function EMA tracks "
+                             "(arXiv:2312.02696) alongside the classic EMA "
+                             "and snapshot them at every checkpoint; after "
+                             "training, ANY EMA length can be synthesized "
+                             "from the snapshots (inference "
+                             "--phema_sigma_rel)")
+    parser.add_argument("--posthoc_gammas", type=str, default="16.97,6.94",
+                        help="comma-separated power-EMA exponents (the "
+                             "defaults correspond to sigma_rel 0.05/0.10)")
     parser.add_argument("--preview_sampler", type=str, default="ddpm",
                         choices=["ddpm", "ddim", "dpm", "flow"],
                         help="sampler for the periodic training previews "
@@ -240,6 +251,22 @@ def main(args):
         state = restore_checkpoint(ckpt_path, state)
         print(f"loaded! resuming from step {int(state.step)}")
 
+    # post-hoc EMA tracks (arXiv:2312.02696; train/posthoc_ema.py): updated
+    # every step after the train step (pure jitted tree_map — params never
+    # leave the device), snapshotted at the --save_every cadence. On resume
+    # the tracks restore from the newest snapshot pair.
+    phema = tracks = phema_update = None
+    if args.posthoc_ema:
+        from eo_diffusion_tpu.train.posthoc_ema import PowerEMA
+
+        phema = PowerEMA(tuple(float(g)
+                               for g in args.posthoc_gammas.split(",")))
+        phema_dir = os.path.join(tcfg.ckpt_dir, "phema")
+        tracks, snap_step = phema.restore_latest(phema_dir, state.params)
+        if snap_step >= 0:
+            print(f"posthoc-ema: tracks restored from snapshot step {snap_step}")
+        phema_update = jax.jit(phema.update)
+
     run = None
     if args.wandb:
         try:
@@ -283,6 +310,9 @@ def main(args):
             mb = _to_model_batch(batch, cond_type, sr_factor=preset.sr_factor)
             state, metrics = trainer.step(state, mb)
             global_steps += 1
+            if tracks is not None:
+                tracks = phema_update(tracks, state.params,
+                                      jnp.asarray(global_steps - 1))
             loss = float(metrics["loss"])
             lr = trainer.current_lr(global_steps - 1)
             if args.log_freq and j % args.log_freq == 0:
@@ -326,9 +356,15 @@ def main(args):
                                     nrow=max(int(math.sqrt(n_prev)), 1), data_range=data_range)
             if args.save_every and global_steps % args.save_every == 0:
                 save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step=global_steps)
+                if tracks is not None:
+                    phema.save_snapshots(phema_dir, jax.device_get(tracks),
+                                         global_steps - 1)
 
     signal.signal(signal.SIGTERM, old_term)
     save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step=global_steps)
+    if tracks is not None and global_steps > 0:
+        phema.save_snapshots(phema_dir, jax.device_get(tracks),
+                             global_steps - 1)
     dt = time.time() - t_start
     if preempt["sig"] is not None:
         print(f"preempted (signal {preempt['sig']}): checkpoint saved at "
