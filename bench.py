@@ -198,6 +198,32 @@ def main():
     except Exception:
         pass
 
+    # rider: ToMe token merging on the same DiT protocol (ops/tome.py,
+    # arXiv:2303.17604) — parameter-free, so the SAME dparams apply; ratio
+    # 0.375 takes the 1024-token grid to 640 (5x128 lanes) in every block's
+    # attention + MLP (quality audit: tests/test_tome.py closeness bound,
+    # paperwise ~negligible FID delta at these ratios)
+    tome_img_s = None
+    try:
+        import dataclasses as _dc
+
+        tmodel = DiT(_dc.replace(dcfg, tome_ratio=0.375, tome_mlp=True))
+
+        def sample_tome(dparams, rng):
+            fn = lambda x, t, c, y: tmodel.apply(dparams, x, t, cond=c, y=y)
+            out = diffusion.ddim_sample(fn, rng, BATCH, num_steps=DDIM_STEPS,
+                                        dtype=jnp.bfloat16)
+            return jnp.float32(jnp.sum(out.x))
+
+        ftome = jax.jit(sample_tome)
+        float(ftome(dparams, jax.random.PRNGKey(0)))
+        t0 = time.time()
+        for i in range(ITERS):
+            float(ftome(dparams, jax.random.PRNGKey(i)))
+        tome_img_s = BATCH / ((time.time() - t0) / ITERS)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -210,6 +236,7 @@ def main():
                 "deepcache_k3_img_s": None if dc_img_s is None else round(dc_img_s, 3),
                 "dit_b8_img_s": None if dit_img_s is None else round(dit_img_s, 3),
                 "dit_flow_heun8_img_s": None if flow_img_s is None else round(flow_img_s, 3),
+                "dit_tome375_img_s": None if tome_img_s is None else round(tome_img_s, 3),
             }
         )
     )
