@@ -52,17 +52,18 @@ def tome_partition(grid_h: int, grid_w: int, sx: int = 2, sy: int = 2
     return idx[is_dst], idx[~is_dst]
 
 
-def aligned_merge_count(tokens: int, n_src: int, ratio: float,
-                        align: int = 128) -> int:
+def aligned_merge_count(tokens: int, n_src: int, ratio: float) -> int:
     """Merge count ``r`` for a target ratio of *total* tokens removed,
-    rounded so the merged count ``tokens - r`` stays a multiple of
-    ``align`` when the full count was — keeping the attention kernel on
-    native 128-lane tile boundaries (ops/attention.py). Never exceeds the
+    rounded so the merged count satisfies the zero-copy attention kernel's
+    dispatch rule (ops/attention.py:770): any multiple of 8 engages the
+    whole-T q-block at T <= 1024; beyond that the auto q-block is 512, so
+    the merged count snaps to a 512 multiple. Never exceeds the
     src-partition size."""
     r = int(round(tokens * ratio))
-    if align > 1 and tokens % align == 0 and tokens > align:
-        tm = max(align, int(round((tokens - r) / align)) * align)
-        r = tokens - min(tm, tokens)
+    tm = tokens - r
+    align = 512 if tm > 1024 else 8
+    tm = max(align, int(round(tm / align)) * align)
+    r = tokens - min(tm, tokens)
     return max(0, min(r, n_src))
 
 

@@ -28,12 +28,18 @@ class TestPartition:
 
 
 class TestAlignedCount:
-    def test_alignment_on_tile_multiples(self):
-        # 1024 tokens (256px/p8): merged count snaps to a 128 multiple
+    def test_alignment_matches_kernel_dispatch(self):
+        # 1024 tokens (256px/p8): merged count snaps to the 8-sublane
+        # granule (any T%8==0 <= 1024 runs the whole-T q-block kernel,
+        # ops/attention.py:763-771); ratio 0.375 lands exactly on 640
         dst, src = tome_partition(32, 32)
         r = aligned_merge_count(1024, len(src), 0.4)
-        assert (1024 - r) % 128 == 0
-        assert abs((1024 - r) - round(1024 * 0.6)) <= 64
+        assert (1024 - r) % 8 == 0 and abs((1024 - r) - 614) <= 8
+        assert 1024 - aligned_merge_count(1024, len(src), 0.375) == 640
+        # above 1024 the auto q-block is 512: merged count snaps to 512s
+        dst2, src2 = tome_partition(64, 64)  # 4096 tokens (512px/p8)
+        r2 = aligned_merge_count(4096, len(src2), 0.4)
+        assert (4096 - r2) % 512 == 0
 
     def test_small_grids_unaligned(self):
         _, src = tome_partition(8, 8)

@@ -35,3 +35,7 @@ run dit256 14400 python "$ROOT/tools/capstone_dit256.py"
 
 # second pass over the original list (DONE markers skip the successes)
 bash "$ROOT/tools/run_r3_chip_queue.sh"
+
+# session additions: post-hoc EMA sweep + ToMe quality/speed (both features
+# landed this session; tools/capstone_tome_phema.py)
+run tome_phema 10800 python "$ROOT/tools/capstone_tome_phema.py"
