@@ -97,6 +97,13 @@ def parse_args(argv=None):
     parser.add_argument("--tome_mlp", action="store_true",
                         help="extend --tome_ratio's merge around the MLP "
                              "branch too (faster, slightly lossier)")
+    parser.add_argument("--guidance_interval", type=str, default=None,
+                        metavar="LO,HI",
+                        help="limited-interval guidance (arXiv:2404.07724): "
+                             "apply CFG only while the normalized noise "
+                             "level is inside [LO,HI] (1 = pure noise); "
+                             "e.g. 0.2,0.8. Improves FID at equal scale by "
+                             "disabling guidance at the extremes.")
     parser.add_argument("--phema_sigma_rel", type=float, default=0.0,
                         help="post-hoc EMA (arXiv:2312.02696): synthesize "
                              "the EMA profile of this relative width from "
@@ -466,6 +473,12 @@ def main(args):
             gkw["guidance_scale"] = args.guidance_scale
             if args.guidance_rescale:
                 gkw["guidance_rescale"] = args.guidance_rescale
+            if args.guidance_interval:
+                lo, hi = (float(v) for v in args.guidance_interval.split(","))
+                assert 0.0 <= lo < hi <= 1.0, (
+                    f"--guidance_interval {args.guidance_interval}: need "
+                    "0 <= LO < HI <= 1 (normalized noise level)")
+                gkw["guidance_interval"] = (lo, hi)
             if num_classes and y is not None:
                 # label-CFG needs the learned null row (index num_classes),
                 # which only exists when the model was built/trained with

@@ -38,6 +38,12 @@ def parse_args(argv=None):
     p.add_argument("--flow_method", type=str, default="euler",
                    choices=["euler", "heun"])
     p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--guidance_rescale", type=float, default=0.0,
+                   help="CFG-rescale phi (arXiv:2305.08891 §3.4)")
+    p.add_argument("--guidance_interval", type=str, default=None,
+                   metavar="LO,HI",
+                   help="limited guidance interval (arXiv:2404.07724), "
+                        "normalized noise level in [0,1]")
     p.add_argument("--num_classes", type=int, default=0)
     p.add_argument("--class_dropout", type=float, default=0.0,
                    help="must match training (builds the null-class row "
@@ -152,7 +158,12 @@ def build_engine(args):
         batch_size=args.batch_size, sampler=args.sampler,
         steps=args.sampler_steps, eta=args.eta,
         ddim_spacing=args.ddim_spacing, flow_method=args.flow_method,
-        guidance_scale=args.guidance_scale, num_classes=num_classes,
+        guidance_scale=args.guidance_scale,
+        guidance_rescale=args.guidance_rescale,
+        guidance_interval=(tuple(float(v) for v in
+                                 args.guidance_interval.split(","))
+                           if args.guidance_interval else None),
+        num_classes=num_classes,
         has_null_class=has_null, cond_channels=cond_channels,
         bf16=not args.no_bf16, batch_window_ms=args.batch_window_ms,
         request_timeout_s=args.request_timeout, dp=args.dp)

@@ -20,7 +20,7 @@ multistep history (previous D, previous lambda) rides the carry.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,7 @@ from eo_diffusion_tpu.diffusion.gaussian import (
     GaussianDiffusion,
     cfg_combine,
     cfg_double_inputs,
+    interval_scale,
 )
 
 __all__ = ["dpm_solver_sample"]
@@ -54,6 +55,7 @@ def dpm_solver_sample(
     x0: Optional[jax.Array] = None,
     guidance_scale: float = 1.0,
     guidance_rescale: float = 0.0,
+    guidance_interval: Optional[Tuple[float, float]] = None,
     uncond: Optional[jax.Array] = None,
     y_uncond: Optional[jax.Array] = None,
 ) -> DiffusionOutput:
@@ -125,8 +127,9 @@ def dpm_solver_sample(
         x2, t2, c2, y2, doubled = cfg_double_inputs(
             x_in, t, cond, y, uncond, y_uncond, guidance_scale)
         out, m_state = call_model(x2, t2, c2, y2, m_state, i)
-        raw = (cfg_combine(out, guidance_scale, guidance_rescale)
-               if doubled else out)
+        eff = interval_scale(guidance_scale,
+                             t_seq[i] / max(T - 1, 1), guidance_interval)
+        raw = cfg_combine(out, eff, guidance_rescale) if doubled else out
         _, x0 = diffusion._to_eps_x0(raw, x.astype(jnp.float32), t)
         if clip:
             x0 = jnp.clip(x0, -1.0, 1.0)

@@ -34,7 +34,7 @@ ODE-sampler branch.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,7 @@ from eo_diffusion_tpu.diffusion.gaussian import (
     _log_frame,
     cfg_combine,
     cfg_double_inputs,
+    interval_scale,
 )
 
 __all__ = ["EDMProcess", "karras_sigmas"]
@@ -146,6 +147,7 @@ class EDMProcess:
         x_T: Optional[jax.Array] = None,
         guidance_scale: float = 1.0,
         guidance_rescale: float = 0.0,
+        guidance_interval: Optional[Tuple[float, float]] = None,
         uncond: Optional[jax.Array] = None,
         y_uncond: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
@@ -195,7 +197,12 @@ class EDMProcess:
                 out = model_fn(x_in, t_in, c_in_arg, y_in)
             if doubled:
                 # D is affine in F, so combining raw outputs == combining Ds
-                out = cfg_combine(out, guidance_scale, guidance_rescale)
+                out = cfg_combine(
+                    out,
+                    interval_scale(guidance_scale,
+                                   sigma_scalar / self.sigma_max,
+                                   guidance_interval),
+                    guidance_rescale)
             return cb(c_skip) * xx + cb(c_out) * out.astype(jnp.float32), st
 
         def step(carry, i):

@@ -23,7 +23,7 @@ in the same numeric range the backbones were designed for.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,7 @@ from eo_diffusion_tpu.diffusion.gaussian import (
     _log_frame,
     cfg_combine,
     cfg_double_inputs,
+    interval_scale,
 )
 
 __all__ = ["FlowMatching"]
@@ -124,6 +125,7 @@ class FlowMatching:
         x_T: Optional[jax.Array] = None,
         guidance_scale: float = 1.0,
         guidance_rescale: float = 0.0,
+        guidance_interval: Optional[Tuple[float, float]] = None,
         uncond: Optional[jax.Array] = None,
         y_uncond: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
@@ -178,7 +180,11 @@ class FlowMatching:
             else:
                 out = model_fn(x_in, t_in, c_in, y_in)
             if doubled:
-                out = cfg_combine(out, guidance_scale, guidance_rescale)
+                out = cfg_combine(
+                    out,
+                    interval_scale(guidance_scale, t_scalar,
+                                   guidance_interval),
+                    guidance_rescale)
             return out.astype(jnp.float32), st
 
         mask_rng = jax.random.fold_in(rng, 7)

@@ -21,7 +21,7 @@ All tensors are NHWC.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,8 @@ from eo_diffusion_tpu.core.schedules import (
     make_schedule,
 )
 
-__all__ = ["GaussianDiffusion", "DiffusionOutput", "cfg_double_inputs",
+__all__ = ["GaussianDiffusion", "DiffusionOutput", "interval_scale",
+           "cfg_double_inputs",
            "cfg_combine", "repaint_op_sequence"]
 
 
@@ -121,7 +122,12 @@ def cfg_combine(out, guidance_scale: float, guidance_rescale: float = 0.0):
     recommends phi≈0.7 with high scales. Applied to whatever the model
     predicts (eps/v/x0) — the paper states it on x0, but the std ratio is
     invariant to the affine eps<->x0 map only per-sample, so applying at the
-    raw-output policy point keeps every sampler consistent."""
+    raw-output policy point keeps every sampler consistent.
+
+    ``guidance_scale`` may be a traced scalar (limited-interval guidance,
+    :func:`interval_scale`): at a scale of exactly 1 the combine reduces to
+    the cond branch (``e_u + 1*(e_c - e_u)``), so per-step gating is one
+    ``where`` on the scale with no shape change."""
     e_u, e_c = jnp.split(out, 2, axis=0)
     guided = e_u + guidance_scale * (e_c - e_u)
     if guidance_rescale:
@@ -131,6 +137,24 @@ def cfg_combine(out, guidance_scale: float, guidance_rescale: float = 0.0):
         fixed = guided * (std_c / jnp.maximum(std_g, 1e-8))
         guided = guidance_rescale * fixed + (1.0 - guidance_rescale) * guided
     return guided
+
+
+def interval_scale(guidance_scale, noise_frac, interval):
+    """Limited-interval guidance (Kynkäänniemi et al., arXiv:2404.07724):
+    CFG applied only while the normalized noise level ``noise_frac``
+    (1 = maximal noise: t/(T-1) on DDPM chains, t on the flow ODE,
+    sigma/sigma_max on the EDM grid) lies inside ``interval = (lo, hi)``;
+    outside, the effective scale is 1 (the plain cond branch). The paper
+    shows disabling guidance at the extremes improves FID substantially at
+    equal (or higher) scale. The doubled batch still runs on every step —
+    gating the batch shape itself would be a dynamic shape inside the scan;
+    the win here is quality, not compute."""
+    if interval is None:
+        return guidance_scale
+    lo, hi = interval
+    frac = jnp.asarray(noise_frac, jnp.float32)
+    inside = (frac >= lo) & (frac <= hi)
+    return jnp.where(inside, jnp.float32(guidance_scale), jnp.float32(1.0))
 
 # A denoiser: (x_t [N,H,W,C], t [N], cond, y) -> eps_pred [N,H,W,C].
 DenoiseFn = Callable[..., jax.Array]
@@ -483,6 +507,7 @@ class GaussianDiffusion:
         log_every: Optional[int] = None,
         guidance_scale: float = 1.0,
         guidance_rescale: float = 0.0,
+        guidance_interval: Optional[Tuple[float, float]] = None,
         y_uncond: Optional[jax.Array] = None,
         dtype=jnp.float32,
         model_state: Any = None,
@@ -534,18 +559,24 @@ class GaussianDiffusion:
             # the initial state for batch 2*n_samples in that case.
             inner_fn = model_fn
 
+            t_denom = float(max(self.timesteps - 1, 1))
+
+            def _eff_scale(t):
+                return interval_scale(guidance_scale, t[0] / t_denom,
+                                      guidance_interval)
+
             if model_state is not None:
                 def model_fn(x, t, c, yy, st, i):  # noqa: F811
                     x_in, t_in, c_in, y_in, _ = cfg_double_inputs(
                         x, t, c, yy, None, y_uncond, guidance_scale)
                     out, st = inner_fn(x_in, t_in, c_in, y_in, st, i)
-                    return cfg_combine(out, guidance_scale, guidance_rescale), st
+                    return cfg_combine(out, _eff_scale(t), guidance_rescale), st
             else:
                 def model_fn(x, t, c, yy):  # noqa: F811
                     x_in, t_in, c_in, y_in, _ = cfg_double_inputs(
                         x, t, c, yy, None, y_uncond, guidance_scale)
                     return cfg_combine(inner_fn(x_in, t_in, c_in, y_in),
-                                       guidance_scale, guidance_rescale)
+                                       _eff_scale(t), guidance_rescale)
 
         gt = mask = None
         if cond is not None and self.cond_type == "sum":
@@ -646,6 +677,7 @@ class GaussianDiffusion:
         temperature: float = 1.0,
         guidance_scale: float = 1.0,
         guidance_rescale: float = 0.0,
+        guidance_interval: Optional[Tuple[float, float]] = None,
         uncond: Optional[jax.Array] = None,
         y_uncond: Optional[jax.Array] = None,
         clip: bool = False,
@@ -737,8 +769,12 @@ class GaussianDiffusion:
             x_in, t_in, c_in, y_in, doubled = cfg_double_inputs(
                 x_m, t, cond_eff, y, uncond_eff, y_uncond, guidance_scale)
             out, m_state = call_model(x_in, t_in, c_in, y_in, m_state)
-            raw = (cfg_combine(out, guidance_scale, guidance_rescale)
-                   if doubled else out)
+            raw = (cfg_combine(
+                out,
+                interval_scale(guidance_scale,
+                               t_scalar / max(self.timesteps - 1, 1),
+                               guidance_interval),
+                guidance_rescale) if doubled else out)
             xf = x.astype(jnp.float32)
             e_t, pred_x0 = self._to_eps_x0(raw, xf, t)
             if clip:

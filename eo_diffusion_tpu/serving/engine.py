@@ -47,6 +47,11 @@ class ServingConfig:
     ddim_spacing: str = "uniform"
     flow_method: str = "euler"
     guidance_scale: float = 1.0
+    # CFG-rescale phi (arXiv:2305.08891 §3.4) and limited guidance interval
+    # (arXiv:2404.07724, normalized noise level) — compiled into the one
+    # sampler program like guidance_scale (per-request values would retrace)
+    guidance_rescale: float = 0.0
+    guidance_interval: Optional[tuple] = None
     num_classes: int = 0  # label vocabulary (0 = unconditional)
     has_null_class: bool = False  # label-CFG against the learned null row
     cond_channels: int = 0  # concat-conditioning width (0 = none)
@@ -87,6 +92,10 @@ class SamplerEngine:
             assert cfg.sampler != "ddpm" or cfg.num_classes, (
                 "ddpm guidance needs class conditioning (no image-CFG path)")
             gkw["guidance_scale"] = cfg.guidance_scale
+            if cfg.guidance_rescale:
+                gkw["guidance_rescale"] = cfg.guidance_rescale
+            if cfg.guidance_interval is not None:
+                gkw["guidance_interval"] = tuple(cfg.guidance_interval)
 
         def run(params, rng, y, cond):
             fn = lambda x, t, c, yy: model.apply(params, x, t, cond=c, y=yy)

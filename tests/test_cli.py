@@ -166,7 +166,8 @@ class TestGuidanceCLI:
     def test_image_cfg_roundtrip(self, trained_cr, run_dirs_cr):
         """--guidance_scale on a concat-conditioned model: image-CFG against
         a zero conditioning view through the ddim path (with the CFG-rescale
-        phi of arXiv:2305.08891 §3.4 riding along)."""
+        phi of arXiv:2305.08891 §3.4 and the limited guidance interval of
+        arXiv:2404.07724 riding along)."""
         from eo_diffusion_tpu.cli import inference as infer_cli
 
         step_dirs = sorted(d for d in os.listdir(trained_cr) if d.startswith("steps_"))
@@ -175,7 +176,7 @@ class TestGuidanceCLI:
         args = infer_cli.parse_args([
             "--preset", "tiny-cr", "--ckpt", ckpt, "--sampler", "ddim",
             "--sampler_steps", "5", "--guidance_scale", "2.0",
-            "--guidance_rescale", "0.7",
+            "--guidance_rescale", "0.7", "--guidance_interval", "0.1,0.9",
             "--save", "--samples_fid", "--n_iter", "0", "--batch_size", "4",
             "--outdir", outdir,
         ])

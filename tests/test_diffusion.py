@@ -489,6 +489,38 @@ class TestCFGHelpers:
         np.testing.assert_allclose(
             mid, 0.3 * full + 0.7 * np.asarray(plain), rtol=1e-5)
 
+    def test_interval_scale_gating(self):
+        from eo_diffusion_tpu.diffusion.gaussian import interval_scale
+
+        assert interval_scale(4.0, 0.5, None) == 4.0  # passthrough
+        assert float(interval_scale(4.0, 0.5, (0.2, 0.8))) == 4.0
+        assert float(interval_scale(4.0, 0.1, (0.2, 0.8))) == 1.0
+        assert float(interval_scale(4.0, 0.9, (0.2, 0.8))) == 1.0
+        assert float(interval_scale(4.0, 0.2, (0.2, 0.8))) == 4.0  # inclusive
+
+    def test_interval_through_ddim(self):
+        # limited-interval guidance (arXiv:2404.07724): the full interval is
+        # the plain guided run; a narrow interval lands strictly between the
+        # guided and unguided trajectories
+        d = make_diffusion(T=100)
+
+        def model(x, t, c, y):
+            return 0.1 * x + (0.2 * c if c is not None else 0.0)
+
+        cond = jnp.ones((2, SIZE, SIZE, CH))
+        kw = dict(num_steps=8, cond=cond, uncond=jnp.zeros_like(cond))
+        run = lambda **k: np.asarray(d.ddim_sample(
+            model, jax.random.PRNGKey(0), 2, **kw, **k).x, np.float32)
+        guided = run(guidance_scale=4.0)
+        full_iv = run(guidance_scale=4.0, guidance_interval=(0.0, 1.0))
+        np.testing.assert_allclose(full_iv, guided, atol=1e-5)
+        mid_iv = run(guidance_scale=4.0, guidance_interval=(0.4, 0.6))
+        unguided = run(guidance_scale=1.0)
+        assert np.isfinite(mid_iv).all()
+        d_g = np.abs(mid_iv - guided).max()
+        d_u = np.abs(mid_iv - unguided).max()
+        assert d_g > 1e-5 and d_u > 1e-5  # strictly between
+
     def test_rescale_through_ddim(self):
         # e2e: guidance_rescale changes the trajectory (and stays finite)
         # relative to the plain guided run, with a cond-sensitive denoiser.

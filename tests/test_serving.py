@@ -235,6 +235,38 @@ def tiny_serving():
 
 
 class TestEngineEndToEnd:
+    def test_guidance_knobs_compile_into_program(self):
+        """guidance_rescale (arXiv:2305.08891) + guidance_interval
+        (arXiv:2404.07724) ride the engine's fixed sampler config: the
+        image-CFG program compiles and produces finite output on a
+        concat-conditioned model."""
+        import jax
+        import jax.numpy as jnp
+
+        from eo_diffusion_tpu.cli.presets import (build_denoiser,
+                                                  build_process, get_preset)
+
+        preset = get_preset("tiny-cr")
+        ucfg = preset.model_config(bf16=False, cond_channels=3)
+        model = build_denoiser(ucfg)
+        diffusion = build_process(preset, 50, preset.image_size,
+                                  cond_type="concat")
+        x0 = jnp.zeros((1, preset.image_size, preset.image_size, 3))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32),
+            cond=jnp.zeros((1, preset.image_size, preset.image_size, 3)))
+        cfg = ServingConfig(batch_size=2, sampler="ddim", steps=2, bf16=False,
+                            cond_channels=3, guidance_scale=2.0,
+                            guidance_rescale=0.7,
+                            guidance_interval=(0.1, 0.9))
+        engine = SamplerEngine(model, params, diffusion, preset.image_size,
+                               3, cfg)
+        cond = np.ones((2, preset.image_size, preset.image_size, 3),
+                       np.float32)
+        out = engine.generate(jax.random.PRNGKey(1), None, cond)
+        assert out.shape == (2, preset.image_size, preset.image_size, 3)
+        assert np.isfinite(out).all()
+
     def test_warmup_and_submit(self, tiny_serving):
         engine, batcher, preset = tiny_serving
         assert engine.warmup() > 0
