@@ -51,9 +51,13 @@ def parse_args(argv=None):
                              "embedding row so label-CFG checkpoints load")
     parser.add_argument("--cond_type", type=str, default=None)
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm", "flow", "cm", "pd"],
+                        choices=["ddpm", "ddim", "dpm", "unipc", "flow",
+                                 "cm", "pd"],
                         help="dpm = DPM-Solver++(2M) second-order multistep "
-                             "sampler; flow = Euler ODE integration (only for "
+                             "sampler; unipc = UniPC-2 predictor-corrector "
+                             "(arXiv:2302.04867, best at <=10 steps; "
+                             "num_steps+1 model calls); "
+                             "flow = Euler ODE integration (only for "
                              "flow-process presets, which force it); cm = "
                              "consistency-model few-step sampling (checkpoints "
                              "from cli.distill --method consistency); pd = "
@@ -309,7 +313,7 @@ def main(args):
             "SDEdit starts FROM the source image; RePaint 'sum' masking is a "
             "different mechanism (drop --sdedit_strength or use cond_type "
             "concat/None)")
-        if args.sampler in ("ddpm", "dpm"):
+        if args.sampler in ("ddpm", "dpm", "unipc"):
             print("note: SDEdit runs the DDIM tail; using --sampler ddim")
             args.sampler = "ddim"
         assert args.sampler in ("ddim", "flow"), (
@@ -411,7 +415,7 @@ def main(args):
 
         assert not preset.is_latent, (
             "classifier guidance reads pixels; latent presets are not wired")
-        assert args.sampler in ("ddpm", "ddim", "dpm"), (
+        assert args.sampler in ("ddpm", "ddim", "dpm", "unipc"), (
             "classifier guidance steers the DDPM chain via an eps-space "
             f"gradient; --sampler {args.sampler} does not apply")
         assert args.deepcache <= 1, (
@@ -645,6 +649,17 @@ def main(args):
         elif args.sampler == "dpm":
             mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
             out = diffusion.dpm_sample(
+                fn_j, srng, bsz, num_steps=args.sampler_steps,
+                cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
+                y=jnp.asarray(y) if y is not None else None,
+                mask=mask_j,
+                x0=jnp.asarray(image) if mask_j is not None else None,
+                model_state=st0, **gkw,
+            )
+            samples = np.asarray(out.x, np.float32)
+        elif args.sampler == "unipc":
+            mask_j = jnp.asarray(mask) if (cond_type == "sum" and mask is not None) else None
+            out = diffusion.unipc_sample(
                 fn_j, srng, bsz, num_steps=args.sampler_steps,
                 cond=jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,

@@ -30,7 +30,7 @@ def parse_args(argv=None):
     p.add_argument("--batch_window_ms", type=float, default=20.0,
                    help="max wait after the first request to fill a batch")
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddpm", "ddim", "dpm", "flow"])
+                   choices=["ddpm", "ddim", "dpm", "unipc", "flow"])
     p.add_argument("--sampler_steps", type=int, default=50)
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--ddim_spacing", type=str, default="uniform",

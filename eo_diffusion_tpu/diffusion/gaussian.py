@@ -826,6 +826,14 @@ class GaussianDiffusion:
 
         return dpm_solver_sample(self, model_fn, rng, n_samples, **kw)
 
+    def unipc_sample(self, model_fn, rng, n_samples, **kw) -> "DiffusionOutput":
+        """UniPC-2 predictor-corrector (diffusion/unipc.py) as a method, so
+        the CLIs and :class:`~eo_diffusion_tpu.diffusion.latent.LatentDiffusion`
+        route uniformly."""
+        from eo_diffusion_tpu.diffusion.unipc import unipc_sample
+
+        return unipc_sample(self, model_fn, rng, n_samples, **kw)
+
     # -- latent interpolation ------------------------------------------------
 
     def interpolate(

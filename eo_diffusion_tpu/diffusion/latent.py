@@ -116,6 +116,15 @@ class LatentDiffusion:
                                     uncond=u, **kw)
         return DiffusionOutput(x=self.decode(out.x))
 
+    def unipc_sample(self, model_fn, rng, n_samples, cond=None, y=None,
+                     encode_cond: Optional[bool] = None, uncond=None,
+                     **kw) -> DiffusionOutput:
+        c = self._cond(cond, encode_cond)
+        u = self._cond(uncond, encode_cond)
+        out = self.diffusion.unipc_sample(model_fn, rng, n_samples, cond=c,
+                                          y=y, uncond=u, **kw)
+        return DiffusionOutput(x=self.decode(out.x))
+
     def sample(self, model_fn, rng, n_samples, cond=None, y=None,
                encode_cond: Optional[bool] = None, uncond=None,
                **kw) -> DiffusionOutput:

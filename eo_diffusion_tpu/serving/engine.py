@@ -112,6 +112,10 @@ class SamplerEngine:
             elif cfg.sampler == "dpm":
                 out = diffusion.dpm_sample(fn, rng, B, num_steps=cfg.steps,
                                            cond=cond, y=y, dtype=dtype, **kw)
+            elif cfg.sampler == "unipc":
+                out = diffusion.unipc_sample(fn, rng, B, num_steps=cfg.steps,
+                                             cond=cond, y=y, dtype=dtype,
+                                             **kw)
             elif cfg.sampler == "ddpm":
                 out = diffusion.ddpm_sample(fn, rng, B, cond=cond, y=y,
                                             dtype=dtype, **kw)

@@ -61,6 +61,8 @@ class TestInferenceCLI:
         ("ddpm", ["--cond_type", "sum", "--jump_len", "4", "--jump_n", "2"]),
         ("ddim", ["--sampler_steps", "6", "--deepcache", "3"]),
         ("dpm", ["--sampler_steps", "6", "--deepcache", "2"]),
+        # UniPC predictor-corrector (arXiv:2302.04867)
+        ("unipc", ["--sampler_steps", "5"]),
         # SDEdit partial chain (arXiv:2108.01073): source = the gt image on
         # this uncond preset; runs the truncated DDIM tail
         ("ddim", ["--sampler_steps", "5", "--sdedit_strength", "0.4"]),
