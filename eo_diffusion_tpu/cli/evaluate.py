@@ -55,7 +55,9 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
 
     from eo_diffusion_tpu.utils.metrics import (FrechetDistance,
                                                  density_coverage,
-                                                 inception_score, kid)
+                                                 gradient_energy,
+                                                 inception_score, kid,
+                                                 spectral_distance)
 
     fd = FrechetDistance(None if with_logits else extractor)
     probs = []
@@ -82,6 +84,11 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
         "kid_std": kid_std,
         "density": density,
         "coverage": coverage,
+        # pixel-space guards for what feature metrics miss: the tiny
+        # extractor's KID is blind to iid noise (gallery/cm64_metrics.json)
+        "grad_energy_real": gradient_energy(real),
+        "grad_energy_fake": gradient_energy(fake),
+        "spectral_distance": spectral_distance(real, fake),
         "n_real": len(real),
         "n_fake": len(fake),
     }

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["ssim", "psnr", "FrechetDistance", "tiny_feature_extractor",
-           "inception_score", "kid", "density_coverage"]
+           "inception_score", "kid", "density_coverage",
+           "gradient_energy", "radial_power_profile", "spectral_distance"]
 
 
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
@@ -230,3 +231,56 @@ def density_coverage(real_feats: np.ndarray, fake_feats: np.ndarray,
     density = float(inside.sum() / (k * len(fake)))
     coverage = float(inside.any(axis=0).mean())
     return density, coverage
+
+
+def gradient_energy(images: np.ndarray) -> float:
+    """Mean squared finite-difference gradient magnitude per pixel.
+
+    A cheap noise/sharpness statistic the feature-based metrics miss: the
+    tiny random-conv extractor's KID is measurably BLIND to iid pixel
+    noise (the cm64 capstone's 1-step teacher samples are pure noise at
+    KID 0.008 — gallery/cm64_metrics.json), while gradient energy reads
+    ~30x the data statistic there. Report it next to KID/FID whenever a
+    sampler can fail toward noise (few-step regimes).
+    """
+    x = np.asarray(images, np.float64)
+    assert x.ndim == 4, x.shape  # [N, H, W, C]
+    gx = np.diff(x, axis=2)
+    gy = np.diff(x, axis=1)
+    return float((gx ** 2).mean() + (gy ** 2).mean())
+
+
+def radial_power_profile(images: np.ndarray, n_bins: int = 32) -> np.ndarray:
+    """Radially-averaged log power spectrum, [n_bins] (beyond-reference).
+
+    The 2D FFT power of each image is binned by spatial-frequency radius
+    and averaged over images/channels; profiles are log10 of the mean
+    power per bin. EO sensor artifacts and sampler failure modes
+    (residual iid noise -> flat high-frequency tail; over-smoothing ->
+    collapsed tail) separate cleanly here even when feature metrics are
+    insensitive.
+    """
+    x = np.asarray(images, np.float64)
+    assert x.ndim == 4, x.shape
+    n, h, w, c = x.shape
+    spec = np.abs(np.fft.fft2(x, axes=(1, 2))) ** 2  # [N, H, W, C]
+    fy = np.fft.fftfreq(h)[:, None]
+    fx = np.fft.fftfreq(w)[None, :]
+    r = np.sqrt(fy ** 2 + fx ** 2)  # [H, W] in cycles/pixel, max ~0.707
+    bins = np.minimum((r / (0.5 * np.sqrt(2.0)) * n_bins).astype(int),
+                      n_bins - 1)
+    prof = np.zeros(n_bins)
+    counts = np.zeros(n_bins)
+    np.add.at(prof, bins.reshape(-1), spec.mean(axis=(0, 3)).reshape(-1))
+    np.add.at(counts, bins.reshape(-1), 1.0)
+    return np.log10(prof / np.maximum(counts, 1.0) + 1e-12)
+
+
+def spectral_distance(real: np.ndarray, fake: np.ndarray,
+                      n_bins: int = 32) -> float:
+    """RMSE between the radially-averaged log power spectra of two image
+    stacks — 0 for matched frequency content; iid-noise contamination
+    shows up as a large high-frequency gap regardless of feature KID."""
+    pr = radial_power_profile(real, n_bins)
+    pf = radial_power_profile(fake, n_bins)
+    return float(np.sqrt(np.mean((pr - pf) ** 2)))

@@ -148,3 +148,60 @@ class TestDensityCoverage:
         far = rng.normal(size=(256, 16)) + 100.0
         d2, c2 = density_coverage(a, far)
         assert d2 == 0.0 and c2 == 0.0
+
+
+class TestPixelSpaceGuards:
+    """gradient_energy / spectral_distance: the pixel-space statistics that
+    catch what the tiny-extractor KID is blind to (iid noise — measured on
+    the cm64 capstone: noise samples at KID 0.008)."""
+
+    def _smooth(self, n=16, size=16, seed=0):
+        rng = np.random.default_rng(seed)
+        coarse = rng.normal(size=(n, 4, 4, 3))
+        blocks = np.repeat(np.repeat(coarse, size // 4, 1), size // 4, 2)
+        # 3x3 box blur so the fixture is actually smooth (repeat alone
+        # leaves hard block edges whose gradient energy rivals noise)
+        pad = np.pad(blocks, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        return sum(pad[:, i:i + size, j:j + size] for i in range(3)
+                   for j in range(3)) / 9.0
+
+    def test_gradient_energy_orders_noise_over_smooth(self):
+        from eo_diffusion_tpu.utils.metrics import gradient_energy
+
+        smooth = self._smooth()
+        noise = np.random.default_rng(1).normal(size=smooth.shape)
+        assert gradient_energy(noise) > 10 * gradient_energy(smooth)
+
+    def test_spectral_distance_zero_for_identical(self):
+        from eo_diffusion_tpu.utils.metrics import spectral_distance
+
+        x = self._smooth(seed=2)
+        assert spectral_distance(x, x) == 0.0
+
+    def test_spectral_distance_flags_noise_contamination(self):
+        from eo_diffusion_tpu.utils.metrics import spectral_distance
+
+        real = self._smooth(seed=3)
+        same_dist = self._smooth(seed=4)
+        noisy = real + 0.5 * np.random.default_rng(5).normal(size=real.shape)
+        d_same = spectral_distance(real, same_dist)
+        d_noise = spectral_distance(real, noisy)
+        assert d_noise > 3 * d_same, (d_noise, d_same)
+
+    def test_radial_profile_shape_and_monotone_tail(self):
+        from eo_diffusion_tpu.utils.metrics import radial_power_profile
+
+        prof = radial_power_profile(self._smooth(), n_bins=16)
+        assert prof.shape == (16,)
+        # smooth images: low-frequency bins carry far more power
+        assert prof[1] > prof[-1] + 1.0
+
+    def test_evaluate_cli_reports_guards(self, tmp_path):
+        from eo_diffusion_tpu.cli.evaluate import compute_metrics
+        from eo_diffusion_tpu.utils.metrics import tiny_feature_extractor
+
+        real = self._smooth(seed=6).astype(np.float32)
+        fake = self._smooth(seed=7).astype(np.float32)
+        out = compute_metrics(real, fake, tiny_feature_extractor())
+        assert "spectral_distance" in out and "grad_energy_fake" in out
+        assert np.isfinite(out["spectral_distance"])
