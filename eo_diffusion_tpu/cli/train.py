@@ -96,6 +96,15 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--sample_every", type=int, default=1000)
     parser.add_argument("--save_every", type=int, default=1000)
+    parser.add_argument("--tome_ratio", type=float, default=0.0,
+                        help="token merging during TRAINING on DiT presets "
+                             "(ops/tome.py, arXiv:2303.17604): the merge is "
+                             "differentiable, so fwd+bwd run on the reduced "
+                             "token count; checkpoints stay interchangeable "
+                             "with the un-merged config")
+    parser.add_argument("--tome_mlp", action="store_true",
+                        help="extend --tome_ratio's merge around the MLP "
+                             "branch")
     parser.add_argument("--posthoc_ema", action="store_true",
                         help="maintain power-function EMA tracks "
                              "(arXiv:2312.02696) alongside the classic EMA "
@@ -190,6 +199,16 @@ def main(args):
     mcfg = preset.model_config(num_classes=num_classes, bf16=not args.no_bf16,
                                cond_channels=cond_channels,
                                class_dropout_prob=args.class_dropout)
+    if args.tome_ratio:
+        import dataclasses as _dc
+
+        assert preset.backbone == "dit", (
+            "--tome_ratio merges transformer tokens (DiT presets only)")
+        # the merge/unmerge ops are differentiable and parameter-free, so
+        # training under ToMe yields checkpoints identical in structure to
+        # (and loadable by) the un-merged config — and vice versa
+        mcfg = _dc.replace(mcfg, tome_ratio=args.tome_ratio,
+                           tome_mlp=args.tome_mlp)
     model = build_denoiser(mcfg)
     diffusion = build_process(preset, timesteps, image_size, cond_type=cond_type)
     if preset.is_latent:

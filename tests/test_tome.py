@@ -177,6 +177,42 @@ class TestDiTIntegration:
 
 
 class TestToMeCLI:
+    def test_train_under_tome_then_infer_without(self, tmp_path):
+        """--tome_ratio at TRAINING time (differentiable merge): the run
+        produces a checkpoint structurally identical to the un-merged
+        config, which then samples WITHOUT ToMe — full interchangeability
+        in both directions."""
+        import os
+
+        from eo_diffusion_tpu.cli import inference as infer_cli
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        samples = str(tmp_path / "results")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-dit", "--epochs", "1",
+                "--steps_per_epoch", "3", "--batch_size", "8", "--lr",
+                "2e-3", "--dir", samples, "--sample_every", "0",
+                "--save_every", "3", "--log_freq", "1", "--n_samples", "4",
+                "--tome_ratio", "0.25", "--tome_mlp",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root = os.path.join(str(tmp_path), "logs",
+                                 os.path.basename(samples))
+        step_dirs = sorted(d for d in os.listdir(ckpt_root)
+                           if d.startswith("steps_"))
+        outdir = str(tmp_path / "infer")
+        infer_cli.main(infer_cli.parse_args([
+            "--preset", "tiny-dit", "--ckpt",
+            os.path.join(ckpt_root, step_dirs[-1]), "--sampler", "ddim",
+            "--sampler_steps", "4", "--samples_fid", "--n_iter", "0",
+            "--batch_size", "4", "--outdir", outdir,
+        ]))
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
+
     def test_flag_rejected_on_unet_preset(self):
         from eo_diffusion_tpu.cli import inference as infer_cli
 
