@@ -138,15 +138,18 @@ def main():
     real_feats = np.asarray(extractor(jnp.asarray(imgs[:512])))
     bs = min(64, n_eval)
 
-    def kid_of(p, tome_ratio=0.0):
+    def kid_of(p, tome_ratio=0.0, sampler="ddim", steps=None):
         m = (model if not tome_ratio else
              DiT(dataclasses.replace(cfg, tome_ratio=tome_ratio,
                                      tome_mlp=True)))
+        steps = ddim_s if steps is None else steps
 
         def run(p, rng):
             fn = lambda x, t, c, y: m.apply(p, x, t, cond=c, y=y)
-            return diffusion.ddim_sample(fn, rng, bs, num_steps=ddim_s,
-                                         dtype=jnp.bfloat16).x.astype(jnp.float32)
+            sample = (diffusion.unipc_sample if sampler == "unipc"
+                      else diffusion.ddim_sample)
+            return sample(fn, rng, bs, num_steps=steps,
+                          dtype=jnp.bfloat16).x.astype(jnp.float32)
 
         j = jax.jit(run)
         xs = [np.asarray(j(p, jax.random.PRNGKey(300 + i)))
@@ -191,6 +194,21 @@ def main():
                 np.clip((x[:16] + 1) / 2, 0, 1),
                 os.path.join(GALLERY, f"tome_phema64_tome{r}.png"), nrow=4)
     results["tome_kid"] = tome_q
+
+    # UniPC few-step frontier on the same trained model (diffusion/unipc.py)
+    if not args.smoke:
+        from eo_diffusion_tpu.utils.metrics import gradient_energy
+
+        upc = {}
+        for tag, sampler, steps in [("ddim_10", "ddim", 10),
+                                    ("unipc_10", "unipc", 10),
+                                    ("ddim_50", "ddim", 50)]:
+            k, x = kid_of(best[2], sampler=sampler, steps=steps)
+            upc[tag] = {"kid": k, "grad": gradient_energy(np.clip(x, -1, 1))}
+            print(f"sampler {tag}: KID {k:.5f} grad {upc[tag]['grad']:.4f}",
+                  flush=True)
+        upc["data_grad"] = gradient_energy(imgs[:256])
+        results["sampler_kid"] = upc
 
     # C: ToMe speed at the 256px DiT-B/8 protocol (random params — timing
     # is parameter-independent; quality is B's job at the trained scale)
