@@ -108,6 +108,19 @@ def parse_args(argv=None):
                              "level is inside [LO,HI] (1 = pure noise); "
                              "e.g. 0.2,0.8. Improves FID at equal scale by "
                              "disabling guidance at the extremes.")
+    parser.add_argument("--autoguide_scale", type=float, default=1.0,
+                        help="autoguidance (arXiv:2406.02507): extrapolate "
+                             "away from a WORSE variant of the same model "
+                             "with this weight (>1 enables; works on fully "
+                             "unconditional models, unlike CFG)")
+    parser.add_argument("--autoguide_ckpt", type=str, default=None,
+                        help="the degraded model's checkpoint (e.g. an "
+                             "early steps_* dir of the same run)")
+    parser.add_argument("--autoguide_sigma_rel", type=float, default=0.0,
+                        help="synthesize the degraded model as a SHORT-EMA "
+                             "variant from post-hoc EMA snapshots (pairs "
+                             "with cli.train --posthoc_ema; the paper's "
+                             "§3.3 EMA-length degradation)")
     parser.add_argument("--phema_sigma_rel", type=float, default=0.0,
                         help="post-hoc EMA (arXiv:2312.02696): synthesize "
                              "the EMA profile of this relative width from "
@@ -400,6 +413,51 @@ def main(args):
         print(f"LoRA adapter merged: {len(lora)} kernels from {args.lora}")
 
     model_fn = lambda x, t, c, y: model.apply(ema_params, x, t, cond=c, y=y)
+
+    if args.autoguide_scale > 1.0:
+        # autoguidance (arXiv:2406.02507): extrapolate away from a worse
+        # variant of the same model. The degraded params come from either
+        # an explicit checkpoint (--autoguide_ckpt: e.g. an early steps_*
+        # dir) or a short-EMA post-hoc synthesis (--autoguide_sigma_rel,
+        # needs cli.train --posthoc_ema snapshots) — the paper's §3.3
+        # EMA-length degradation, free after training here.
+        from eo_diffusion_tpu.diffusion.autoguide import autoguided_model_fn
+
+        assert args.guidance_scale == 1.0, (
+            "autoguidance and classifier-free guidance both own the "
+            "guided combine; pick one (--autoguide_scale xor "
+            "--guidance_scale)")
+        assert args.deepcache <= 1, (
+            "DeepCache's stateful fn wraps (model, params) directly and "
+            "would bypass the autoguided combine; drop one of the two")
+        assert args.sampler not in ("cm", "pd"), (
+            f"the {args.sampler} student is already a distilled few-step "
+            "map; autoguidance does not apply")
+        if args.autoguide_ckpt:
+            from eo_diffusion_tpu.train.checkpoint import restore_params as _rpa
+
+            _, bad_params = _rpa(args.autoguide_ckpt, params)
+        else:
+            assert args.autoguide_sigma_rel, (
+                "--autoguide_scale needs a degraded model: pass "
+                "--autoguide_ckpt or --autoguide_sigma_rel")
+            from eo_diffusion_tpu.train.posthoc_ema import synthesize_from_dir
+
+            phema_dir = args.phema_dir or os.path.join(
+                os.path.dirname(os.path.abspath(args.ckpt)), "phema")
+            bad_params = synthesize_from_dir(phema_dir, params,
+                                             args.autoguide_sigma_rel)
+            print(f"autoguide: bad model = sigma_rel="
+                  f"{args.autoguide_sigma_rel} from {phema_dir}")
+        bad_fn = lambda x, t, c, y: model.apply(bad_params, x, t, cond=c, y=y)
+        giv = None
+        if args.guidance_interval:
+            lo, hi = (float(v) for v in args.guidance_interval.split(","))
+            giv = (lo, hi)
+        model_fn = autoguided_model_fn(
+            model_fn, bad_fn, args.autoguide_scale,
+            guidance_rescale=args.guidance_rescale, guidance_interval=giv,
+            timesteps=timesteps)
 
     # classifier guidance (Dhariwal & Nichol 2021): wrap the denoiser with a
     # noisy-image classifier's input gradient. The reference vendors the
