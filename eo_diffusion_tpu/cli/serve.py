@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--flow_method", type=str, default="euler",
                    choices=["euler", "heun"])
     p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--int8", action="store_true",
+                   help="weight-only int8 serving (utils/quantize.py): "
+                        "kernels stored as per-channel int8 + scales, "
+                        "dequantized inside the compiled program (W8A16)")
     p.add_argument("--guidance_rescale", type=float, default=0.0,
                    help="CFG-rescale phi (arXiv:2305.08891 §3.4)")
     p.add_argument("--guidance_interval", type=str, default=None,
@@ -166,7 +170,7 @@ def build_engine(args):
         num_classes=num_classes,
         has_null_class=has_null, cond_channels=cond_channels,
         bf16=not args.no_bf16, batch_window_ms=args.batch_window_ms,
-        request_timeout_s=args.request_timeout, dp=args.dp)
+        request_timeout_s=args.request_timeout, dp=args.dp, int8=args.int8)
     engine = SamplerEngine(model, params, diffusion, image_size,
                            preset.in_channels, scfg)
     batcher = BatchingEngine(engine, base_seed=args.seed)

@@ -63,6 +63,10 @@ class ServingConfig:
     # batches (one compiled program, no reshapes); this bounds how much work
     # one API call can pin the worker with
     max_request: int = 1024
+    # weight-only int8 (utils/quantize.py): kernels stored int8 + per-
+    # channel scales, dequantized inside the jitted program — halves param
+    # HBM storage/read bandwidth at serving batch sizes (W8A16)
+    int8: bool = False
     # shard each device batch over all visible chips ('data' mesh axis):
     # the samplers are pure jitted scans, so multi-chip serving is one
     # out_sharding — GSPMD partitions the whole trajectory with zero
@@ -82,8 +86,9 @@ class SamplerEngine:
 
     def __init__(self, model, params, diffusion, image_size: int,
                  channels: int, cfg: ServingConfig):
-        self.model, self.params, self.diffusion = model, params, diffusion
+        self.model, self.diffusion = model, diffusion
         self.image_size, self.channels, self.cfg = image_size, channels, cfg
+        self.params = self._pack_params(params)
         B = cfg.batch_size
         dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
@@ -98,6 +103,10 @@ class SamplerEngine:
                 gkw["guidance_interval"] = tuple(cfg.guidance_interval)
 
         def run(params, rng, y, cond):
+            if cfg.int8:
+                from eo_diffusion_tpu.utils.quantize import dequantize_tree
+
+                params = dequantize_tree(*params)
             fn = lambda x, t, c, yy: model.apply(params, x, t, cond=c, y=yy)
             kw = dict(gkw)
             if cfg.guidance_scale != 1.0:
@@ -175,10 +184,24 @@ class SamplerEngine:
                       self._blank_cond())
         return time.time() - t0
 
+    def _pack_params(self, params):
+        """int8 mode stores (int8_tree, scales); float mode passes through.
+        The structure change is invisible downstream — params ride as one
+        jit-argument pytree either way."""
+        if not self.cfg.int8:
+            return params
+        from eo_diffusion_tpu.utils.quantize import (quantize_tree,
+                                                     quantized_bytes)
+
+        qt, st = quantize_tree(params)
+        print(f"serving int8: params packed to "
+              f"{quantized_bytes(qt) / 1e6:.1f} MB (weight-only W8A16)")
+        return (qt, st)
+
     def swap_params(self, params) -> None:
         """Hot-swap checkpoint weights (no recompile: params are jit args)."""
         with self._lock:
-            self.params = params
+            self.params = self._pack_params(params)
 
 
 @dataclasses.dataclass
