@@ -39,3 +39,4 @@ bash "$ROOT/tools/run_r3_chip_queue.sh"
 # session additions: post-hoc EMA sweep + ToMe quality/speed (both features
 # landed this session; tools/capstone_tome_phema.py)
 run tome_phema 10800 python "$ROOT/tools/capstone_tome_phema.py"
+run int8 7200 python "$ROOT/tools/bench_int8.py"
