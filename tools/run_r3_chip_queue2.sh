@@ -1,12 +1,14 @@
 #!/bin/bash
-# Round-3 chip queue, fix-up pass. The first pass (run_r3_chip_queue.sh)
-# assumed the reflow teacher checkpoints (logs/capstone_dit_flow/flow64,
-# logs/capstone_dit256/final) were still on disk; logs/ is not versioned,
-# so on a fresh machine they must be retrained first. This pass trains the
-# teachers, then re-invokes the first-pass script — its *_DONE markers skip
-# everything that already succeeded, and the entries that FAILED (edm: a
-# transient tunnel FailedPrecondition; reflow64/256: the missing teachers)
-# re-run.
+# Round-3 chip queue, fix-up pass. Run AFTER refreshing the worktree to
+# current HEAD (the tome_phema/int8 entries need this session's code).
+#
+# Pass 1 failures being addressed: edm died on a transient tunnel
+# FailedPrecondition; reflow64/256 need teacher checkpoints
+# (logs/capstone_dit_flow, logs/capstone_dit256) that are not versioned and
+# were never trained this round. Order: cheap + new-feature capstones
+# first, the heavy 256px teacher trainings last, then a final rerun of the
+# pass-1 script (its *_DONE markers skip everything that already
+# succeeded).
 set -u
 ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 LOGS="$ROOT/logs/r3_queue"
@@ -29,14 +31,15 @@ run() {  # run <name> <timeout_s> <cmd...>
   fi
 }
 
+# this session's features, grounded (post-hoc EMA sweep + ToMe + UniPC)
+run tome_phema 10800 python "$ROOT/tools/capstone_tome_phema.py"
+# weight-only int8 serving: bf16 vs int8 at the 256px protocol
+run int8 7200 python "$ROOT/tools/bench_int8.py"
+# pass-1 transient failure, retried early (self-contained, ~15 min)
+run edm 7200 python "$ROOT/tools/capstone_edm.py" --steps 6000
 # teachers for the reflow distillation capstones
 run dit_flow 10800 python "$ROOT/tools/capstone_dit_flow.py"
 run dit256 14400 python "$ROOT/tools/capstone_dit256.py"
-
-# second pass over the original list (DONE markers skip the successes)
+# final sweep over the original list (DONE markers skip the successes;
+# reflow64/256 now find their teachers)
 bash "$ROOT/tools/run_r3_chip_queue.sh"
-
-# session additions: post-hoc EMA sweep + ToMe quality/speed (both features
-# landed this session; tools/capstone_tome_phema.py)
-run tome_phema 10800 python "$ROOT/tools/capstone_tome_phema.py"
-run int8 7200 python "$ROOT/tools/bench_int8.py"
