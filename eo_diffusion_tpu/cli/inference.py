@@ -101,6 +101,14 @@ def parse_args(argv=None):
     parser.add_argument("--tome_mlp", action="store_true",
                         help="extend --tome_ratio's merge around the MLP "
                              "branch too (faster, slightly lossier)")
+    parser.add_argument("--freeu", type=str, default=None,
+                        metavar="B1,B2,S1,S2",
+                        help="FreeU (arXiv:2309.11497) on UNet presets: "
+                             "training-free decoder re-weighting — amplify "
+                             "backbone features (b>1) and attenuate skip "
+                             "low frequencies (s<1) at the two deepest "
+                             "stages; e.g. 1.2,1.3,0.9,0.4. Applies to any "
+                             "trained checkpoint.")
     parser.add_argument("--guidance_interval", type=str, default=None,
                         metavar="LO,HI",
                         help="limited-interval guidance (arXiv:2404.07724): "
@@ -291,6 +299,15 @@ def main(args):
         # checkpoint loads under the merged config (ops/tome.py)
         ucfg = _dc.replace(ucfg, tome_ratio=args.tome_ratio,
                            tome_mlp=args.tome_mlp)
+    if args.freeu:
+        import dataclasses as _dc
+
+        assert preset.backbone == "unet", (
+            "--freeu re-weights the UNet decoder's skip joins; the DiT has "
+            "no decoder ladder (use --tome_ratio there)")
+        vals = tuple(float(v) for v in args.freeu.split(","))
+        assert len(vals) == 4, "--freeu needs B1,B2,S1,S2"
+        ucfg = _dc.replace(ucfg, freeu=vals)  # parameter-free, like ToMe
     model = build_denoiser(ucfg)
     diffusion = build_process(preset, timesteps, image_size, cond_type=cond_type)
     # an explicit cm request on a non-DDPM preset is an error, not a

@@ -89,6 +89,13 @@ class UNetConfig:
     # classifier_free_guidance.py:289,326-335). When > 0 the embedding table
     # gets one extra row; label index == num_classes selects the null class.
     class_dropout_prob: float = 0.0
+    # FreeU (Si et al., arXiv:2309.11497): training-free decoder
+    # re-weighting at sampling time — (b1, b2) scale the backbone features'
+    # first half-channels and (s1, s2) scale the skip connections' lowest
+    # Fourier modes at the two deepest decoder stages. Parameter-free, so
+    # --freeu at inference applies to any trained checkpoint; None = exact
+    # reference forward (the parity tests pin that path).
+    freeu: Optional[Tuple[float, float, float, float]] = None
 
     @property
     def label_vocab(self) -> Optional[int]:
@@ -99,6 +106,9 @@ class UNetConfig:
     def __post_init__(self):
         object.__setattr__(self, "attention_resolutions", tuple(self.attention_resolutions))
         object.__setattr__(self, "channel_mult", tuple(self.channel_mult))
+        if self.freeu is not None:
+            object.__setattr__(self, "freeu", tuple(self.freeu))
+            assert len(self.freeu) == 4, self.freeu
 
     @property
     def time_embed_dim(self) -> int:
@@ -125,6 +135,30 @@ class UNetPlan:
     middle_block: Tuple[LayerSpec, ...]
     output_blocks: Tuple[Tuple[LayerSpec, ...], ...]
     out_ch: int  # channels entering the output head
+
+
+def _freeu_pair(h: jax.Array, skip: jax.Array, b: float, s: float):
+    """FreeU decoder re-weighting (arXiv:2309.11497) at one skip join:
+    backbone ``h`` has its first half-channels scaled by ``b`` (the paper
+    finds backbone features carry denoising semantics that benefit from
+    amplification), and the skip's LOWEST Fourier modes scale by ``s``
+    (attenuating the low-frequency content that fights the amplified
+    backbone; the central 3x3 of the shifted 2D spectrum, the diffusers
+    threshold-1 convention). f32 math; NHWC."""
+    c = h.shape[-1] // 2
+    hf = h.astype(jnp.float32)
+    h = jnp.concatenate([hf[..., :c] * b, hf[..., c:]], axis=-1)
+
+    sf = jnp.fft.fftshift(jnp.fft.fft2(skip.astype(jnp.float32),
+                                       axes=(1, 2)), axes=(1, 2))
+    hh, ww = skip.shape[1], skip.shape[2]
+    cy, cx = hh // 2, ww // 2
+    mask = jnp.ones((hh, ww), jnp.float32)
+    mask = mask.at[max(cy - 1, 0):cy + 2, max(cx - 1, 0):cx + 2].set(s)
+    sf = sf * mask[None, :, :, None]
+    skip = jnp.fft.ifft2(jnp.fft.ifftshift(sf, axes=(1, 2)),
+                         axes=(1, 2)).real
+    return h.astype(jnp.float32), skip
 
 
 def _attn_heads(cfg: UNetConfig, ch: int, upsample: bool) -> int:
@@ -484,13 +518,32 @@ class UNet(nn.Module):
                 h = apply_layer(spec, f"input_{bi}_{li}", h)
             hs.append(h)
 
+        # FreeU (arXiv:2309.11497): re-weight the two deepest decoder
+        # stages' skip joins, keyed by the backbone channel width (an exact
+        # match for distinct channel_mult tails; a repeated tail mult would
+        # also catch its shallower twin — acceptable for the training-free
+        # knob, documented here)
+        fre = cfg.freeu
+        ch_deep = cfg.model_channels * cfg.channel_mult[-1]
+        ch_deep2 = (cfg.model_channels * cfg.channel_mult[-2]
+                    if len(cfg.channel_mult) > 1 else None)
+
+        def join(h, skip):
+            if fre is not None:
+                if h.shape[-1] == ch_deep:
+                    h, skip = _freeu_pair(h, skip, fre[0], fre[2])
+                elif ch_deep2 is not None and h.shape[-1] == ch_deep2:
+                    h, skip = _freeu_pair(h, skip, fre[1], fre[3])
+            return jnp.concatenate([h.astype(cfg.dtype),
+                                    skip.astype(cfg.dtype)], axis=-1)
+
         deep_h = None
         split = n_blocks - cd if use_cache else n_blocks
         if deep_cache is None:
             for li, spec in enumerate(plan.middle_block):
                 h = apply_layer(spec, f"middle_{li}", h)
             for bi, block in enumerate(plan.output_blocks[:split]):
-                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = join(h, hs.pop())
                 for li, spec in enumerate(block):
                     h = apply_layer(spec, f"output_{bi}_{li}", h)
             deep_h = h
@@ -498,7 +551,7 @@ class UNet(nn.Module):
             h = deep_cache.astype(cfg.dtype)
 
         for bi, block in enumerate(plan.output_blocks[split:], start=split):
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = join(h, hs.pop())
             for li, spec in enumerate(block):
                 h = apply_layer(spec, f"output_{bi}_{li}", h)
 
