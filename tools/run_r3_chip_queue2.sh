@@ -37,6 +37,10 @@ run tome_phema 10800 python "$ROOT/tools/capstone_tome_phema.py"
 run int8 7200 python "$ROOT/tools/bench_int8.py"
 # pass-1 transient failure, retried early (self-contained, ~15 min)
 run edm 7200 python "$ROOT/tools/capstone_edm.py" --steps 6000
+# pass-1 sr128 died to a host OOM at sr-stage step ~3000 (a concurrent
+# process hit 125 GB); the base model's checkpoint survived — retry only
+# the SR stage + eval
+run sr128 10800 python "$ROOT/tools/capstone_sr.py" --skip_base
 # teachers for the reflow distillation capstones
 run dit_flow 10800 python "$ROOT/tools/capstone_dit_flow.py"
 run dit256 14400 python "$ROOT/tools/capstone_dit256.py"
