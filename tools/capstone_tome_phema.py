@@ -138,14 +138,15 @@ def main():
     real_feats = np.asarray(extractor(jnp.asarray(imgs[:512])))
     bs = min(64, n_eval)
 
-    def kid_of(p, tome_ratio=0.0, sampler="ddim", steps=None):
+    def kid_of(p, tome_ratio=0.0, sampler="ddim", steps=None, fn_override=None):
         m = (model if not tome_ratio else
              DiT(dataclasses.replace(cfg, tome_ratio=tome_ratio,
                                      tome_mlp=True)))
         steps = ddim_s if steps is None else steps
 
         def run(p, rng):
-            fn = lambda x, t, c, y: m.apply(p, x, t, cond=c, y=y)
+            fn = (fn_override if fn_override is not None
+                  else lambda x, t, c, y: m.apply(p, x, t, cond=c, y=y))
             sample = (diffusion.unipc_sample if sampler == "unipc"
                       else diffusion.ddim_sample)
             return sample(fn, rng, bs, num_steps=steps,
@@ -194,6 +195,28 @@ def main():
                 np.clip((x[:16] + 1) / 2, 0, 1),
                 os.path.join(GALLERY, f"tome_phema64_tome{r}.png"), nrow=4)
     results["tome_kid"] = tome_q
+
+    # Autoguidance (diffusion/autoguide.py, arXiv:2406.02507): the phema
+    # snapshots give degraded variants for free — guide the best params
+    # away from the shortest-EMA synthesis and KID the result
+    if not args.smoke:
+        from eo_diffusion_tpu.diffusion.autoguide import autoguided_model_fn
+
+        w_bad = solve_weights(meta, sigma_rel_to_gamma(min(sigma_rels)),
+                              t_final)
+        p_bad = synthesize(trees, w_bad)
+        fn_main = lambda x, t, c, y: model.apply(best[2], x, t, cond=c, y=y)
+        fn_bad = lambda x, t, c, y: model.apply(p_bad, x, t, cond=c, y=y)
+        ag = {}
+        for w in (1.0, 1.5, 2.0):
+            fn = (fn_main if w == 1.0
+                  else autoguided_model_fn(fn_main, fn_bad, w,
+                                           timesteps=tsteps))
+            k, _ = kid_of(best[2], fn_override=fn)
+            ag[f"scale_{w}"] = k
+            print(f"autoguide w={w}: KID {k:.5f}", flush=True)
+        ag["bad_sigma_rel"] = min(sigma_rels)
+        results["autoguide_kid"] = ag
 
     # UniPC few-step frontier on the same trained model (diffusion/unipc.py)
     if not args.smoke:
