@@ -177,6 +177,12 @@ def parse_args(argv=None):
                         help="merge a LoRA adapter (directory written by "
                              "cli.finetune) into the loaded params before "
                              "sampling")
+    parser.add_argument("--controlnet", type=str, default=None,
+                        help="ControlNet adapter directory (cli.finetune "
+                             "--method controlnet): the dataset's paired "
+                             "hint view steers the FROZEN base checkpoint "
+                             "through the zero-init control branch "
+                             "(arXiv:2302.05543; UNet presets)")
     parser.add_argument("--ae_ckpt", type=str, default=None,
                         help="latent presets: trained first-stage directory "
                              "(default: 'ae' beside --ckpt)")
@@ -248,6 +254,24 @@ def main(args):
     if args.model_base_dim:
         preset.base_dim = args.model_base_dim
     cond_type = args.cond_type or preset.cond_type
+    if args.controlnet:
+        # the hint rides the concat-cond DATA plumbing (paired view build,
+        # sampler cond pass-through, SSIM/PSNR vs gt) but the MODEL stays
+        # unconditional — cond_channels is zeroed below and model_fn routes
+        # the cond tensor into the control branch instead of the stem
+        assert preset.backbone == "unet" and not preset.is_latent, (
+            "--controlnet adapters are wired for pixel-space UNet presets")
+        assert cond_type in (None, "concat"), (
+            f"--controlnet replaces '{cond_type}' conditioning; use an "
+            "unconditional or concat-data preset")
+        assert args.deepcache <= 1, (
+            "DeepCache wraps (model, params) directly and would bypass "
+            "the control residuals; drop one of the two")
+        assert args.autoguide_scale == 1.0, (
+            "autoguidance's degraded branch applies raw params without "
+            "the control residuals (and would mis-concat the hint); "
+            "drop one of the two")
+        cond_type = "concat"
     num_classes = args.num_classes if args.num_classes > 0 else None
     assert not (args.classifier_scale and not args.classifier_ckpt), (
         "--classifier_scale needs --classifier_ckpt (train one with "
@@ -286,6 +310,12 @@ def main(args):
     # latent presets: concat cond is first-stage-encoded -> latent_channels
     cond_channels = ((preset.latent_channels if preset.is_latent
                       else peek_cond.shape[-1]) if has_cond else 0)
+    ctrl_hint_channels = 0
+    if args.controlnet:
+        assert has_cond, (
+            "--controlnet needs a paired hint view from the dataset "
+            "(cond_image / image|mask)")
+        ctrl_hint_channels, cond_channels = cond_channels, 0
     ucfg = preset.model_config(num_classes=num_classes, bf16=not args.no_bf16,
                                cond_channels=cond_channels,
                                class_dropout_prob=args.class_dropout)
@@ -350,6 +380,10 @@ def main(args):
             f"--sdedit_strength does not compose with --sampler {args.sampler}")
     assert not (args.sampler in ("cm", "pd") and args.deepcache > 1), (
         f"{args.sampler} is already 1-4 evaluations; DeepCache does not apply")
+    assert not (args.sampler in ("cm", "pd") and args.controlnet), (
+        f"the {args.sampler} sampler builds its distilled-student fn "
+        "directly from params; --controlnet wraps the plain denoiser "
+        "(use ddpm/ddim/dpm/unipc)")
     assert not (args.sampler in ("cm", "pd") and cond_type == "sum"), (
         f"{args.sampler} has no RePaint mask plumbing; cond_type='sum' "
         "metrics would silently compare unconditional samples against gt "
@@ -429,7 +463,28 @@ def main(args):
                                          alpha=lmeta.get("alpha", 8.0))
         print(f"LoRA adapter merged: {len(lora)} kernels from {args.lora}")
 
-    model_fn = lambda x, t, c, y: model.apply(ema_params, x, t, cond=c, y=y)
+    if args.controlnet:
+        import jax.numpy as jnp_
+
+        from eo_diffusion_tpu.models.controlnet import (
+            ControlNet,
+            load_controlnet,
+        )
+
+        cnet = ControlNet(ucfg, hint_channels=ctrl_hint_channels)
+        ctrl_template = jax.jit(cnet.init)(
+            jax.random.PRNGKey(0), x0, jnp_.zeros((1,), jnp_.int32),
+            jnp_.zeros((1, gsize, gsize, ctrl_hint_channels)),
+            **({"y": jnp_.zeros((1,), jnp_.int32)} if num_classes else {}))
+        ctrl_params, cmeta = load_controlnet(args.controlnet, ctrl_template)
+        print(f"ControlNet adapter loaded from {args.controlnet} "
+              f"(hint_channels={ctrl_hint_channels})")
+
+        def model_fn(x, t, c, y):
+            control = cnet.apply(ctrl_params, x, t, c, y=y)
+            return model.apply(ema_params, x, t, y=y, control=control)
+    else:
+        model_fn = lambda x, t, c, y: model.apply(ema_params, x, t, cond=c, y=y)
 
     if args.autoguide_scale > 1.0:
         # autoguidance (arXiv:2406.02507): extrapolate away from a worse

@@ -451,6 +451,7 @@ class UNet(nn.Module):
         deep_cache: Optional[jax.Array] = None,
         return_deep: bool = False,
         cache_depth: Optional[int] = None,
+        control: Optional[Tuple[Tuple[jax.Array, ...], jax.Array]] = None,
     ) -> jax.Array:
         """Optional DeepCache split (Ma et al. 2312.00858; no reference
         counterpart): the first ``cache_depth`` input blocks and the matching
@@ -466,6 +467,14 @@ class UNet(nn.Module):
           is bit-identical to ``full(x, t)``.
         * ``cache_depth`` defaults to the full-resolution level
           (stem + num_res_blocks blocks).
+
+        ``control``: ControlNet adapter residuals (models/controlnet.py;
+        arXiv:2302.05543) — ``(per-input-block residuals, middle
+        residual)``. Each block residual is added to the matching skip
+        tensor where the decoder consumes it, and the middle residual to
+        the middle-block output; the frozen encoder itself runs
+        unmodified (the paper's wiring). ``None`` leaves the forward
+        bit-identical (the parity tests pin that path).
         """
         cfg = self.config
         plan = build_unet_plan(cfg)
@@ -509,6 +518,9 @@ class UNet(nn.Module):
         use_cache = deep_cache is not None or return_deep
         if use_cache:
             assert 0 < cd < n_blocks, (cd, n_blocks)
+        assert not (use_cache and control is not None), (
+            "ControlNet residuals land on the deep branch; they do not "
+            "compose with the DeepCache split")
 
         h = x.astype(cfg.dtype)
         hs = []
@@ -517,6 +529,13 @@ class UNet(nn.Module):
             for li, spec in enumerate(block):
                 h = apply_layer(spec, f"input_{bi}_{li}", h)
             hs.append(h)
+
+        if control is not None:
+            block_res, mid_res = control
+            assert len(block_res) == len(hs), (len(block_res), len(hs))
+            # residuals join the SKIP tensors (where the decoder reads
+            # them), not the encoder stream — h entering middle is clean
+            hs = [s + r.astype(s.dtype) for s, r in zip(hs, block_res)]
 
         # FreeU (arXiv:2309.11497): re-weight the two deepest decoder
         # stages' skip joins, keyed by the backbone channel width (an exact
@@ -542,6 +561,8 @@ class UNet(nn.Module):
         if deep_cache is None:
             for li, spec in enumerate(plan.middle_block):
                 h = apply_layer(spec, f"middle_{li}", h)
+            if control is not None:
+                h = h + mid_res.astype(h.dtype)
             for bi, block in enumerate(plan.output_blocks[:split]):
                 h = join(h, hs.pop())
                 for li, spec in enumerate(block):
