@@ -1,10 +1,19 @@
-"""ctypes bindings for the native C++ patch sampler (``native/libeodata.so``).
+"""ctypes bindings for the native C++ data library (``native/libeodata.so``).
 
-The C++ library (``native/patch_sampler.cc``) fuses patch-window copy,
-uint8->float32 conversion, range scaling and flip augmentation into one
-GIL-free multithreaded pass -- the production host path for feeding a pod
-slice (the reference's python/patchify path holds the GIL per patch,
-``data_load.py:159-207``).
+Two components:
+
+* **patch sampler** (``native/patch_sampler.cc``): fuses patch-window
+  copy, uint8->float32 conversion, range scaling and flip augmentation
+  into one GIL-free multithreaded pass -- the production host path for
+  feeding a pod slice (the reference's python/patchify path holds the
+  GIL per patch, ``data_load.py:159-207``).
+* **GeoTIFF reader** (``native/tiff_reader.cc``): dependency-free decode
+  of the multi-band uint16 rasters SEN12MS-CR/Inria ship as. The
+  reference reads them via rasterio/GDAL
+  (``sen12ms_cr_dataLoader.py:118-136``) which this image doesn't have,
+  and PIL cannot decode >4-band rasters at all -- so this IS the
+  real-data input path. Strips/tiles, chunky/planar, none/LZW/deflate,
+  horizontal predictor, little/big endian.
 
 Falls back to a numpy implementation transparently when the .so hasn't been
 built (``make -C native``); :func:`have_native` reports which path is live.
@@ -16,7 +25,8 @@ import ctypes
 import os
 import numpy as np
 
-__all__ = ["have_native", "extract_patches", "build_native"]
+__all__ = ["have_native", "extract_patches", "build_native",
+           "read_tiff", "tiff_info"]
 
 _LIB = None
 _TRIED = False
@@ -51,6 +61,11 @@ def _load():
             ctypes.c_float, ctypes.c_float, ctypes.c_int,
         ]
     lib.eo_version.restype = ctypes.c_int
+    if hasattr(lib, "eo_tiff_info"):  # present since the r3 rebuild
+        lib.eo_tiff_info.restype = ctypes.c_int
+        lib.eo_tiff_info.argtypes = [ctypes.c_char_p, i64p]
+        lib.eo_tiff_read.restype = ctypes.c_int
+        lib.eo_tiff_read.argtypes = [ctypes.c_char_p, f32p, ctypes.c_int64]
     _LIB = lib
     return lib
 
@@ -70,6 +85,58 @@ def build_native() -> bool:
 
 def have_native() -> bool:
     return _load() is not None
+
+
+_TIFF_ERRORS = {
+    -1: "cannot open/read file",
+    -2: "not a classic TIFF",
+    -3: "unsupported TIFF feature (compression/bits/planar/predictor)",
+    -4: "corrupt TIFF structure",
+    -5: "output buffer size mismatch",
+    -6: "decompression failed",
+}
+
+
+def tiff_info(path: str) -> dict:
+    """Parse the first IFD of a (Geo)TIFF without decoding pixel data.
+
+    Returns ``{width, height, samples, bits, sample_format, compression,
+    planar}``. Raises on unsupported/corrupt files; requires the native
+    library (``have_native()``).
+    """
+    lib = _load()
+    assert lib is not None and hasattr(lib, "eo_tiff_info"), (
+        "native TIFF reader unavailable -- run make -C native")
+    info = np.zeros(8, np.int64)
+    rc = lib.eo_tiff_info(
+        os.fsencode(path),
+        info.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise ValueError(
+            f"{path}: {_TIFF_ERRORS.get(rc, f'error {rc}')}")
+    return {"width": int(info[0]), "height": int(info[1]),
+            "samples": int(info[2]), "bits": int(info[3]),
+            "sample_format": int(info[4]), "compression": int(info[5]),
+            "planar": int(info[6])}
+
+
+def read_tiff(path: str) -> np.ndarray:
+    """Decode a (Geo)TIFF to ``[H, W, S]`` float32 (exact for <=24-bit
+    integer samples and float32). The native decoder covers the EO corpus
+    PIL cannot touch: >4-band uint16 rasters, planar layout, tiled
+    organization, LZW/deflate compression, horizontal predictor."""
+    meta = tiff_info(path)
+    lib = _load()
+    out = np.empty((meta["height"], meta["width"], meta["samples"]),
+                   np.float32)
+    rc = lib.eo_tiff_read(
+        os.fsencode(path),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.size)
+    if rc != 0:
+        raise ValueError(
+            f"{path}: {_TIFF_ERRORS.get(rc, f'error {rc}')}")
+    return out
 
 
 def _extract_numpy(tiles, jobs, size, scale, bias):

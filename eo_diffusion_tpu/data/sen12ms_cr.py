@@ -53,7 +53,13 @@ class Sensor(Enum):
 
 
 def _default_reader(path: str, bands: Sequence[int]) -> np.ndarray:
-    """Read selected 1-indexed bands of a GeoTIFF -> [H, W, len(bands)]."""
+    """Read selected 1-indexed bands of a GeoTIFF -> [H, W, len(bands)].
+
+    Preference order: rasterio (full GeoTIFF semantics) > the native C++
+    decoder (``native/tiff_reader.cc`` via data/native.py — the only path
+    in THIS image that can decode the 13-band uint16 S2 rasters; PIL
+    cannot) > tifffile > PIL.
+    """
     try:
         import rasterio
 
@@ -62,6 +68,14 @@ def _default_reader(path: str, bands: Sequence[int]) -> np.ndarray:
         return np.moveaxis(data, 0, -1)
     except ImportError:
         pass
+    from eo_diffusion_tpu.data.native import have_native, read_tiff
+
+    if have_native():
+        try:
+            data = read_tiff(path)  # [H, W, S] float32
+            return data[:, :, [b - 1 for b in bands]]
+        except ValueError:
+            pass  # exotic layout -> try the python readers below
     try:
         import tifffile
 
