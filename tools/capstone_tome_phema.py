@@ -202,9 +202,18 @@ def main():
     if not args.smoke:
         from eo_diffusion_tpu.diffusion.autoguide import autoguided_model_fn
 
-        w_bad = solve_weights(meta, sigma_rel_to_gamma(min(sigma_rels)),
-                              t_final)
-        p_bad = synthesize(trees, w_bad)
+        # the degraded variant must be DISTINCT from the guided model: when
+        # the shortest-EMA synthesis itself won the phema sweep (measured in
+        # the 2026-08-19 rerun: best == sigma_rel_0.02 made the guided
+        # combine a bit-exact no-op), fall back to the raw late params (the
+        # EMA-length -> 0 limit, the paper's same degradation direction)
+        bad_tag = f"sigma_rel_{min(sigma_rels)}"
+        if best[0] == bad_tag:
+            p_bad, bad_tag = params, "raw"
+        else:
+            w_bad = solve_weights(meta, sigma_rel_to_gamma(min(sigma_rels)),
+                                  t_final)
+            p_bad = synthesize(trees, w_bad)
         fn_main = lambda x, t, c, y: model.apply(best[2], x, t, cond=c, y=y)
         fn_bad = lambda x, t, c, y: model.apply(p_bad, x, t, cond=c, y=y)
         ag = {}
@@ -215,7 +224,7 @@ def main():
             k, _ = kid_of(best[2], fn_override=fn)
             ag[f"scale_{w}"] = k
             print(f"autoguide w={w}: KID {k:.5f}", flush=True)
-        ag["bad_sigma_rel"] = min(sigma_rels)
+        ag["bad_model"] = bad_tag
         results["autoguide_kid"] = ag
 
     # UniPC few-step frontier on the same trained model (diffusion/unipc.py)
