@@ -188,7 +188,14 @@ def main():
                                    timesteps=T, cond_type="concat")
     ddpm = GaussianDiffusion.create(timesteps=T, image_size=SIZE,
                                     in_channels=3, cond_type="concat")
+    # merge into an existing json so --skip_* reruns (the per-step host
+    # leak in the axon tunnel OOM-kills two-training processes; run one
+    # training per process) keep earlier stages' numbers
+    out_path = os.path.join(GALLERY, "bridge64_metrics.json")
     results = {}
+    if os.path.exists(out_path) and not args.smoke:
+        with open(out_path) as f:
+            results = json.load(f)
 
     # the identity floor: how close the cloudy input already is
     s_id = float(jnp.mean(M.ssim(jnp.asarray((cloudy_h + 1) / 2),
@@ -289,10 +296,9 @@ def main():
         save_image_grid(np.clip((trip + 1) / 2, 0, 1),
                         os.path.join(GALLERY, "bridge_scene.png"), nrow=3)
 
-    out = os.path.join(GALLERY, "bridge64_metrics.json")
-    with open(out, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
-    print(f"wrote {out}")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -42,7 +42,11 @@ CONFIGS = {
     "dit256": dict(
         teacher=os.path.join(ROOT, "logs", "capstone_dit256", "final"),
         student=os.path.join(ROOT, "logs", "capstone_reflow_dit256"),
-        size=256, batch=32, n_eval=128, prefix="reflow256", refit_mb=16),
+        size=256, batch=32, n_eval=128, prefix="reflow256", refit_mb=16,
+        # 256px refit: host-fed batches leak ~25 MB/step through the axon
+        # tunnel (the bridge-capstone OOM, PERF.md); keep the couplings
+        # DEVICE-resident (f32, 4096 pairs = 6.4 GB HBM) and ship indices
+        max_pairs=4096, device_couplings=True),
 }
 SIZE, BATCH, N_EVAL = 64, 64, 256  # rebound from CONFIGS in main()
 
@@ -117,6 +121,7 @@ def main():
 
     if not args.skip_distill:
         t0 = time.time()
+        args.n_pairs = min(args.n_pairs, cfgd.get("max_pairs", args.n_pairs))
         eps, x1 = generate_couplings(fm, apply5, jax.random.PRNGKey(0),
                                      args.n_pairs, num_steps=args.pair_steps,
                                      method="heun", batch_size=BATCH,
@@ -131,19 +136,41 @@ def main():
         state = TrainState.create(jax.tree.map(jnp.copy, teacher), tx)
         apply_fn = (lambda p, xx, tt, cond=None, y=None, train=False,
                     dropout_rng=None: model.apply(p, xx, tt, cond=cond, y=y))
-        step = jax.jit(make_train_step(fm, apply_fn, tx, ema_decay=0.999,
-                                       ema_every=1, ema_warmup=False),
-                       donate_argnums=(0,))
+        step_fn = make_train_step(fm, apply_fn, tx, ema_decay=0.999,
+                                  ema_every=1, ema_warmup=False)
         refit_mb = cfgd.get("refit_mb", BATCH)
-        it = coupling_batches(eps, x1, refit_mb, seed=1)
         rng = jax.random.PRNGKey(2)
         t0 = time.time()
-        for i in range(args.steps):
-            rng, srng = jax.random.split(rng)
-            state, m = step(state, jax.tree.map(jnp.asarray, next(it)), srng)
-            if (i + 1) % 500 == 0:
-                print(f"step {i+1}/{args.steps} loss={float(m['loss']):.5f} "
-                      f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)", flush=True)
+        if cfgd.get("device_couplings"):
+            # device-resident couplings: only a [mb] index array crosses the
+            # tunnel per step (the host-feed leak killed the bridge capstone)
+            eps_d, x1_d = jnp.asarray(eps), jnp.asarray(x1)
+            gstep = jax.jit(
+                lambda state, ea, xa, idx, rng: step_fn(
+                    state, {"image": xa[idx], "noise": ea[idx]}, rng),
+                donate_argnums=(0,))
+            rnp = np.random.default_rng(1)
+            for i in range(args.steps):
+                rng, srng = jax.random.split(rng)
+                idx = jnp.asarray(rnp.integers(0, len(x1), refit_mb))
+                state, m = gstep(state, eps_d, x1_d, idx, srng)
+                if (i + 1) % 500 == 0:
+                    print(f"step {i+1}/{args.steps} "
+                          f"loss={float(m['loss']):.5f} "
+                          f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)",
+                          flush=True)
+        else:
+            step = jax.jit(step_fn, donate_argnums=(0,))
+            it = coupling_batches(eps, x1, refit_mb, seed=1)
+            for i in range(args.steps):
+                rng, srng = jax.random.split(rng)
+                state, m = step(state, jax.tree.map(jnp.asarray, next(it)),
+                                srng)
+                if (i + 1) % 500 == 0:
+                    print(f"step {i+1}/{args.steps} "
+                          f"loss={float(m['loss']):.5f} "
+                          f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)",
+                          flush=True)
         results["refit_ms_per_step"] = (time.time() - t0) / args.steps * 1e3
         save_checkpoint(STUDENT_DIR, jax.device_get(state), name="student")
 
