@@ -167,6 +167,12 @@ def main():
     if not args.skip_base:
         results["base_train"] = C.train("sr_base", base_model, base_diff,
                                         lo, args.base_steps)
+        if args.skip_sr:
+            # stage-split mode (one training per process, CLAUDE.md RSS
+            # leak): the base process stops here; the --skip_base process
+            # trains the SR stage and runs the evaluation
+            print("[sr] base stage done; skip_sr set — exiting before eval")
+            return
     base_params = C.load_ema("sr_base", base_model)
     if not args.skip_sr:
         results["sr_train"] = _train_sr("sr_stage", sr_model, sr_diff, hi,
