@@ -89,6 +89,8 @@ def build_engine(args):
     preset.image_size = image_size
     timesteps = args.timesteps or preset.timesteps
     cond_type = args.cond_type if args.cond_type is not None else preset.cond_type
+    if cond_type == "none":  # explicit unconditional override: presets whose
+        cond_type = None     # default is RePaint-"sum" can still be served
     num_classes = args.num_classes if args.num_classes > 0 else 0
     assert cond_type in (None, "concat"), (
         "serving supports unconditional or concat conditioning; RePaint-"

@@ -32,6 +32,7 @@ def main():
     args = serve_cli.parse_args([
         "--preset", "clouds64-attn", "--batch_size", "4",
         "--sampler", "ddim", "--sampler_steps", "8",
+        "--cond_type", "concat",  # the cloud-removal serving shape
     ])
     engine, batcher, meta = serve_cli.build_engine(args)
     batcher.shutdown()
@@ -46,7 +47,9 @@ def main():
           f"platforms {manifest['platforms']}")
 
     key = jax.random.PRNGKey(7)
-    live = engine.generate(key, None, None)
+    # packaged generate() falls back to the blank cond — feed the live
+    # engine the same bytes so parity is byte-exact
+    live = engine.generate(key, None, engine._blank_cond())
     generate, man = load_model(out_dir)
     t0 = time.time()
     packaged = generate(np.asarray(key))
