@@ -403,6 +403,25 @@ class TestServeCLIBuild:
         finally:
             batcher.shutdown()
 
+    def test_cond_type_none_overrides_preset(self):
+        """'--cond_type none' forces unconditional serving (the only way to
+        serve a RePaint-'sum' preset); bare 'sum' is still rejected before
+        any model is built."""
+        from eo_diffusion_tpu.cli import serve as serve_cli
+
+        args = serve_cli.parse_args([
+            "--preset", "tiny", "--cond_type", "none", "--batch_size", "2",
+            "--sampler", "ddim", "--sampler_steps", "2", "--no_bf16"])
+        engine, batcher, meta = serve_cli.build_engine(args)
+        try:
+            assert engine.cfg.cond_channels == 0
+            assert np.isfinite(batcher.submit(1)).all()
+        finally:
+            batcher.shutdown()
+        with pytest.raises(AssertionError, match="RePaint"):
+            serve_cli.build_engine(serve_cli.parse_args(
+                ["--preset", "clouds64-attn"]))  # sum default, no override
+
     def test_flow_preset_forces_flow_sampler(self):
         from eo_diffusion_tpu.cli import serve as serve_cli
 
