@@ -57,6 +57,7 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
                                                  density_coverage,
                                                  gradient_energy,
                                                  inception_score, kid,
+                                                 precision_recall,
                                                  spectral_distance)
 
     fd = FrechetDistance(None if with_logits else extractor)
@@ -78,10 +79,15 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
     # density (fidelity-like) / coverage (diversity-like): separates what
     # FID/KID conflate; mode collapse reads high density + low coverage
     density, coverage = density_coverage(rf, ff, k=min(5, len(rf) - 1))
+    # the full PRDC quartet (P/R: arXiv:1904.06991, D/C: arXiv:2002.09797)
+    precision, recall = precision_recall(
+        rf, ff, k=min(3, len(rf) - 1, len(ff) - 1))
     out = {
         "frechet_distance": fd.compute(),
         "kid_mean": kid_mean,
         "kid_std": kid_std,
+        "precision": precision,
+        "recall": recall,
         "density": density,
         "coverage": coverage,
         # pixel-space guards for what feature metrics miss: the tiny

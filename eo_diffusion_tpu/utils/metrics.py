@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["ssim", "psnr", "FrechetDistance", "tiny_feature_extractor",
-           "inception_score", "kid", "density_coverage",
+           "inception_score", "kid", "density_coverage", "precision_recall",
            "gradient_energy", "radial_power_profile", "spectral_distance"]
 
 
@@ -231,6 +231,35 @@ def density_coverage(real_feats: np.ndarray, fake_feats: np.ndarray,
     density = float(inside.sum() / (k * len(fake)))
     coverage = float(inside.any(axis=0).mean())
     return density, coverage
+
+
+def precision_recall(real_feats: np.ndarray, fake_feats: np.ndarray,
+                     k: int = 3) -> tuple:
+    """Improved precision & recall (Kynkäänniemi et al. 2019,
+    arXiv:1904.06991; beyond-reference) — the binary-membership
+    counterparts of :func:`density_coverage`, completing the PRDC
+    quartet.
+
+    The real manifold is approximated as the union of each real point's
+    k-NN ball; precision is the fraction of fake samples inside it
+    (fidelity, in [0, 1]). Recall swaps the roles: the fraction of real
+    samples inside the fake manifold (diversity). Unlike density,
+    precision saturates at 1 — use density when "how deep inside" matters;
+    unlike coverage, recall uses the *fake* k-NN radii, so it stays
+    meaningful when the fake set is much larger than the real set.
+    """
+    real = np.asarray(real_feats, np.float64)
+    fake = np.asarray(fake_feats, np.float64)
+    assert real.ndim == fake.ndim == 2 and real.shape[1] == fake.shape[1]
+    assert 1 <= k < min(len(real), len(fake)), (k, len(real), len(fake))
+    d_rr = np.linalg.norm(real[:, None] - real[None], axis=-1)
+    d_ff = np.linalg.norm(fake[:, None] - fake[None], axis=-1)
+    radii_r = np.sort(d_rr, axis=1)[:, k]  # self-distance occupies col 0
+    radii_f = np.sort(d_ff, axis=1)[:, k]
+    d_fr = np.linalg.norm(fake[:, None] - real[None], axis=-1)  # [M, N]
+    precision = float((d_fr <= radii_r[None]).any(axis=1).mean())
+    recall = float((d_fr.T <= radii_f[None]).any(axis=1).mean())
+    return precision, recall
 
 
 def gradient_energy(images: np.ndarray) -> float:
