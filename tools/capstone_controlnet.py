@@ -223,6 +223,10 @@ def main():
     ap.add_argument("--ctrl_steps", type=int, default=4000)
     ap.add_argument("--skip_base", action="store_true",
                     help="reuse the saved base checkpoint")
+    ap.add_argument("--base_only", action="store_true",
+                    help="exit after base training (stage-split: one "
+                         "training per process — the axon host-feed RSS "
+                         "leak documented in CLAUDE.md)")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -259,6 +263,9 @@ def main():
 
     if not args.skip_base:
         results["base_train"] = train_base(model, process, clear, args.steps)
+        if args.base_only:
+            print("[ctrl] base stage done; base_only set — exiting")
+            return
     base = load_base(model)
     cparams, ctrain = train_ctrl(model, cnet, base, process, clear, cloudy,
                                  args.ctrl_steps)
