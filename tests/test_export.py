@@ -126,6 +126,30 @@ class TestExportRoundTrip:
         with pytest.raises(AssertionError):
             gen_u(0, y=[0, 0, 0, 0])
 
+    def test_flow_sampler_artifact(self, tmp_path):
+        """The ODE scan path (FlowMatching Euler) survives jax.export too —
+        the serve CLI builds tiny-flow engines, so the artifact must."""
+        from eo_diffusion_tpu.cli.presets import (build_denoiser,
+                                                  build_process, get_preset)
+        from eo_diffusion_tpu.serving.engine import SamplerEngine, ServingConfig
+        from eo_diffusion_tpu.serving.export import export_engine, load_model
+
+        preset = get_preset("tiny-flow")
+        model = build_denoiser(preset.model_config(bf16=False))
+        proc = build_process(preset, 50, preset.image_size)
+        s = preset.image_size
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, s, s, 3)),
+                                     jnp.zeros((1,), jnp.int32))
+        cfg = ServingConfig(batch_size=2, sampler="flow", steps=2, bf16=False)
+        engine = SamplerEngine(model, params, proc, s, 3, cfg)
+        out = str(tmp_path / "art_flow")
+        export_engine(engine, out)
+        generate, man = load_model(out)
+        assert man["sampler"] == "flow"
+        np.testing.assert_array_equal(
+            generate(9), engine.generate(jax.random.PRNGKey(9), None, None))
+
     def test_int8_artifact_round_trips(self, tmp_path):
         """int8 packing survives export: the quantized leaves land in
         params.npz and the in-program dequant reproduces the live engine."""
