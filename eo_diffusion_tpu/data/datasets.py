@@ -111,10 +111,19 @@ class SyntheticEO(Dataset):
                  num_classes: int = 5, with_mask: bool = True, seed: int = 0,
                  data_range: Tuple[float, float] = (0.0, 1.0),
                  with_cond_image: bool = False,
-                 class_correlated: bool = False):
+                 class_correlated: bool = False,
+                 texture: float = 0.0):
         self.size, self.length, self.channels = size, length, channels
         self.num_classes, self.with_mask, self.seed = num_classes, with_mask, seed
         self.data_range = data_range
+        # opt-in high-frequency content (default off so recorded capstone
+        # statistics stay stable): sharp level-set contour lines of the
+        # terrain field. The edges are a deterministic function of the
+        # low-frequency structure, so they are inferable from a downsampled
+        # view — the fair super-resolution fixture (bicubic blurs them, a
+        # learned SR stage can re-sharpen them; tools/capstone_sr.py
+        # --texture). Strength in [0, 1] darkens the contour pixels.
+        self.texture = float(texture)
         # cloud-removal fixture: emit a synthetic cloudy view as "cond_image"
         # (stands in for the SEN12MS-CR cloudy S2 band, sen12ms_cr.py)
         self.with_cond_image = with_cond_image
@@ -148,6 +157,15 @@ class SyntheticEO(Dataset):
             axis=-1,
         )
         img = (img - img.min()) / max(float(np.ptp(img)), 1e-6)
+        if self.texture > 0:
+            # quantize the terrain into bands; band boundaries are 1-2 px
+            # sharp contour lines (see __init__ texture doc)
+            band = (base - base.min()) / max(float(np.ptp(base)), 1e-6)
+            q = np.floor(band * 7.999).astype(np.int32)
+            edge = np.zeros_like(band, dtype=bool)
+            edge[:-1, :] |= q[:-1, :] != q[1:, :]
+            edge[:, :-1] |= q[:, :-1] != q[:, 1:]
+            img = img * (1.0 - self.texture * 0.7 * edge[:, :, None])
         label = i % self.num_classes
         if self.class_correlated:
             # class k emphasizes channel k%C and damps the others; gains are

@@ -39,6 +39,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPT = os.path.join(ROOT, "logs", "capstone_sr")
 GALLERY = os.path.join(ROOT, "gallery")
+TAG = "sr128"  # sr128tex when --texture > 0
 
 FACTOR = 2
 
@@ -107,6 +108,11 @@ def main():
     ap.add_argument("--skip_base", action="store_true")
     ap.add_argument("--skip_sr", action="store_true")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--texture", type=float, default=0.0,
+                    help="SyntheticEO contour-line strength (0 = the smooth "
+                         "fixture where bicubic is near-optimal; ~0.8 adds "
+                         "sharp LR-inferable edges — the fair SR test). "
+                         "Artifacts are tagged sr128tex_*")
     args = ap.parse_args()
 
     import tools.capstone_dit_flow as C
@@ -123,6 +129,10 @@ def main():
         args.base_steps = min(args.base_steps, 30)
         args.sr_steps_train = min(args.sr_steps_train, 30)
         args.sr_steps = min(args.sr_steps, 4)
+    global TAG, CKPT
+    if args.texture > 0:
+        TAG = "sr128tex"
+        CKPT = CKPT + "_tex"  # keep the smooth run's checkpoints intact
     C.CKPT = CKPT
     base_size = C.SIZE
     hi_size = base_size * FACTOR
@@ -136,7 +146,7 @@ def main():
     # hi-res protocol images; the base trains on their degraded view, so the
     # cascade's two stages model the SAME distribution at two grids
     ds = SyntheticEO(size=hi_size, length=n_data, data_range=(-1.0, 1.0),
-                     seed=0)
+                     seed=0, texture=args.texture)
     hi = np.stack([ds[i]["image"] for i in range(n_data)])
     lo = sr_degrade(hi, FACTOR)
     dtype = jnp.float32 if args.smoke else jnp.bfloat16
@@ -163,7 +173,7 @@ def main():
                                        cond_type="concat")
 
     results = {"base_px": base_size, "sr_px": hi_size, "factor": FACTOR,
-               "smoke": bool(args.smoke)}
+               "smoke": bool(args.smoke), "texture": args.texture}
     if not args.skip_base:
         results["base_train"] = C.train("sr_base", base_model, base_diff,
                                         lo, args.base_steps)
@@ -215,9 +225,9 @@ def main():
           f"PSNR={results['recon']['psnr']:.2f} "
           f"(baseline {results['recon']['baseline_psnr']:.2f})", flush=True)
     save_image_grid(np.asarray(rec01[:8]),
-                    os.path.join(GALLERY, "sr128_recon.png"), nrow=4)
+                    os.path.join(GALLERY, f"{TAG}_recon.png"), nrow=4)
     save_image_grid(np.asarray(cond01[:8]),
-                    os.path.join(GALLERY, "sr128_recon_input.png"), nrow=4)
+                    os.path.join(GALLERY, f"{TAG}_recon_input.png"), nrow=4)
 
     # -- 2. cascade: base samples -> upsample -> SR; KID at the hi grid ----
     extractor = M.tiny_feature_extractor()
@@ -267,12 +277,12 @@ def main():
           f"(upsample-only {kid_up:.4f}) rmse={np.mean(rmses):.4f} "
           f"{t_steady:.2f}s/batch{bs}", flush=True)
     save_image_grid(np.clip((xs_np[:8] + 1) / 2, 0, 1),
-                    os.path.join(GALLERY, "sr128_cascade.png"), nrow=4)
+                    os.path.join(GALLERY, f"{TAG}_cascade.png"), nrow=4)
     save_image_grid(np.clip((up_np[:8] + 1) / 2, 0, 1),
-                    os.path.join(GALLERY, "sr128_cascade_base_up.png"),
+                    os.path.join(GALLERY, f"{TAG}_cascade_base_up.png"),
                     nrow=4)
 
-    out = os.path.join(GALLERY, "sr128_metrics.json")
+    out = os.path.join(GALLERY, f"{TAG}_metrics.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
