@@ -181,6 +181,46 @@ class TestExportCLI:
         assert man["preset"] == "tiny" and man["steps"] == 2
         assert os.path.exists(os.path.join(out, "smoke.png"))
 
+    def test_artifact_server_http_roundtrip(self, tmp_path):
+        """The deployment-host server: POST /v1/generate against the
+        deserialized program, npy-b64 response matches the live engine's
+        rows; oversize n is a 400, /healthz returns the manifest."""
+        import base64
+        import io
+        import threading
+        import urllib.error
+        import urllib.request
+
+        from eo_diffusion_tpu.serving.artifact_server import make_server
+        from eo_diffusion_tpu.serving.export import export_engine
+
+        engine, _ = _build_engine(tmp_path, batch_size=4)
+        out = str(tmp_path / "art")
+        export_engine(engine, out)
+        srv, port = make_server(out, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{port}"
+            with urllib.request.urlopen(f"{url}/healthz", timeout=60) as r:
+                man = json.loads(r.read())["manifest"]
+            assert man["batch_size"] == 4
+            body = json.dumps({"n": 2, "seed": 3}).encode()
+            req = urllib.request.Request(f"{url}/v1/generate", data=body)
+            with urllib.request.urlopen(req, timeout=600) as r:
+                payload = json.loads(r.read())
+            got = np.load(io.BytesIO(base64.b64decode(payload["npy_b64"])))
+            live = engine.generate(jax.random.PRNGKey(3), None, None)[:2]
+            np.testing.assert_array_equal(got, live)
+            bad = urllib.request.Request(
+                f"{url}/v1/generate", data=json.dumps({"n": 9}).encode())
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad, timeout=60)
+            assert ei.value.code == 400
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
     def test_loader_needs_no_model_code(self, tmp_path):
         """Deployment-host proof: a fresh process loads and runs the
         artifact importing ONLY serving.export (jax + numpy underneath) —
@@ -198,6 +238,11 @@ class TestExportCLI:
             "assert x.shape == (2, man['image_size'], man['image_size'], "
             "man['channels']), x.shape\n"
             "import numpy as np; assert np.isfinite(x).all()\n"
+            "# the deployment-host server rides the same purity contract\n"
+            "from eo_diffusion_tpu.serving.artifact_server import "
+            "ArtifactEngine\n"
+            f"eng = ArtifactEngine({out!r})\n"
+            "assert np.array_equal(eng.run(2, 0), x)\n"
             "banned = [m for m in sys.modules\n"
             "          if m.startswith('eo_diffusion_tpu.models')\n"
             "          or m.startswith('eo_diffusion_tpu.diffusion')\n"
