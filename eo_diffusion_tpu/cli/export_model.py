@@ -29,7 +29,7 @@ def parse_args(argv=None):
                    help="artifact directory to write")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddpm", "ddim", "dpm", "unipc", "flow"])
+                   choices=["ddpm", "ddim", "dpm", "unipc", "flow", "bridge"])
     p.add_argument("--sampler_steps", type=int, default=50)
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--ddim_spacing", type=str, default="uniform",

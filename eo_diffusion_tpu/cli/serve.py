@@ -30,7 +30,7 @@ def parse_args(argv=None):
     p.add_argument("--batch_window_ms", type=float, default=20.0,
                    help="max wait after the first request to fill a batch")
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddpm", "ddim", "dpm", "unipc", "flow"])
+                   choices=["ddpm", "ddim", "dpm", "unipc", "flow", "bridge"])
     p.add_argument("--sampler_steps", type=int, default=50)
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--ddim_spacing", type=str, default="uniform",
@@ -97,6 +97,15 @@ def build_engine(args):
         "'sum' needs a per-request gt/mask protocol (use cli.inference)")
     if preset.process in ("flow", "edm"):
         args.sampler = "flow"  # the process's native ODE sampler
+    elif preset.process == "bridge":
+        # translation serving: the request's cond image IS the source the
+        # bridge starts from (x_{T-1} = y); no other sampler applies
+        assert cond_type == "concat", (
+            "bridge presets translate the concat-cond source image; "
+            "--cond_type none makes no sense here")
+        assert args.guidance_scale == 1.0, (
+            "the Brownian bridge has no CFG path (no uncond branch)")
+        args.sampler = "bridge"
 
     # concat serving: the request supplies the PIXEL conditioning view
     # (e.g. the cloudy image for cloud removal); latent presets encode it

@@ -38,6 +38,15 @@ __all__ = [
 ]
 
 
+def _pad_to_batch(a, batch_size: int):
+    """Tile ``a`` along axis 0 until it holds ``batch_size`` rows (no-op for
+    None or already-full arrays)."""
+    if a is None or a.shape[0] >= batch_size:
+        return a
+    reps = -(-batch_size // a.shape[0])
+    return jnp.tile(a, (reps,) + (1,) * (a.ndim - 1))[:batch_size]
+
+
 def generate_couplings(
     flow: FlowMatching,
     model_fn: Callable,
@@ -84,12 +93,11 @@ def generate_couplings(
             cond[i * batch_size:(i + 1) * batch_size])
         yy = None if y is None else jnp.asarray(
             y[i * batch_size:(i + 1) * batch_size])
-        if c is not None and c.shape[0] < batch_size:  # ragged tail: pad
-            pad = batch_size - c.shape[0]
-            c = jnp.concatenate([c, c[:pad]], 0)
-        if yy is not None and yy.shape[0] < batch_size:
-            pad = batch_size - yy.shape[0]
-            yy = jnp.concatenate([yy, yy[:pad]], 0)
+        # Ragged tail: tile up to a full batch (a single `c[:pad]` concat
+        # underfills whenever the tail is smaller than half the batch —
+        # the padded rows are discarded by the final `[:n]` slice anyway).
+        c = _pad_to_batch(c, batch_size)
+        yy = _pad_to_batch(yy, batch_size)
         eps, x1 = jchunk(params, jax.random.fold_in(rng, i), c, yy)
         eps_all.append(np.asarray(eps, np.float32))
         x1_all.append(np.asarray(x1, np.float32))

@@ -41,7 +41,7 @@ __all__ = ["ServingConfig", "SamplerEngine", "BatchingEngine"]
 @dataclasses.dataclass
 class ServingConfig:
     batch_size: int = 8
-    sampler: str = "ddim"  # "ddpm" | "ddim" | "dpm" | "flow"
+    sampler: str = "ddim"  # "ddpm" | "ddim" | "dpm" | "unipc" | "flow" | "bridge"
     steps: int = 50
     eta: float = 0.0
     ddim_spacing: str = "uniform"
@@ -118,6 +118,13 @@ class SamplerEngine:
                 out = diffusion.sample(fn, rng, B, num_steps=cfg.steps,
                                        method=cfg.flow_method, cond=cond,
                                        y=y, dtype=dtype, **kw)
+            elif cfg.sampler == "bridge":
+                # Brownian-bridge translation: cond is the source image the
+                # chain starts AT (bridge.py); eta reuses the ddim knob.
+                # No CFG path (build_engine asserts guidance off).
+                out = diffusion.sample(fn, rng, B, num_steps=cfg.steps,
+                                       cond=cond, y=y, dtype=dtype,
+                                       eta=cfg.eta)
             elif cfg.sampler == "dpm":
                 out = diffusion.dpm_sample(fn, rng, B, num_steps=cfg.steps,
                                            cond=cond, y=y, dtype=dtype, **kw)

@@ -99,6 +99,25 @@ class TestCouplings:
         # couplings are genuinely paired with their own eps draw
         assert np.std(eps1) > 0.5
 
+    def test_conditional_ragged_tail_pads_to_full_batch(self):
+        # n=9 with batch_size=8 leaves a 1-row tail: the pad (7 rows) is
+        # larger than the tail itself, which the old single-concat pad
+        # underfilled (shape-mismatch crash inside the teacher sample).
+        fm = FlowMatching.create(image_size=4, in_channels=1)
+
+        def fn(x, t_scaled, cond, y):
+            assert cond is not None
+            t = (t_scaled / 1000.0)[:, None, None, None]
+            return (x - cond) / jnp.maximum(t, 1e-4)
+
+        cond = np.full((9, 4, 4, 1), 0.3, np.float32)
+        yv = np.zeros((9,), np.int32)
+        eps, x1 = generate_couplings(fm, fn, jax.random.PRNGKey(7), 9,
+                                     num_steps=16, batch_size=8,
+                                     cond=cond, y=yv)
+        assert eps.shape == x1.shape == (9, 4, 4, 1)
+        assert np.abs(x1 - 0.3).max() < 0.05
+
     def test_batches_carry_image_and_noise(self):
         eps = np.arange(8, dtype=np.float32).reshape(8, 1, 1, 1)
         x1 = -eps

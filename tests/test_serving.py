@@ -422,6 +422,27 @@ class TestServeCLIBuild:
             serve_cli.build_engine(serve_cli.parse_args(
                 ["--preset", "clouds64-attn"]))  # sum default, no override
 
+    def test_bridge_preset_forces_bridge_sampler(self):
+        """tiny-bridge serves source->target translation: the request's cond
+        image is the bridge's starting point (previously the preset fell
+        through to ddim_sample and crashed at warmup)."""
+        from eo_diffusion_tpu.cli import serve as serve_cli
+
+        args = serve_cli.parse_args([
+            "--preset", "tiny-bridge", "--batch_size", "2",
+            "--sampler_steps", "3", "--no_bf16"])
+        engine, batcher, meta = serve_cli.build_engine(args)
+        try:
+            assert meta["sampler"] == "bridge"
+            src = np.full((1, 8, 8, 3), 0.25, np.float32)
+            out = batcher.submit(1, cond=src)
+            assert out.shape == (1, 8, 8, 3) and np.isfinite(out).all()
+        finally:
+            batcher.shutdown()
+        with pytest.raises(AssertionError, match="CFG"):
+            serve_cli.build_engine(serve_cli.parse_args(
+                ["--preset", "tiny-bridge", "--guidance_scale", "2.0"]))
+
     def test_flow_preset_forces_flow_sampler(self):
         from eo_diffusion_tpu.cli import serve as serve_cli
 
