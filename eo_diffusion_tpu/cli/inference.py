@@ -526,10 +526,22 @@ def main(args):
         if args.guidance_interval:
             lo, hi = (float(v) for v in args.guidance_interval.split(","))
             giv = (lo, hi)
+        # the interval gate sees the MODEL-facing t; invert it to the
+        # process's normalized noise level (flow: t*time_scale; EDM:
+        # ln(sigma)/4*time_scale -> sigma/sigma_max, the same convention
+        # edm.py's native CFG gate uses; DDPM chains: index/(T-1))
+        proc = diffusion.diffusion if preset.is_latent else diffusion
+        if preset.process == "flow":
+            nf = lambda t: t[0] / proc.time_scale
+        elif preset.process == "edm":
+            nf = lambda t: (jnp.exp(4.0 * t[0] / proc.time_scale)
+                            / proc.sigma_max)
+        else:
+            nf = None  # default t[0]/(timesteps-1)
         model_fn = autoguided_model_fn(
             model_fn, bad_fn, args.autoguide_scale,
             guidance_rescale=args.guidance_rescale, guidance_interval=giv,
-            timesteps=timesteps)
+            timesteps=timesteps, noise_frac_fn=nf)
 
     # classifier guidance (Dhariwal & Nichol 2021): wrap the denoiser with a
     # noisy-image classifier's input gradient. The reference vendors the
@@ -585,6 +597,10 @@ def main(args):
     rng = jax.random.PRNGKey(args.seed)
     mask_rng = np.random.default_rng(args.seed)
     ssim_sum, psnr_sum, n = 0.0, 0.0, 0
+    # cm/pd runners are memoized by batch size: jax.jit's cache keys on
+    # function identity, so a fresh closure per batch would re-trace (and
+    # re-compile through the remote-compile tunnel) every iteration
+    jit_cache = {}
     for j, batch in enumerate(test_loader):
         print(f"data {j}")
         image = np.asarray(batch["image"], np.float32)
@@ -709,16 +725,18 @@ def main(args):
             # is the HTTP-413 remote-compile failure mode, CLAUDE.md), and
             # the f-hops compile as one computation instead of per-call
             # dispatches through the tunnel
-            def _cm_run(params, rng, cc, yy):
-                fn = lambda x, t, c, yv: model.apply(params, x, t,
-                                                     cond=c, y=yv)
-                if preset.is_latent and cc is not None:
-                    cc = diffusion.encode(cc)  # cond rides the first stage
-                z = cd.sample(fn, rng, bsz, steps=args.sampler_steps,
-                              cond=cc, y=yy).x
-                return diffusion.decode(z) if preset.is_latent else z
+            if ("cm", bsz) not in jit_cache:
+                def _cm_run(params, rng, cc, yy, _bsz=bsz, _cd=cd):
+                    fn = lambda x, t, c, yv: model.apply(params, x, t,
+                                                         cond=c, y=yv)
+                    if preset.is_latent and cc is not None:
+                        cc = diffusion.encode(cc)  # cond rides first stage
+                    z = _cd.sample(fn, rng, _bsz, steps=args.sampler_steps,
+                                   cond=cc, y=yy).x
+                    return diffusion.decode(z) if preset.is_latent else z
 
-            out_x = jax.jit(_cm_run)(
+                jit_cache[("cm", bsz)] = jax.jit(_cm_run)
+            out_x = jit_cache[("cm", bsz)](
                 ema_params, srng,
                 jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 jnp.asarray(y) if y is not None else None)
@@ -735,16 +753,19 @@ def main(args):
             inner = diffusion.diffusion if preset.is_latent else diffusion
             inner = _dc.replace(inner, objective="v")
 
-            def _pd_run(params, rng, cc, yy):
-                fn = lambda x, t, c, yv: model.apply(params, x, t,
-                                                     cond=c, y=yv)
-                if preset.is_latent and cc is not None:
-                    cc = diffusion.encode(cc)
-                z = pd_sample(inner, fn, rng, bsz, steps=args.sampler_steps,
-                              cond=cc, y=yy).x
-                return diffusion.decode(z) if preset.is_latent else z
+            if ("pd", bsz) not in jit_cache:
+                def _pd_run(params, rng, cc, yy, _bsz=bsz, _inner=inner):
+                    fn = lambda x, t, c, yv: model.apply(params, x, t,
+                                                         cond=c, y=yv)
+                    if preset.is_latent and cc is not None:
+                        cc = diffusion.encode(cc)
+                    z = pd_sample(_inner, fn, rng, _bsz,
+                                  steps=args.sampler_steps,
+                                  cond=cc, y=yy).x
+                    return diffusion.decode(z) if preset.is_latent else z
 
-            out_x = jax.jit(_pd_run)(
+                jit_cache[("pd", bsz)] = jax.jit(_pd_run)
+            out_x = jit_cache[("pd", bsz)](
                 ema_params, srng,
                 jnp.asarray(cond) if cond_type == "concat" and cond is not None else None,
                 jnp.asarray(y) if y is not None else None)

@@ -59,15 +59,19 @@ def parse_args(argv=None):
 
 
 def build_operator(task, image_size, batch, mask_rng):
-    """The degradation A for one batch (inpaint masks are per-batch)."""
+    """The degradation A for one batch -> ``(op, mask)``.
+
+    ``mask`` is the per-batch inpaint mask (None for the array-free sr /
+    colorize operators): the jitted restore runner threads it as an input
+    so operator data never bakes into the compiled program."""
     import jax.numpy as jnp
 
     from eo_diffusion_tpu.diffusion import inverse as I
 
     if task in ("sr2", "sr4"):
-        return I.sr_operator(int(task[2:]))
+        return I.sr_operator(int(task[2:])), None
     if task == "colorize":
-        return I.gray_operator(int(np.asarray(batch["image"]).shape[-1]))
+        return I.gray_operator(int(np.asarray(batch["image"]).shape[-1])), None
     # inpaint: observed = NON-masked region (segmentation marks the region
     # to regenerate, matching the cond_type='sum' inversion semantics)
     if "segmentation" in batch:
@@ -79,7 +83,8 @@ def build_operator(task, image_size, batch, mask_rng):
         m = 1.0 - np.stack(
             [random_rect_mask((image_size, image_size), 10, 10, 40, 40,
                               mask_rng) for _ in range(n)])
-    return I.inpaint_operator(jnp.asarray(m))
+    m = jnp.asarray(m)
+    return I.inpaint_operator(m), m
 
 
 def main(args):
@@ -122,7 +127,25 @@ def main(args):
     from eo_diffusion_tpu.train.checkpoint import restore_params
 
     _, ema_params = restore_params(args.ckpt, params)
-    model_fn = lambda x, t, c, y: model.apply(ema_params, x, t, cond=c, y=y)
+
+    # ONE jitted runner for the whole split (ensemble and single-shot):
+    # params / observation / inpaint mask are jit ARGUMENTS, so nothing
+    # bakes into the compile payload (CLAUDE.md HTTP-413 gotcha) and no
+    # batch retraces. The array-free sr/colorize operator is static; the
+    # inpaint operator is rebuilt from the traced mask inside the trace.
+    from eo_diffusion_tpu.diffusion import inverse as I
+
+    static_op = (I.sr_operator(int(args.task[2:]))
+                 if args.task in ("sr2", "sr4")
+                 else I.gray_operator(preset.in_channels)
+                 if args.task == "colorize" else None)
+
+    @jax.jit
+    def jrestore(p, k, yobs, mask):
+        fn = lambda x, t, c, yy: model.apply(p, x, t, cond=c, y=yy)
+        op_ = static_op if mask is None else I.inpaint_operator(mask)
+        return ddnm_sample(diffusion, fn, k, yobs, op_,
+                           num_steps=args.sampler_steps, eta=args.eta).x
 
     assert args.ensemble == 1 or args.eta > 0, (
         "--ensemble needs stochastic DDNM (eta > 0); eta=0 members are "
@@ -138,27 +161,23 @@ def main(args):
           f"eta={args.eta}")
     for j, batch in enumerate(test_loader):
         gt = jnp.asarray(np.asarray(batch["image"], np.float32))
-        op = build_operator(args.task, image_size, batch, mask_rng)
+        op, mask = build_operator(args.task, image_size, batch, mask_rng)
         y = op.forward(gt)
         naive = op.pinv(y)
         if args.ensemble > 1:
-            # K stochastic members through ONE compiled program (rng is the
-            # only changing input); mean = restoration, std = uncertainty
-            jrun = jax.jit(lambda k: ddnm_sample(
-                diffusion, model_fn, k, y, op,
-                num_steps=args.sampler_steps, eta=args.eta).x)
+            # K stochastic members through the ONE compiled program (rng is
+            # the only changing input); mean = restoration, std = uncertainty
             members = []
             for e in range(args.ensemble):
                 rng, srng = jax.random.split(rng)
-                members.append(np.asarray(jrun(srng), np.float32))
+                members.append(np.asarray(
+                    jrestore(ema_params, srng, y, mask), np.float32))
             stack = np.stack(members)
             restored = stack.mean(axis=0)
             unc = stack.std(axis=0)
         else:
             rng, srng = jax.random.split(rng)
-            restored = ddnm_sample(diffusion, model_fn, srng, y, op,
-                                   num_steps=args.sampler_steps,
-                                   eta=args.eta).x
+            restored = jrestore(ema_params, srng, y, mask)
         gt01 = rescale_to_unit(np.asarray(gt), data_range)
         rest01 = rescale_to_unit(np.asarray(restored), data_range)
         naive01 = np.clip(rescale_to_unit(np.asarray(naive), data_range), 0, 1)

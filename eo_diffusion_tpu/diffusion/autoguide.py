@@ -44,22 +44,31 @@ def autoguided_model_fn(
     guidance_rescale: float = 0.0,
     guidance_interval: Optional[Tuple[float, float]] = None,
     timesteps: int = 1000,
+    noise_frac_fn: Optional[Callable] = None,
 ) -> Callable:
     """Wrap two denoisers into the autoguided one.
 
     ``fn_main``/``fn_bad``: ``(x, t, cond, y) -> pred`` (same output
     parameterization — eps/x0/v all combine identically since the map is
     affine). ``guidance_rescale``/``guidance_interval`` mirror the CFG
-    combine's refinements (arXiv:2305.08891 §3.4 / arXiv:2404.07724), with
-    the noise level normalized by ``timesteps`` for the interval gate.
+    combine's refinements (arXiv:2305.08891 §3.4 / arXiv:2404.07724).
+
+    The interval gate needs the NORMALIZED noise level, but the wrapper
+    only sees the model-facing ``t``, whose meaning is process-specific
+    (chain index for DDPM, ``t * time_scale`` for flow, ``ln(sigma)/4 *
+    time_scale`` for EDM). ``noise_frac_fn(t) -> frac in [0, 1]`` supplies
+    the process's inversion; the default ``t[0]/(timesteps-1)`` is only
+    correct for DDPM-chain samplers (cli/inference.py builds the right one
+    per preset.process).
     """
     assert scale >= 1.0, scale
 
     def fn(x, t, cond=None, y=None):
         e_m = fn_main(x, t, cond, y).astype(jnp.float32)
         e_b = fn_bad(x, t, cond, y).astype(jnp.float32)
-        eff = interval_scale(scale, t[0] / max(timesteps - 1, 1),
-                             guidance_interval)
+        frac = (noise_frac_fn(t) if noise_frac_fn is not None
+                else t[0] / max(timesteps - 1, 1))
+        eff = interval_scale(scale, frac, guidance_interval)
         guided = e_b + eff * (e_m - e_b)
         if guidance_rescale:
             axes = tuple(range(1, guided.ndim))

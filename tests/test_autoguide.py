@@ -45,6 +45,25 @@ class TestCombine:
         np.testing.assert_allclose(np.asarray(inside), 5.0)
         np.testing.assert_allclose(np.asarray(outside), 3.0)  # w -> 1
 
+    def test_noise_frac_fn_overrides_ddpm_normalization(self):
+        """EDM/flow presets pass model-facing t that is NOT a chain index;
+        the process-aware noise_frac_fn must drive the interval gate."""
+        fn_m = lambda x, t, c, y: jnp.full_like(x, 3.0)
+        fn_b = lambda x, t, c, y: jnp.full_like(x, 1.0)
+        # EDM-style model t: ln(sigma)/4 * 250, sigma_max = 80
+        nf = lambda t: jnp.exp(4.0 * t[0] / 250.0) / 80.0
+        fn = autoguided_model_fn(fn_m, fn_b, 2.0,
+                                 guidance_interval=(0.4, 0.6),
+                                 noise_frac_fn=nf)
+        x = jnp.zeros((1, SIZE, SIZE, CH))
+        t_inside = jnp.full((1,), np.log(40.0) / 4.0 * 250.0)   # sigma=40
+        t_outside = jnp.full((1,), np.log(0.5) / 4.0 * 250.0)   # sigma=0.5
+        np.testing.assert_allclose(np.asarray(fn(x, t_inside)), 5.0)
+        np.testing.assert_allclose(np.asarray(fn(x, t_outside)), 3.0)
+        # the default normalization would have mis-gated both: t/(T-1) is
+        # negative for sigma<1 and >1 for sigma=40's scaled log-time
+        assert float(t_outside[0]) < 0.0
+
     def test_scale_below_one_rejected(self):
         with pytest.raises(AssertionError):
             autoguided_model_fn(lambda *a: None, lambda *a: None, 0.5)

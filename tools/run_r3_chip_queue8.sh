@@ -11,13 +11,22 @@ mkdir -p "$LOG"
 
 note() { echo "[queue8] $1 $(date +%H:%M:%S)" >> "$LOG/queue.log"; }
 
-# wait for the ctrl capstone runner to finish (its runner logs 'ctrl exit')
+# wait for the ctrl capstone runner to finish (its runner logs 'ctrl exit').
+# The cap must cover the runner's WORST case (two 7200s-timeout trainings:
+# 4h), not 2h — starting capstones while a training still holds the chip
+# and the single host core is the exact contention CLAUDE.md forbids.
 note "waiting for the controlnet capstone..."
-for i in $(seq 1 720); do
-    grep -q "\[ctrlq\] ctrl exit" "$LOG/queue.log" 2>/dev/null && break
+waited=0
+for i in $(seq 1 1500); do
+    grep -q "\[ctrlq\] ctrl exit" "$LOG/queue.log" 2>/dev/null && { waited=1; break; }
     sleep 10
 done
-note "controlnet done; starting"
+if [ "$waited" -eq 1 ]; then
+    note "controlnet done; starting"
+else
+    note "controlnet never logged 'ctrl exit' after 4.2h — aborting queue8"
+    exit 1
+fi
 
 run() { # name timeout cmd...
     local name=$1 tmo=$2; shift 2
