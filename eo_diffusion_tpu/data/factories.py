@@ -39,11 +39,13 @@ __all__ = [
 ]
 
 
-def _loaders(train_ds, test_ds, batch_size, transforms=None, seed=0, shard=(0, 1)):
+def _loaders(train_ds, test_ds, batch_size, transforms=None, seed=0, shard=(0, 1),
+             num_workers=0):
     train = DataLoader(train_ds, batch_size, shuffle=True, seed=seed,
-                       transforms=transforms, shard=shard)
+                       transforms=transforms, shard=shard,
+                       num_workers=num_workers)
     test = DataLoader(test_ds, batch_size, shuffle=False, seed=seed, shard=shard,
-                      drop_last=False)
+                      drop_last=False, num_workers=num_workers)
     return train, test
 
 
@@ -61,16 +63,23 @@ def _oscd_augs(img_channels=3):
     ])
 
 
-def create_mnist_dataloaders(batch_size, image_size=28, num_workers=4, root="../data/mnist_data", **kw):
+def create_mnist_dataloaders(batch_size, image_size=28, num_workers=4, root="../data/mnist_data",
+                             return_dataset=False, **kw):
     train = MNISTDataset(root, train=True, image_size=image_size)
     test = MNISTDataset(root, train=False, image_size=image_size)
-    return _loaders(train, test, batch_size, **kw)
+    if return_dataset:
+        return train, test
+    return _loaders(train, test, batch_size, num_workers=num_workers, **kw)
 
 
-def create_cifar10_dataloaders(batch_size, image_size=32, num_workers=4, root="./cifar_data", **kw):
+def create_cifar10_dataloaders(batch_size, image_size=32, num_workers=4, root="./cifar_data",
+                               return_dataset=False, **kw):
+    train, test = CIFAR10Dataset(root, True), CIFAR10Dataset(root, False)
+    if return_dataset:
+        return train, test
     aug = T.Compose([T.RandomHorizontalFlip()])
-    return _loaders(CIFAR10Dataset(root, True), CIFAR10Dataset(root, False),
-                    batch_size, transforms=aug, **kw)
+    return _loaders(train, test, batch_size, transforms=aug,
+                    num_workers=num_workers, **kw)
 
 
 def create_inria_dataloaders(batch_size, image_size=64, patch_overlap=0.5, num_workers=0,
@@ -111,7 +120,9 @@ def create_oscd_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED=4097
         base = os.path.join(root, f"OSCD_{pw}_{sw}")
         train_ds = OSCDDataset(os.path.join(base, "train"), length=kw.get("length"))
         test_ds = OSCDDataset(os.path.join(base, "test"), length=kw.get("length"))
-    return _loaders(train_ds, test_ds, batch_size,
+    if return_dataset:
+        return train_ds, test_ds
+    return _loaders(train_ds, test_ds, batch_size, num_workers=num_workers,
                     transforms=None if test else _oscd_augs())
 
 

@@ -76,7 +76,13 @@ class DataLoader:
         else:
             idx = np.arange(n)
         shard_id, n_shards = self.shard
-        return idx[shard_id::n_shards]
+        # trim every shard to the common floor(n / n_shards): the strided
+        # slice alone hands low shards one extra item when n % n_shards != 0,
+        # so hosts would iterate DIFFERENT batch counts per epoch — a
+        # deadlock under multi-host collectives (global_batch_from_local
+        # needs every process in every global batch) and a mismatch with
+        # __len__'s floor division
+        return idx[shard_id::n_shards][: len(self.dataset) // n_shards]
 
     def _fetch_one(self, i: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         item = self.dataset[int(i)]

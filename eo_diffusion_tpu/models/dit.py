@@ -38,7 +38,7 @@ from flax import linen as nn
 
 from eo_diffusion_tpu.nn.primitives import Dense, ZeroDense, timestep_embedding
 
-__all__ = ["DiTConfig", "DiT", "dit_s", "dit_b"]
+__all__ = ["DiTConfig", "DiT", "dit_s", "dit_b", "torso_block"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -328,6 +328,27 @@ class DiT(nn.Module):
         for block in self.blocks:
             h = block(h, c, context)
         return self.final(h, c)
+
+
+def torso_block(cfg: DiTConfig) -> DiTBlock:
+    """The uniform torso block the pipeline engines rebuild — constructed
+    with EXACTLY the fields ``DiT.setup`` passes (including the ToMe
+    wiring), so the pipelined path stays numerically identical to the
+    sequential ``model.apply``. MoE interleaving makes the torso
+    non-uniform; the pipeline callers assert ``num_experts == 0``."""
+    assert not cfg.num_experts, (
+        "the pipeline torso is uniform; MoE blocks are not wired")
+    tome_r = 0
+    if cfg.tome_ratio:
+        from eo_diffusion_tpu.ops.tome import (aligned_merge_count,
+                                               tome_partition)
+
+        _, src = tome_partition(cfg.grid, cfg.grid)
+        tome_r = aligned_merge_count(cfg.tokens, len(src), cfg.tome_ratio)
+    return DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
+                    cfg.dtype, cfg.attn_impl, cfg.context_dim,
+                    tome_r=tome_r, tome_mlp=cfg.tome_mlp,
+                    grid_hw=(cfg.grid, cfg.grid))
 
 
 def dit_s(image_size: int, in_channels: int = 3, patch_size: int = 4,

@@ -136,7 +136,7 @@ def pp_dit_apply(
     Numerically identical to ``model.apply(params, x, t, ...)`` (same
     modules, same op order — only the schedule is distributed); embed /
     condition / final run replicated (they are <1% of the FLOPs)."""
-    from eo_diffusion_tpu.models.dit import DiT, DiTBlock
+    from eo_diffusion_tpu.models.dit import DiT, torso_block
 
     cfg = model.cfg
     assert cfg.context_dim == 0, (
@@ -145,8 +145,9 @@ def pp_dit_apply(
     h = model.apply(params, x, cond, method=DiT.embed)
     c = model.apply(params, t, y, method=DiT.condition)
     stacked = stack_block_params(params, cfg.depth)
-    block = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
-                     cfg.dtype, cfg.attn_impl)
+    # torso_block reproduces setup()'s exact construction (incl. ToMe) so
+    # "numerically identical to model.apply" holds for ToMe configs too
+    block = torso_block(cfg)
     block_fn = lambda bp, hh, cc: block.apply({"params": bp}, hh, cc)
     h = gpipe_blocks(block_fn, stacked, h, c, mesh, axis=axis,
                      n_micro=n_micro, data_axis=data_axis)

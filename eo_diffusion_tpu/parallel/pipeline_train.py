@@ -106,13 +106,20 @@ def one_f_one_b(
     :param virtual_chunks: V chunks per device (Megatron interleaving);
         block-chunk ``c`` lives on device ``c mod S``. 1 = classic 1F1B.
     :returns: ``(loss, d_stacked, d_head, dh, dc, d_aux)`` — loss is the
-        scalar mean; d_stacked matches stacked_params (stage-sharded;
-        block order matches the input even when interleaving permutes the
-        on-device layout); d_head matches head_params; dh/dc match h/c;
-        d_aux matches aux (the head's cotangent into its per-sample
-        inputs — e.g. the final layer's adaLN read of the conditioning).
-        Gradients over the data axis (if any) are NOT psum'd here — the
-        caller's DP reduction applies, same as the non-pipelined path.
+        scalar mean over the GLOBAL batch; d_stacked matches stacked_params
+        (stage-sharded; block order matches the input even when
+        interleaving permutes the on-device layout); d_head matches
+        head_params; dh/dc match h/c; d_aux matches aux (the head's
+        cotangent into its per-sample inputs — e.g. the final layer's
+        adaLN read of the conditioning). With a ``data_axis`` the data
+        reduction happens HERE: loss/d_stacked/d_head are pmean'd over the
+        data axis and the per-sample cotangents are rescaled from
+        local-mean to global-mean (1/n_data) — so every output is exactly
+        the global-batch-mean quantity, matching ``jax.value_and_grad`` of
+        the sequential model on the full batch. (The earlier contract —
+        "the caller reduces" — was a silent-divergence trap: out_specs
+        declared loss/d_head replicated while each data shard held a
+        different partial, and no caller ever reduced them.)
     """
     import numpy as np
 
@@ -124,6 +131,11 @@ def one_f_one_b(
     b = h.shape[0]
     assert b % n_micro == 0, (b, n_micro)
     mb = b // n_micro
+    if data_axis is not None:
+        assert mb % mesh.shape[data_axis] == 0, (
+            f"microbatch rows ({mb}) must divide over the data axis "
+            f"({mesh.shape[data_axis]} shards); lower n_micro or raise the "
+            "batch size")
     M = n_micro
     assert V == 1 or M % S == 0, (
         f"interleaved 1F1B needs n_micro % stages == 0 (got {M} % {S}); "
@@ -261,8 +273,21 @@ def one_f_one_b(
         # d_local stays stage-sharded (matches stacked_params); everything
         # computed on a single stage is masked-psum'd to all stages
         psum = lambda t: jax.tree.map(lambda x: jax.lax.psum(x, axis), t)
-        return (psum(loss_acc), d_local, psum(d_head), psum(dh_acc),
-                psum(dc_acc), psum(daux_acc))
+        # data-parallel reduction (see the return contract): per-shard
+        # quantities are means over the LOCAL batch; the global mean is
+        # their pmean over the data axis, and per-sample cotangents pick
+        # up the extra 1/n_data of the global-mean loss
+        if data_axis is not None and mesh.shape[data_axis] > 1:
+            dmean = lambda t: jax.tree.map(
+                lambda x: jax.lax.pmean(x, data_axis), t)
+            inv_d = 1.0 / mesh.shape[data_axis]
+            dscale = lambda t: jax.tree.map(
+                lambda x: (x * inv_d).astype(x.dtype), t)
+        else:
+            dmean = dscale = lambda t: t
+        return (dmean(psum(loss_acc)), dmean(d_local), dmean(psum(d_head)),
+                dscale(psum(dh_acc)), dscale(psum(dc_acc)),
+                dscale(psum(daux_acc)))
 
     loss, d_stacked, d_head, dh_m, dc_m, daux_m = jax.shard_map(
         stage,
@@ -305,7 +330,7 @@ def pp_dit_grads(
     head, and the block gradients come back from the 1F1B engine and are
     unstacked into the flax param tree.
     """
-    from eo_diffusion_tpu.models.dit import DiT, DiTBlock
+    from eo_diffusion_tpu.models.dit import DiT, torso_block
     from eo_diffusion_tpu.parallel.pipeline import stack_block_params
 
     cfg = model.cfg
@@ -321,8 +346,9 @@ def pp_dit_grads(
     (h, c), pre_vjp = jax.vjp(pre, params)
 
     stacked = stack_block_params(params, cfg.depth)
-    block = DiTBlock(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio,
-                     cfg.dtype, cfg.attn_impl)
+    # torso_block reproduces setup()'s exact construction (incl. ToMe) so
+    # the pipelined function IS the sequential one
+    block = torso_block(cfg)
     block_fn = lambda bp, hh, cc: block.apply({"params": bp}, hh, cc)
 
     # the final layer reads c too (its own adaLN modulation), so c rides
@@ -333,26 +359,32 @@ def pp_dit_grads(
                          - aux_mb["target"].astype(jnp.float32)) ** 2)
 
     aux = {"c": c, "target": target}
+    # the loss head only reads the final layer: pass just that subtree so
+    # the 1F1B scan doesn't carry (and psum) an f32 shadow of EVERY param
+    inner_p = params["params"] if "params" in params else params
+    head_keys = ("final_mod", "final_proj")
+    head_params = {"params": {k: inner_p[k] for k in head_keys}}
     loss, d_stacked, d_head, dh, dc, d_aux = one_f_one_b(
-        block_fn, head_fn, stacked, params, h, c, aux, mesh,
+        block_fn, head_fn, stacked, head_params, h, c, aux, mesh,
         axis=axis, n_micro=n_micro, data_axis=data_axis,
         virtual_chunks=virtual_chunks)
     dc_total = dc + d_aux["c"]
 
-    # embed/condition grads from the pipeline's input cotangents
+    # embed/condition grads from the pipeline's input cotangents (zeros at
+    # the block / final-layer leaves pre() never touches)
     (d_pre,) = pre_vjp((dh.astype(h.dtype), dc_total.astype(c.dtype)))
 
-    # total grad tree: embed/cond leaves + final-layer leaves (d_head is
-    # zero outside the final layer's subtree) + unstacked block grads
-    grads = jax.tree.map(lambda a, g: (a + g).astype(a.dtype), d_pre, d_head)
+    # total grad tree: embed/cond leaves + final-layer leaves (from the
+    # head subtree) + unstacked block grads
     blocks = {f"block_{i}": jax.tree.map(lambda x, i=i: x[i], d_stacked)
               for i in range(cfg.depth)}
-    inner = grads["params"] if "params" in grads else grads
+    blocks.update(d_head["params"])
+    inner = d_pre["params"] if "params" in d_pre else d_pre
     merged = {k: (jax.tree.map(lambda a, g: (a + g).astype(a.dtype),
-                               inner[k], blocks[k]) if k in blocks else v)
+                               v, blocks[k]) if k in blocks else v)
               for k, v in inner.items()}
-    if "params" in grads:
-        grads = dict(grads, params=merged)
+    if "params" in d_pre:
+        grads = dict(d_pre, params=merged)
     else:
         grads = merged
     return loss, grads

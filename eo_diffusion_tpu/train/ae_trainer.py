@@ -51,7 +51,22 @@ def train_autoencoder(
         than ``steps``).
     :param latent_reg: weight of the mean(z^2) penalty (see module docs).
     """
-    it = iter(batches)
+    def _cycle(src, cap):
+        """Yield from ``src``, then cycle what was seen. ``iter(src)`` on a
+        spent generator returns the SAME exhausted iterator, so the
+        promised wrap-around needs a replay cache; capped at ``cap`` (the
+        total draws needed) so an infinite source never accumulates."""
+        seen = []
+        for item in src:
+            if len(seen) < cap:
+                seen.append(item)
+            yield item
+        assert seen, "train_autoencoder got an empty batches iterable"
+        while True:
+            for item in seen:
+                yield item
+
+    it = _cycle(batches, steps)
     first = jnp.asarray(next(it))
     params = jax.jit(model.init)(rng, first[:1])
     tx = optax.adam(lr)
@@ -76,11 +91,7 @@ def train_autoencoder(
         if log_every and i % log_every == 0:
             losses.append(float(l))
             print(f"ae step {i}/{steps} recon_mse {losses[-1]:.5f}", flush=True)
-        try:
-            x = next(it)
-        except StopIteration:
-            it = iter(batches)
-            x = next(it)
+        x = next(it)
 
     z = model.apply(params, first, method="encode")
     scale = 1.0 / max(float(jnp.std(z.astype(jnp.float32))), 1e-6)

@@ -174,6 +174,13 @@ int check_supported(const Info& info) {
     return -3;
   if (info.planar != 1 && info.planar != 2) return -3;
   if (info.predictor != 1 && info.predictor != 2) return -3;
+  // undo_predictor only implements the 8/16-bit horizontal difference;
+  // accepting wider samples here would return rc=0 with differenced
+  // garbage (the silent-corruption path, not the -3 the matrix promises)
+  if (info.predictor == 2 && info.bits > 16) return -3;
+  // sample_to_float reinterprets 64-bit samples as IEEE double; integer
+  // SampleFormat at 64 bits would decode to nonsense, so reject it
+  if (info.bits == 64 && info.sample_format != 3) return -3;
   return 0;
 }
 

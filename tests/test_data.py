@@ -154,6 +154,16 @@ class TestLoader:
         # disjoint index streams -> different content
         assert not np.allclose(b0["image"], b1["image"])
 
+    def test_sharding_is_balanced_on_ragged_length(self):
+        """n % n_shards != 0 must NOT hand low shards an extra item: hosts
+        iterating different batch counts deadlock multi-host collectives
+        (every process must contribute to every global batch)."""
+        ds = SyntheticEO(size=8, length=15)
+        dls = [DataLoader(ds, 4, shuffle=False, shard=(s, 2), prefetch=0,
+                          drop_last=False) for s in (0, 1)]
+        counts = [len(list(dl)) for dl in dls]
+        assert counts[0] == counts[1] == len(dls[0]), counts
+
     def test_epoch_reshuffle(self):
         ds = SyntheticEO(size=8, length=32)
         dl = DataLoader(ds, 32, shuffle=True, seed=0)

@@ -132,6 +132,22 @@ class TestLatentLearning:
         modes = rng.choice([-0.6, 0.6], size=(n, 1, 1, 1))
         return (modes + 0.05 * rng.normal(size=(n, SIZE, SIZE, 3))).astype(np.float32)
 
+    def test_ae_trainer_cycles_a_generator(self):
+        """The docstring promises batches are 'cycled if shorter than
+        steps' — that must hold for one-shot iterables too (iter() on a
+        spent generator is the same exhausted iterator)."""
+        from eo_diffusion_tpu.models.autoencoder import AutoencoderConfig, ConvAutoencoder
+        from eo_diffusion_tpu.train.ae_trainer import train_autoencoder
+
+        rng = np.random.default_rng(1)
+        data = self._bimodal(rng, 8)
+        acfg = AutoencoderConfig(in_channels=3, latent_channels=4,
+                                 base_channels=8, num_down=2)
+        gen = (data[i : i + 4] for i in range(0, 8, 4))  # 2 batches < steps
+        params, scale, _ = train_autoencoder(
+            ConvAutoencoder(acfg), gen, jax.random.PRNGKey(0), steps=10)
+        assert np.isfinite(scale)
+
     def test_unet_learns_in_latent_space(self):
         import optax
 

@@ -101,6 +101,40 @@ class TestEngineParity:
                 lambda tg: sequential_loss(stacked, head, h, c, tg, n_micro)
             )(target)), rtol=2e-4, atol=1e-6)
 
+    @pytest.mark.parametrize("nd,S", [(2, 2), (2, 4)])
+    def test_grads_match_sequential_under_dp(self, nd, S):
+        """DP x PP: with a data axis the engine must return GLOBAL-mean
+        loss/grads (pmean over data for the param grads, 1/nd rescale of
+        the per-sample cotangents). Regression for the silent-divergence
+        bug where loss/d_head/d_stacked were per-data-shard partials
+        declared 'replicated' and never reduced."""
+        if len(jax.devices()) < nd * S:
+            pytest.skip(f"needs {nd * S} devices")
+        mesh = Mesh(np.array(jax.devices()[:nd * S]).reshape(nd, S),
+                    ("data", "stage"))
+        n_micro = 4
+        stacked, head, h, c, target = make_engine_problem()
+
+        loss, d_stacked, d_head, dh, dc, d_aux = jax.jit(
+            lambda sp, hp, h, c, tg: one_f_one_b(
+                block_fn, head_fn, sp, hp, h, c, {"target": tg}, mesh,
+                n_micro=n_micro, data_axis="data")
+        )(stacked, head, h, c, target)
+
+        ref_loss, ref_grads = jax.value_and_grad(
+            sequential_loss, argnums=(0, 1, 2, 3))(
+                stacked, head, h, c, target, n_micro)
+        r_stacked, r_head, r_h, r_c = ref_grads
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for g, r in ((d_stacked, r_stacked), (d_head, r_head)):
+            jax.tree.map(lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6), g, r)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(r_h),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dc), np.asarray(r_c),
+                                   rtol=2e-4, atol=1e-6)
+
     def test_ring_buffer_is_m_independent(self):
         """Structural memory claim: the in-flight state is 2S-1 stage-input
         slots however many microbatches stream through (GPipe-by-autodiff
@@ -178,6 +212,64 @@ class TestDiTParity:
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 rtol=5e-3, atol=5e-5, err_msg=pth)
+
+    def test_pp_dit_grads_match_under_dp(self):
+        """Full DiT gradients on a data=2 x model=2 mesh equal sequential
+        jax.value_and_grad on the GLOBAL batch — the Trainer's actual
+        pp_micro topology (make_mesh(model=S) leaves data = n_dev/S)."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                    ("data", "model"))
+        model, params, x, t, target = make_dit()
+        n_micro = 4
+
+        def seq_loss(p):
+            mb = x.shape[0] // n_micro
+            losses = []
+            for m in range(n_micro):
+                sl = slice(m * mb, (m + 1) * mb)
+                out = model.apply(p, x[sl], t[sl])
+                losses.append(jnp.mean(
+                    (out.astype(jnp.float32) - target[sl]) ** 2))
+            return sum(losses) / n_micro
+
+        ref_loss, ref_grads = jax.value_and_grad(seq_loss)(params)
+        loss, grads = jax.jit(lambda p: pp_dit_grads(
+            model, p, x, t, target, mesh, axis="model", n_micro=n_micro,
+            data_axis="data"))(params)
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        flat_r, tdef_r = jax.tree.flatten(ref_grads)
+        flat_g, tdef_g = jax.tree.flatten(grads)
+        assert tdef_r == tdef_g
+        paths = [jax.tree_util.keystr(kp) for kp, _ in
+                 jax.tree_util.tree_flatten_with_path(ref_grads)[0]]
+        for pth, a, b in zip(paths, flat_g, flat_r):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=5e-3, atol=5e-5, err_msg=pth)
+
+    def test_pp_dit_apply_matches_with_tome(self):
+        """pp_dit_apply must run the SAME function as model.apply when the
+        config enables ToMe (the rebuilt torso block used to drop the
+        tome fields and silently skip merging)."""
+        from eo_diffusion_tpu.parallel.pipeline import pp_dit_apply
+
+        mesh = stage_mesh(2)
+        cfg = DiTConfig(image_size=16, in_channels=3, out_channels=3,
+                        patch_size=2, hidden_size=64, depth=4, num_heads=4,
+                        tome_ratio=0.5)
+        model = DiT(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+        t = jnp.arange(4) * 10
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+        ref = model.apply(params, x, t)
+        out = jax.jit(lambda p: pp_dit_apply(
+            model, p, x, t, mesh, n_micro=2))(params)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=5e-4, atol=5e-5)
 
     def test_one_step_improves_loss(self):
         """End-to-end sanity: an SGD step along the 1F1B gradients lowers

@@ -235,6 +235,34 @@ class TestDecode:
         theirs = np.asarray(Image.open(p)).astype(np.float32)[..., None]
         np.testing.assert_array_equal(ours, theirs)
 
+    @pytest.mark.parametrize("dtype", [np.float32, np.int32])
+    def test_predictor2_wide_samples_rejected(self, tmp_path, dtype):
+        """Predictor-2 undo is only implemented for 8/16-bit samples; wider
+        samples must be REJECTED (-3), not silently returned differenced
+        (the rc=0 corruption path the line-358 comment assumed away)."""
+        a = np.arange(6 * 6 * 2, dtype=dtype).reshape(6, 6, 2)
+        p = str(tmp_path / "p2wide.tif")
+        write_tiff(p, a, compression=8, predictor=2, rows_per_strip=3)
+        with pytest.raises(ValueError, match="unsupported"):
+            read_tiff(p)
+
+    def test_int64_rejected(self, tmp_path):
+        """64-bit integer samples would be reinterpreted as IEEE doubles by
+        sample_to_float; the support matrix must return -3 instead."""
+        a = np.arange(4 * 4, dtype=np.uint8).reshape(4, 4, 1)
+        p = str(tmp_path / "i64.tif")
+        write_tiff(p, a)
+        raw = bytearray(open(p, "rb").read())
+        # patch BitsPerSample (tag 258, SHORT) from 8 to 64 in place
+        idx = raw.find((258).to_bytes(2, "little"))
+        assert idx > 0
+        val_off = idx + 8
+        assert raw[val_off] == 8
+        raw[val_off] = 64
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="unsupported"):
+            read_tiff(p)
+
     def test_not_a_tiff(self, tmp_path):
         p = str(tmp_path / "x.tif")
         with open(p, "wb") as f:
