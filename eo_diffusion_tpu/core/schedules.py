@@ -217,12 +217,11 @@ def make_ddim_timesteps(
         raise NotImplementedError(
             f'There is no ddim discretization method called "{ddim_discr_method}"'
         )
-    # deliberate divergence from the reference: when (T-1) % stride == 0
-    # (e.g. T=1000, S=3 -> steps [0,333,666,999]) the reference's +1 shift
-    # produces index T and crashes on the table gather (util.py:75); clamp
-    # to the last valid row instead of reproducing the crash (SURVEY §2.4
-    # policy: fix, don't reproduce)
-    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
+    # NOTE: returned +1-shifted and UNCLAMPED, exactly like the reference
+    # (util.py:75) — make_ddim_schedule owns the in-range correction,
+    # because clamping here would double-apply with its T/S < 2 down-shift
+    # (producing a duplicated step and never sampling t = T-1)
+    return ddim_timesteps + 1
 
 
 def make_ddim_sampling_parameters(
@@ -273,8 +272,17 @@ def make_ddim_schedule(
         f"ddim num_steps must be in [1, timesteps={T}], got {num_steps}"
     )
     steps = make_ddim_timesteps(method, num_steps, T)
-    if method != "trailing" and T / num_steps < 2:
-        steps = steps - 1
+    if method != "trailing":
+        if T / num_steps < 2:
+            # reference off-by-one guard (ddim.py:27): undo the +1 shift
+            # when the stride is 1 — this alone brings steps in range
+            steps = steps - 1
+        else:
+            # deliberate divergence from the reference: when (T-1) % stride
+            # == 0 (e.g. T=1000, S=3 -> +1-shifted step 1000) the reference
+            # crashes on the table gather (util.py:75); clamp to the last
+            # valid row instead (SURVEY §2.4 policy: fix, don't reproduce)
+            steps = np.minimum(steps, T - 1)
     sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(
         schedule.alphas_cumprod, steps, eta
     )

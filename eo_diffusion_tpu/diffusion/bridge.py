@@ -134,6 +134,39 @@ class BrownianBridge:
 
     # -- sampling -------------------------------------------------------------
 
+    def strided_grid(self, num_steps: int):
+        """``(t_seq, m_seq, d_seq)`` tables for an S-step strided chain
+        (clamped at T-1 steps like DDIM's table edge). Shared by
+        :meth:`sample` and the tiled whole-scene sampler so the grid and
+        variance tables cannot diverge."""
+        T = self.timesteps
+        assert num_steps >= 1, num_steps
+        num_steps = min(num_steps, T - 1)
+        ts = np.linspace(T - 1, 0, num_steps + 1).round().astype(np.int32)
+        assert len(np.unique(ts)) == len(ts), (
+            "strided grid collapsed; lower num_steps")
+        t_seq = jnp.asarray(ts)
+        m_seq = t_seq.astype(jnp.float32) / float(T - 1)
+        d_seq = 2.0 * self.max_var * (m_seq - m_seq * m_seq)
+        return num_steps, t_seq, m_seq, d_seq
+
+    @staticmethod
+    def posterior_step(x, x0_hat, yf, m_t, m_s, d_t, d_s):
+        """One strided bridge posterior update (Kalman form): returns
+        ``(mean, var)`` of x_s | x_t, x0_hat, y. The d_t == 0 guards cover
+        the endpoints where the bridge variance vanishes. Single source of
+        truth for :meth:`sample` AND ``tiled.tiled_bridge_sample``."""
+        a = (1.0 - m_t) / (1.0 - m_s)  # m_s < 1 for every s < t <= T-1
+        safe_dt = jnp.where(d_t > 0, d_t, 1.0)
+        gain = jnp.where(d_t > 0, a * d_s / safe_dt, 0.0)
+        mu_t = (1.0 - m_t) * x0_hat + m_t * yf
+        mu_s = (1.0 - m_s) * x0_hat + m_s * yf
+        mean = mu_s + gain * (x - mu_t)
+        var = jnp.where(d_t > 0,
+                        d_s * jnp.maximum(d_t - a * a * d_s, 0.0) / safe_dt,
+                        d_s)
+        return mean, var
+
     def sample(
         self,
         model_fn: Callable,
@@ -158,17 +191,8 @@ class BrownianBridge:
         the other samplers.
         """
         assert cond is not None, "BrownianBridge sampling requires the source image (cond)"
-        T = self.timesteps
-        assert num_steps >= 1, num_steps
-        # T-1 posterior steps is the full chain; clamp like DDIM's table edge
-        num_steps = min(num_steps, T - 1)
         shape = (n_samples, self.image_size, self.image_size, self.in_channels)
-
-        ts = np.linspace(T - 1, 0, num_steps + 1).round().astype(np.int32)
-        assert len(np.unique(ts)) == len(ts), "strided grid collapsed; lower num_steps"
-        t_seq = jnp.asarray(ts)
-        m_seq = t_seq.astype(jnp.float32) / float(T - 1)
-        d_seq = 2.0 * self.max_var * (m_seq - m_seq * m_seq)
+        num_steps, t_seq, m_seq, d_seq = self.strided_grid(num_steps)
 
         yf = cond.astype(jnp.float32)
         c_model = cond.astype(dtype) if self.cond_type == "concat" else None
@@ -190,19 +214,13 @@ class BrownianBridge:
             if clip:
                 x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
 
-            m_t, m_s = m_seq[i], m_seq[i + 1]
-            d_t, d_s = d_seq[i], d_seq[i + 1]
-            a = (1.0 - m_t) / (1.0 - m_s)  # m_s < 1 for every s < t <= T-1
-            safe_dt = jnp.where(d_t > 0, d_t, 1.0)
-            gain = jnp.where(d_t > 0, a * d_s / safe_dt, 0.0)
-            mu_t = (1.0 - m_t) * x0_hat + m_t * yf
-            mu_s = (1.0 - m_s) * x0_hat + m_s * yf
-            mean = mu_s + gain * (x - mu_t)
-            var = jnp.where(d_t > 0,
-                            d_s * jnp.maximum(d_t - a * a * d_s, 0.0) / safe_dt,
-                            d_s)
-            noise = jax.random.normal(key, shape, jnp.float32)
-            x = mean + eta * jnp.sqrt(var) * noise
+            mean, var = self.posterior_step(x, x0_hat, yf,
+                                            m_seq[i], m_seq[i + 1],
+                                            d_seq[i], d_seq[i + 1])
+            if eta != 0.0:  # static: the deterministic path skips threefry
+                mean = mean + eta * jnp.sqrt(var) * jax.random.normal(
+                    key, shape, jnp.float32)
+            x = mean
             if log_every:
                 frames = _log_frame(frames, x.astype(dtype), i, log_every)
             return (x, frames, st), None

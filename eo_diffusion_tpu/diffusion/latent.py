@@ -89,11 +89,22 @@ class LatentDiffusion:
         return self.diffusion.train_loss(model_fn, rng, z0, cond=c, y=y,
                                          noise=noise)
 
+    def _decode_out(self, out: DiffusionOutput) -> DiffusionOutput:
+        """Decode the final x AND any logged trajectory frames: a caller
+        paying for ``log_every`` gets pixel-space intermediates, not the
+        silently-dropped (or raw-latent) frames of the inner sampler."""
+        inter = out.intermediates
+        if inter is not None and inter.ndim == 5:  # [K, N, h, w, zc]
+            k, n = inter.shape[:2]
+            flat = self.decode(inter.reshape((k * n,) + inter.shape[2:]))
+            inter = flat.reshape((k, n) + flat.shape[1:])
+        return DiffusionOutput(x=self.decode(out.x), intermediates=inter)
+
     def ddpm_sample(self, model_fn, rng, n_samples, cond=None, y=None,
                     encode_cond: Optional[bool] = None, **kw) -> DiffusionOutput:
         c = self._cond(cond, encode_cond)
         out = self.diffusion.ddpm_sample(model_fn, rng, n_samples, cond=c, y=y, **kw)
-        return DiffusionOutput(x=self.decode(out.x), intermediates=out.intermediates)
+        return self._decode_out(out)
 
     def ddim_sample(self, model_fn, rng, n_samples, cond=None, y=None,
                     encode_cond: Optional[bool] = None, uncond=None,
@@ -103,7 +114,7 @@ class LatentDiffusion:
         u = self._cond(uncond, encode_cond)
         out = self.diffusion.ddim_sample(model_fn, rng, n_samples, cond=c, y=y,
                                          uncond=u, **kw)
-        return DiffusionOutput(x=self.decode(out.x))
+        return self._decode_out(out)
 
     def dpm_sample(self, model_fn, rng, n_samples, cond=None, y=None,
                    encode_cond: Optional[bool] = None, uncond=None,
@@ -114,7 +125,7 @@ class LatentDiffusion:
         u = self._cond(uncond, encode_cond)
         out = self.diffusion.dpm_sample(model_fn, rng, n_samples, cond=c, y=y,
                                     uncond=u, **kw)
-        return DiffusionOutput(x=self.decode(out.x))
+        return self._decode_out(out)
 
     def unipc_sample(self, model_fn, rng, n_samples, cond=None, y=None,
                      encode_cond: Optional[bool] = None, uncond=None,
@@ -123,7 +134,7 @@ class LatentDiffusion:
         u = self._cond(uncond, encode_cond)
         out = self.diffusion.unipc_sample(model_fn, rng, n_samples, cond=c,
                                           y=y, uncond=u, **kw)
-        return DiffusionOutput(x=self.decode(out.x))
+        return self._decode_out(out)
 
     def sample(self, model_fn, rng, n_samples, cond=None, y=None,
                encode_cond: Optional[bool] = None, uncond=None,
@@ -138,4 +149,4 @@ class LatentDiffusion:
             kw["uncond"] = self._cond(uncond, encode_cond)
         out = self.diffusion.sample(model_fn, rng, n_samples, cond=c, y=y,
                                     **kw)
-        return DiffusionOutput(x=self.decode(out.x))
+        return self._decode_out(out)

@@ -297,8 +297,10 @@ def tiled_ddim_sample(
         a_prev = alphas_prev[idx]
         sigma_t = sigmas[idx]
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * e_t
-        noise = sigma_t * jax.random.normal(nk, shape, jnp.float32)
-        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+        if eta != 0.0:  # static: the ODE path skips the full-SCENE threefry
+            x_prev = x_prev + sigma_t * jax.random.normal(nk, shape,
+                                                          jnp.float32)
         return (x_prev, key, m_state), None
 
     idxs = jnp.arange(dd.num_steps - 1, -1, -1)
@@ -425,16 +427,11 @@ def tiled_bridge_sample(
     """
     assert cond is not None, "bridge sampling requires the source scene (cond)"
     tile = bridge.image_size
-    T = bridge.timesteps
-    assert num_steps >= 1, num_steps
-    num_steps = min(num_steps, T - 1)
     grid = make_tile_grid(height, width, tile, overlap)
     shape = (n_samples, height, width, bridge.in_channels)
-
-    ts = np.linspace(T - 1, 0, num_steps + 1).round().astype(np.int32)
-    t_seq = jnp.asarray(ts)
-    m_seq = t_seq.astype(jnp.float32) / float(T - 1)
-    d_seq = 2.0 * bridge.max_var * (m_seq - m_seq * m_seq)
+    # grid + posterior algebra come from BrownianBridge itself (single
+    # source of truth — see bridge.strided_grid / posterior_step)
+    num_steps, t_seq, m_seq, d_seq = bridge.strided_grid(num_steps)
 
     yf = jnp.broadcast_to(cond.astype(jnp.float32), shape)
     denoise_tiles, state0 = make_tiled_denoiser(
@@ -453,19 +450,13 @@ def tiled_bridge_sample(
         if clip:
             x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
 
-        m_t, m_s = m_seq[i], m_seq[i + 1]
-        d_t, d_s = d_seq[i], d_seq[i + 1]
-        a = (1.0 - m_t) / (1.0 - m_s)
-        safe_dt = jnp.where(d_t > 0, d_t, 1.0)
-        gain = jnp.where(d_t > 0, a * d_s / safe_dt, 0.0)
-        mu_t = (1.0 - m_t) * x0_hat + m_t * yf
-        mu_s = (1.0 - m_s) * x0_hat + m_s * yf
-        mean = mu_s + gain * (x - mu_t)
-        var = jnp.where(d_t > 0,
-                        d_s * jnp.maximum(d_t - a * a * d_s, 0.0) / safe_dt,
-                        d_s)
-        noise = jax.random.normal(key, shape, jnp.float32)
-        return (mean + eta * jnp.sqrt(var) * noise, st), None
+        mean, var = bridge.posterior_step(x, x0_hat, yf,
+                                          m_seq[i], m_seq[i + 1],
+                                          d_seq[i], d_seq[i + 1])
+        if eta != 0.0:  # static: deterministic path skips full-scene threefry
+            mean = mean + eta * jnp.sqrt(var) * jax.random.normal(
+                key, shape, jnp.float32)
+        return (mean, st), None
 
     keys = jax.random.split(rng, num_steps)
     (x, _), _ = jax.lax.scan(step, (yf, state0),

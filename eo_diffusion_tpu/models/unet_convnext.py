@@ -108,10 +108,13 @@ class ConvNextUNet(nn.Module):
     @nn.compact
     def __call__(self, x, t=None, cond=None, y=None, *, train: bool = False):
         cfg = self.config
-        if cond is not None:
-            x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
+        # residual/mean references are the RAW input (the reference model
+        # never concats internally, so its orig_x is pre-conditioning;
+        # capturing after the concat would add a channel-mismatched tensor)
         orig_x = x
         original_mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        if cond is not None:
+            x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
         x = x.astype(cfg.dtype)
 
         t_emb = None

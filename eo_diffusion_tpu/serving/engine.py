@@ -94,8 +94,17 @@ class SamplerEngine:
 
         gkw = {}
         if cfg.guidance_scale != 1.0:
-            assert cfg.sampler != "ddpm" or cfg.num_classes, (
-                "ddpm guidance needs class conditioning (no image-CFG path)")
+            # validate an actual CFG branch EXISTS at build time: without
+            # one the samplers accept guidance_scale but never activate the
+            # doubled batch, silently serving unguided samples — and
+            # ddpm_sample has no image-uncond parameter at all
+            can_label_cfg = bool(cfg.num_classes) and cfg.has_null_class
+            can_image_cfg = cfg.cond_channels > 0 and cfg.sampler != "ddpm"
+            assert can_label_cfg or can_image_cfg, (
+                "guidance_scale needs a CFG branch: class conditioning with "
+                "a learned null row (has_null_class, cli.train "
+                "--class_dropout), or concat cond on a sampler with an "
+                "image-CFG path (ddim/dpm/unipc/flow — ddpm has none)")
             gkw["guidance_scale"] = cfg.guidance_scale
             if cfg.guidance_rescale:
                 gkw["guidance_rescale"] = cfg.guidance_rescale
@@ -112,7 +121,7 @@ class SamplerEngine:
             if cfg.guidance_scale != 1.0:
                 if cfg.num_classes and cfg.has_null_class:
                     kw["y_uncond"] = jnp.full((B,), cfg.num_classes, jnp.int32)
-                elif cond is not None:
+                elif cond is not None and cfg.sampler != "ddpm":
                     kw["uncond"] = jnp.zeros_like(cond)
             if cfg.sampler == "flow":
                 out = diffusion.sample(fn, rng, B, num_steps=cfg.steps,

@@ -70,6 +70,20 @@ class TestConvNextUNet:
         out = model.apply(params, xr, t)
         assert out.shape == xr.shape
 
+    def test_residual_mode_with_cond(self):
+        """residual=True must add the PRE-concat input (the old capture
+        point was after the cond concat -> 6-channel orig_x vs 3-channel
+        out, a broadcast shape error)."""
+        cfg = ConvNextUNetConfig(dim=16, dim_mults=(1, 2), channels=3,
+                                 residual=True)
+        model = ConvNextUNet(cfg)
+        x = jnp.ones((2, 16, 16, 3))
+        c = jnp.zeros((2, 16, 16, 3))
+        t = jnp.zeros((2,), jnp.int32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, cond=c)
+        out = model.apply(params, x, t, cond=c)
+        assert out.shape == x.shape
+
     def test_output_mean_scale(self):
         model, params, x, t = self._model(output_mean_scale=True)
         xr = jnp.full_like(x, 0.7)

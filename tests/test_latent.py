@@ -87,6 +87,20 @@ class TestLatentDiffusion:
         out2 = ld.ddpm_sample(model, jax.random.PRNGKey(0), 2)
         assert out2.x.shape == (2, SIZE, SIZE, 3)
 
+    def test_log_every_intermediates_are_decoded_pixels(self, ae):
+        """A caller paying for log_every must get PIXEL-space trajectory
+        frames from every latent sampler (they used to be dropped on
+        ddim/dpm/unipc/sample and returned as raw latents on ddpm)."""
+        ld = self._latent(ae)
+        model = lambda z, t, c, y: jnp.zeros_like(z)
+        for name in ("ddim_sample", "ddpm_sample"):
+            out = getattr(ld, name)(model, jax.random.PRNGKey(0), 2,
+                                    **({"num_steps": 4} if "ddim" in name
+                                       else {}), log_every=2)
+            assert out.intermediates is not None, name
+            assert out.intermediates.shape[1:] == (2, SIZE, SIZE, 3), (
+                name, out.intermediates.shape)
+
     def test_encode_cond_path(self, ae):
         ld = self._latent(ae)
         chans = []

@@ -236,13 +236,28 @@ class TestZeroTerminalSNR:
 class TestUniformSpacingEdge:
     def test_nondivisor_step_count_stays_in_range(self):
         """T=1000, S=3: range(0,1000,333) ends at 999 and the reference's
-        +1 shift indexes past the table (a crash, util.py:75); the clamp
-        keeps every step valid (SURVEY §2.4 fix-don't-reproduce policy)."""
+        +1 shift indexes past the table (a crash, util.py:75); the SCHEDULE
+        clamps every step valid (SURVEY §2.4 fix-don't-reproduce policy).
+        The raw timestep fn stays reference-exact (+1, unclamped) so the
+        clamp can't double-apply with the T/S < 2 down-shift."""
         steps = S.make_ddim_timesteps("uniform", 3, 1000)
-        assert steps.max() <= 999 and steps.min() >= 0
+        assert steps.max() == 1000  # reference-exact raw subsequence
         sched = S.make_schedule(1000)
         dd = S.make_ddim_schedule(sched, 3)  # must not raise
+        assert dd.timesteps.max() <= 999 and dd.timesteps.min() >= 0
         assert np.all(np.isfinite(dd.sigmas))
+
+    def test_full_chain_uniform_covers_terminal_step_without_dups(self):
+        """Regression (review finding): with stride 1 (S >= T/2) the old
+        clamp-then-downshift produced [0..998, 998] — a duplicated step
+        and t=999 never denoised. Must be exactly [0..999] at S=T."""
+        sched = S.make_schedule(1000)
+        st = S.make_ddim_schedule(sched, 1000).timesteps
+        np.testing.assert_array_equal(st, np.arange(1000))
+        for S_ in (999, 501, 500, 250, 50):
+            st = S.make_ddim_schedule(sched, S_).timesteps
+            assert len(np.unique(st)) == len(st), S_
+            assert st.min() >= 0 and st.max() <= 999, S_
 
 
 class TestTrailingEdgeCases:

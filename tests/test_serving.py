@@ -267,6 +267,38 @@ class TestEngineEndToEnd:
         assert out.shape == (2, preset.image_size, preset.image_size, 3)
         assert np.isfinite(out).all()
 
+    def test_guidance_without_cfg_branch_rejected_at_build(self):
+        """A config whose samplers would silently never activate CFG (no
+        null class, no image-CFG path) must fail at engine build, not
+        serve unguided samples behind a /healthz that advertises the
+        scale. ddpm has no image-uncond parameter at all."""
+        import jax
+        import jax.numpy as jnp
+
+        from eo_diffusion_tpu.cli.presets import (build_denoiser,
+                                                  build_process, get_preset)
+
+        preset = get_preset("tiny")
+        ucfg = preset.model_config(bf16=False)
+        model = build_denoiser(ucfg)
+        diffusion = build_process(preset, 50, preset.image_size,
+                                  cond_type=None)
+        x0 = jnp.zeros((1, preset.image_size, preset.image_size, 3))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
+        for cfg in (
+            # ddpm + concat cond: ddpm_sample has no 'uncond' parameter
+            ServingConfig(batch_size=2, sampler="ddpm", bf16=False,
+                          cond_channels=3, guidance_scale=2.0),
+            # class-conditional without a learned null row: no CFG branch
+            ServingConfig(batch_size=2, sampler="ddim", steps=2, bf16=False,
+                          num_classes=10, has_null_class=False,
+                          guidance_scale=2.0),
+        ):
+            with pytest.raises(AssertionError, match="CFG branch"):
+                SamplerEngine(model, params, diffusion, preset.image_size,
+                              3, cfg)
+
     def test_warmup_and_submit(self, tiny_serving):
         engine, batcher, preset = tiny_serving
         assert engine.warmup() > 0
