@@ -57,6 +57,7 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
                                                  density_coverage,
                                                  gradient_energy,
                                                  inception_score, kid,
+                                                 pairwise_l2,
                                                  precision_recall,
                                                  spectral_distance)
 
@@ -77,11 +78,14 @@ def compute_metrics(real: np.ndarray, fake: np.ndarray, extractor=None,
     rf, ff = np.concatenate(fd._real), np.concatenate(fd._fake)
     kid_mean, kid_std = kid(rf, ff)
     # density (fidelity-like) / coverage (diversity-like): separates what
-    # FID/KID conflate; mode collapse reads high density + low coverage
-    density, coverage = density_coverage(rf, ff, k=min(5, len(rf) - 1))
-    # the full PRDC quartet (P/R: arXiv:1904.06991, D/C: arXiv:2002.09797)
+    # FID/KID conflate; mode collapse reads high density + low coverage.
+    # d_rr/d_fr are the dominant PRDC cost — compute once, share across
+    # the quartet (P/R: arXiv:1904.06991, D/C: arXiv:2002.09797)
+    d_rr, d_fr = pairwise_l2(rf, rf), pairwise_l2(ff, rf)
+    density, coverage = density_coverage(rf, ff, k=min(5, len(rf) - 1),
+                                         d_rr=d_rr, d_fr=d_fr)
     precision, recall = precision_recall(
-        rf, ff, k=min(3, len(rf) - 1, len(ff) - 1))
+        rf, ff, k=min(3, len(rf) - 1, len(ff) - 1), d_rr=d_rr, d_fr=d_fr)
     out = {
         "frechet_distance": fd.compute(),
         "kid_mean": kid_mean,

@@ -91,7 +91,7 @@ def create_inria_dataloaders(batch_size, image_size=64, patch_overlap=0.5, num_w
     train_ds, test_ds = train_val_split(ds, val_split, SEED)
     if return_dataset:
         return train_ds, test_ds
-    return _loaders(train_ds, test_ds, batch_size,
+    return _loaders(train_ds, test_ds, batch_size, num_workers=num_workers,
                     transforms=None if test else _FLIPS, **kw)
 
 
@@ -103,7 +103,8 @@ def create_cloud_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED=409
     train_ds, test_ds = train_val_split(ds, val_split, SEED)
     if return_dataset:
         return train_ds, test_ds
-    return _loaders(train_ds, test_ds, batch_size, transforms=None if test else _FLIPS)
+    return _loaders(train_ds, test_ds, batch_size, num_workers=num_workers,
+                    transforms=None if test else _FLIPS)
 
 
 def create_oscd_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED=4097,
@@ -132,7 +133,7 @@ def create_SARWake_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED=4
     test_ds = SARWakeDataset(root, mode="val", **kw)
     if return_dataset:
         return train_ds, test_ds
-    return _loaders(train_ds, test_ds, batch_size,
+    return _loaders(train_ds, test_ds, batch_size, num_workers=num_workers,
                     transforms=None if test else _oscd_augs(img_channels=1))
 
 
@@ -143,7 +144,8 @@ def create_Eurosat_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED=4
     train_ds, test_ds = train_val_split(ds, val_split, SEED)
     if return_dataset:
         return train_ds, test_ds
-    return _loaders(train_ds, test_ds, batch_size, transforms=None if test else _FLIPS)
+    return _loaders(train_ds, test_ds, batch_size, num_workers=num_workers,
+                    transforms=None if test else _FLIPS)
 
 
 def create_sen12mscr_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED=4097,
@@ -158,7 +160,7 @@ def create_sen12mscr_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED
     train_ds, test_ds = train_val_split(ds, val_split, SEED)
     if return_dataset:
         return train_ds, test_ds
-    return _loaders(train_ds, test_ds, batch_size,
+    return _loaders(train_ds, test_ds, batch_size, num_workers=num_workers,
                     transforms=None if test else _FLIPS)
 
 

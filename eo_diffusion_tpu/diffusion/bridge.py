@@ -135,8 +135,9 @@ class BrownianBridge:
     # -- sampling -------------------------------------------------------------
 
     def strided_grid(self, num_steps: int):
-        """``(t_seq, m_seq, d_seq)`` tables for an S-step strided chain
-        (clamped at T-1 steps like DDIM's table edge). Shared by
+        """``(num_steps, t_seq, m_seq, d_seq)`` for an S-step strided chain
+        — ``num_steps`` is the CLAMPED count (at most T-1, like DDIM's
+        table edge) and must replace the caller's value. Shared by
         :meth:`sample` and the tiled whole-scene sampler so the grid and
         variance tables cannot diverge."""
         T = self.timesteps

@@ -48,15 +48,22 @@ class ArtifactEngine:
         self._lock = threading.Lock()
 
     def run(self, n: int, seed: int, y=None, cond=None) -> np.ndarray:
+        # explicit raises, not asserts: these carry the documented
+        # 400-on-bad-input contract and must survive ``python -O``
         B = self.batch_size
-        assert 1 <= n <= B, f"n must be in [1, {B}] (fixed-shape artifact)"
+        if not 1 <= n <= B:
+            raise ValueError(f"n must be in [1, {B}] (fixed-shape artifact), "
+                             f"got {n}")
         if y is not None:
             y = np.asarray(y, np.int32).reshape(-1)
-            assert len(y) == n, (len(y), n)
+            if len(y) != n:
+                raise ValueError(f"y has {len(y)} entries for n={n}")
             y = np.concatenate([y, np.zeros((B - n,), np.int32)])
         if cond is not None:
             cond = np.asarray(cond, np.float32)
-            assert cond.shape[0] == n, (cond.shape, n)
+            if cond.shape[0] != n:
+                raise ValueError(
+                    f"cond batch dim {cond.shape[0]} != n={n} ({cond.shape})")
             pad = np.zeros((B - n,) + cond.shape[1:], np.float32)
             cond = np.concatenate([cond, pad])
         with self._lock:
@@ -108,7 +115,7 @@ class _Handler(BaseHTTPRequestHandler):
             _json_response(self, 200, {
                 "shape": list(out.shape), "dtype": str(out.dtype),
                 "npy_b64": base64.b64encode(buf.getvalue()).decode()})
-        except AssertionError as e:
+        except (ValueError, AssertionError) as e:
             _json_response(self, 400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001 — surface, don't kill the thread
             _json_response(self, 500, {"error": f"{type(e).__name__}: {e}"})

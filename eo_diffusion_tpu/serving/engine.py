@@ -98,6 +98,10 @@ class SamplerEngine:
             # one the samplers accept guidance_scale but never activate the
             # doubled batch, silently serving unguided samples — and
             # ddpm_sample has no image-uncond parameter at all
+            assert cfg.sampler != "bridge", (
+                "guidance_scale has no CFG branch on the bridge sampler: "
+                "the translation chain starts AT the source image and "
+                "bridge.sample takes no uncond/y_uncond (bridge.py)")
             can_label_cfg = bool(cfg.num_classes) and cfg.has_null_class
             can_image_cfg = cfg.cond_channels > 0 and cfg.sampler != "ddpm"
             assert can_label_cfg or can_image_cfg, (
@@ -130,7 +134,7 @@ class SamplerEngine:
             elif cfg.sampler == "bridge":
                 # Brownian-bridge translation: cond is the source image the
                 # chain starts AT (bridge.py); eta reuses the ddim knob.
-                # No CFG path (build_engine asserts guidance off).
+                # No CFG path (the constructor asserts guidance off here).
                 out = diffusion.sample(fn, rng, B, num_steps=cfg.steps,
                                        cond=cond, y=y, dtype=dtype,
                                        eta=cfg.eta)

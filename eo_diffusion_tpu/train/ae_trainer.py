@@ -52,19 +52,40 @@ def train_autoencoder(
     :param latent_reg: weight of the mean(z^2) penalty (see module docs).
     """
     def _cycle(src, cap):
-        """Yield from ``src``, then cycle what was seen. ``iter(src)`` on a
-        spent generator returns the SAME exhausted iterator, so the
-        promised wrap-around needs a replay cache; capped at ``cap`` (the
-        total draws needed) so an infinite source never accumulates."""
-        seen = []
-        for item in src:
-            if len(seen) < cap:
-                seen.append(item)
-            yield item
-        assert seen, "train_autoencoder got an empty batches iterable"
-        while True:
-            for item in seen:
+        """Yield from ``src`` repeatedly.
+
+        Re-iterable sources (lists, loader views like cli.train's
+        ``_ImageBatches``) are re-iterated each epoch — zero host-RAM
+        cache, fresh per-epoch shuffles preserved (caching MB-scale image
+        batches for thousands of steps is the exact host-RSS growth
+        CLAUDE.md documents killing a capstone). Only a true one-shot
+        generator (``iter(src) is src``, which restarts as the SAME
+        exhausted iterator) falls back to a replay cache, capped at
+        ``cap`` (the total draws needed)."""
+        it0 = iter(src)
+        if iter(src) is it0:  # one-shot generator: iter() returns itself
+            seen = []
+            for item in it0:
+                if len(seen) < cap:
+                    seen.append(item)
                 yield item
+            assert seen, "train_autoencoder got an empty batches iterable"
+            while True:
+                for item in seen:
+                    yield item
+        else:
+            epochs = 0
+            while True:
+                got = False
+                for item in it0 if epochs == 0 else iter(src):
+                    got = True
+                    yield item
+                if not got:
+                    raise RuntimeError(
+                        "train_autoencoder: batches source yielded nothing"
+                        + (" on re-iteration (a re-iterable wrapper over a "
+                           "spent iterator?)" if epochs else ""))
+                epochs += 1
 
     it = _cycle(batches, steps)
     first = jnp.asarray(next(it))

@@ -206,8 +206,26 @@ def inception_score(probs: np.ndarray, splits: int = 10) -> tuple:
     return float(np.mean(scores)), float(np.std(scores))
 
 
+def pairwise_l2(a: np.ndarray, b: np.ndarray,
+                block: int = 512) -> np.ndarray:
+    """[len(a), len(b)] float64 L2 distances, computed in row blocks so the
+    peak temporary is [block, len(b), D] instead of the full broadcast
+    (the PRDC metrics share one d_rr/d_fr pair through this — see
+    cli/evaluate.compute_metrics — rather than each rebuilding the
+    O(N*M*D) subtraction)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    assert a.ndim == b.ndim == 2 and a.shape[1] == b.shape[1], (a.shape, b.shape)
+    out = np.empty((len(a), len(b)), np.float64)
+    for i in range(0, len(a), block):
+        out[i:i + block] = np.linalg.norm(
+            a[i:i + block, None] - b[None], axis=-1)
+    return out
+
+
 def density_coverage(real_feats: np.ndarray, fake_feats: np.ndarray,
-                     k: int = 5) -> tuple:
+                     k: int = 5, d_rr: Optional[np.ndarray] = None,
+                     d_fr: Optional[np.ndarray] = None) -> tuple:
     """Density & coverage (Naeem et al. 2020, arXiv:2002.09797;
     beyond-reference — the reference evaluates FID/IS only).
 
@@ -223,10 +241,12 @@ def density_coverage(real_feats: np.ndarray, fake_feats: np.ndarray,
     fake = np.asarray(fake_feats, np.float64)
     assert real.ndim == fake.ndim == 2 and real.shape[1] == fake.shape[1]
     assert 1 <= k < len(real), (k, len(real))
-    d_rr = np.linalg.norm(real[:, None] - real[None], axis=-1)  # [N, N]
+    if d_rr is None:
+        d_rr = pairwise_l2(real, real)  # [N, N]
+    if d_fr is None:
+        d_fr = pairwise_l2(fake, real)  # [M, N]
     # k-th NN radius per real point (excluding self: column 0 is 0)
     radii = np.sort(d_rr, axis=1)[:, k]
-    d_fr = np.linalg.norm(fake[:, None] - real[None], axis=-1)  # [M, N]
     inside = d_fr <= radii[None]  # fake j inside real i's ball
     density = float(inside.sum() / (k * len(fake)))
     coverage = float(inside.any(axis=0).mean())
@@ -234,7 +254,8 @@ def density_coverage(real_feats: np.ndarray, fake_feats: np.ndarray,
 
 
 def precision_recall(real_feats: np.ndarray, fake_feats: np.ndarray,
-                     k: int = 3) -> tuple:
+                     k: int = 3, d_rr: Optional[np.ndarray] = None,
+                     d_fr: Optional[np.ndarray] = None) -> tuple:
     """Improved precision & recall (Kynkäänniemi et al. 2019,
     arXiv:1904.06991; beyond-reference) — the binary-membership
     counterparts of :func:`density_coverage`, completing the PRDC
@@ -252,11 +273,13 @@ def precision_recall(real_feats: np.ndarray, fake_feats: np.ndarray,
     fake = np.asarray(fake_feats, np.float64)
     assert real.ndim == fake.ndim == 2 and real.shape[1] == fake.shape[1]
     assert 1 <= k < min(len(real), len(fake)), (k, len(real), len(fake))
-    d_rr = np.linalg.norm(real[:, None] - real[None], axis=-1)
-    d_ff = np.linalg.norm(fake[:, None] - fake[None], axis=-1)
+    if d_rr is None:
+        d_rr = pairwise_l2(real, real)
+    if d_fr is None:
+        d_fr = pairwise_l2(fake, real)  # [M, N]
+    d_ff = pairwise_l2(fake, fake)
     radii_r = np.sort(d_rr, axis=1)[:, k]  # self-distance occupies col 0
     radii_f = np.sort(d_ff, axis=1)[:, k]
-    d_fr = np.linalg.norm(fake[:, None] - real[None], axis=-1)  # [M, N]
     precision = float((d_fr <= radii_r[None]).any(axis=1).mean())
     recall = float((d_fr.T <= radii_f[None]).any(axis=1).mean())
     return precision, recall

@@ -359,6 +359,29 @@ class TestSEN12MSCRFactory:
         assert batch["image"].shape == (4, 16, 16, 3)
         assert batch["cond_image"].shape == (4, 16, 16, 3)
 
+    def test_num_workers_reaches_the_loaders(self, tmp_path):
+        """The num_workers knob must not be silently dropped — SEN12MS-CR
+        is the TIFF-decode-heavy dataset the threaded loader path exists
+        for (loader.py: PIL/native extraction release the GIL)."""
+        import os
+
+        from eo_diffusion_tpu.data.factories import create_sen12mscr_dataloaders
+        from eo_diffusion_tpu.data.sen12ms_cr import Seasons
+
+        season = Seasons.SUMMER.value
+        for sensor in ("s1", "s2", "s2_cloudy"):
+            d = tmp_path / season / f"{sensor}_1"
+            os.makedirs(d)
+            for pid in range(4):
+                (d / f"{season}_{sensor}_1_p{pid}.tif").write_bytes(b"")
+
+        def reader(path, bands):
+            return np.zeros((16, 16, len(bands)), np.float32)
+
+        train, test = create_sen12mscr_dataloaders(
+            2, root=str(tmp_path), reader=reader, num_workers=3)
+        assert train.num_workers == 3 and test.num_workers == 3
+
 
 class TestThreadedLoader:
     def test_worker_batches_deterministic_content(self):

@@ -217,6 +217,13 @@ class TestExportCLI:
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(bad, timeout=60)
             assert ei.value.code == 400
+            # the 400 contract is explicit raises, not asserts, so it
+            # survives python -O (ValueError -> 400 in the handler)
+            eng = srv.RequestHandlerClass.engine
+            with pytest.raises(ValueError, match="fixed-shape"):
+                eng.run(9, 0)
+            with pytest.raises(ValueError, match="entries"):
+                eng.run(2, 0, y=[1, 2, 3])
         finally:
             srv.shutdown()
             srv.server_close()

@@ -162,6 +162,37 @@ class TestLatentLearning:
             ConvAutoencoder(acfg), gen, jax.random.PRNGKey(0), steps=10)
         assert np.isfinite(scale)
 
+    def test_ae_trainer_reiterates_a_reiterable_source(self):
+        """Re-iterable sources (loader views like cli.train._ImageBatches)
+        must be RE-ITERATED per epoch, not replay-cached: fresh epochs
+        keep per-epoch shuffles and avoid pinning MB-scale image batches
+        in host RSS for the whole AE training (the CLAUDE.md leak class).
+        The old code iterated the source exactly once and replayed a
+        cache, so the iteration count is the observable difference."""
+        from eo_diffusion_tpu.models.autoencoder import AutoencoderConfig, ConvAutoencoder
+        from eo_diffusion_tpu.train.ae_trainer import train_autoencoder
+
+        rng = np.random.default_rng(2)
+        data = self._bimodal(rng, 8)
+        epoch = [data[i : i + 4] for i in range(0, 8, 4)]  # 2 batches
+
+        class Counting:
+            iters = 0
+
+            def __iter__(self):
+                type(self).iters += 1
+                return iter(list(epoch))
+
+        acfg = AutoencoderConfig(in_channels=3, latent_channels=4,
+                                 base_channels=8, num_down=2)
+        params, scale, _ = train_autoencoder(
+            ConvAutoencoder(acfg), Counting(), jax.random.PRNGKey(0),
+            steps=9)  # 1 init draw + 9 step draws = 5 two-batch epochs
+        assert np.isfinite(scale)
+        assert Counting.iters >= 4, (
+            f"source iterated {Counting.iters}x — re-iterable inputs must "
+            "be re-iterated per epoch, not replay-cached")
+
     def test_unet_learns_in_latent_space(self):
         import optax
 

@@ -181,6 +181,29 @@ class TestPrecisionRecall:
         p2, r2 = precision_recall(a, far)
         assert p2 == 0.0 and r2 == 0.0
 
+    def test_precomputed_distances_match_direct_path(self):
+        """compute_metrics shares one d_rr/d_fr pair across the PRDC
+        quartet (the [N,N]/[M,N] float64 matrices are its dominant cost);
+        the precomputed path must be bit-identical to the direct one, and
+        blocked pairwise_l2 must match the one-shot broadcast."""
+        import numpy as np
+
+        from eo_diffusion_tpu.utils.metrics import (density_coverage,
+                                                    pairwise_l2,
+                                                    precision_recall)
+
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=(100, 16))
+        b = rng.normal(size=(130, 16))
+        np.testing.assert_allclose(
+            pairwise_l2(a, b, block=32),
+            np.linalg.norm(a[:, None] - b[None], axis=-1), rtol=1e-12)
+        d_rr, d_fr = pairwise_l2(a, a), pairwise_l2(b, a)
+        assert precision_recall(a, b, d_rr=d_rr, d_fr=d_fr) == \
+            precision_recall(a, b)
+        assert density_coverage(a, b, d_rr=d_rr, d_fr=d_fr) == \
+            density_coverage(a, b)
+
     def test_evaluate_cli_reports_prdc(self, tmp_path):
         import numpy as np
 

@@ -294,6 +294,11 @@ class TestEngineEndToEnd:
             ServingConfig(batch_size=2, sampler="ddim", steps=2, bf16=False,
                           num_classes=10, has_null_class=False,
                           guidance_scale=2.0),
+            # bridge: the run() branch never forwards guidance kwargs (the
+            # translation chain starts AT the source; bridge.sample has no
+            # uncond) — cond_channels>0 must NOT make this buildable
+            ServingConfig(batch_size=2, sampler="bridge", steps=2,
+                          bf16=False, cond_channels=3, guidance_scale=2.0),
         ):
             with pytest.raises(AssertionError, match="CFG branch"):
                 SamplerEngine(model, params, diffusion, preset.image_size,
