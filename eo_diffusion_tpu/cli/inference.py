@@ -40,6 +40,13 @@ def parse_args(argv=None):
     parser.add_argument("--model_base_dim", type=int, default=None)
     parser.add_argument("--timesteps", type=int, default=None)
     parser.add_argument("--no_clip", action="store_true")
+    parser.add_argument("--dynamic_threshold", type=float, default=None,
+                        metavar="P",
+                        help="Imagen dynamic thresholding percentile (e.g. "
+                             "0.995, arXiv:2205.11487): per-sample rescale of "
+                             "pred_x0 instead of the static [-1,1] clamp — "
+                             "the high-guidance saturation fix. "
+                             "ddpm/ddim/dpm/unipc samplers only.")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--metrics", action="store_true")
     parser.add_argument("--save", action="store_true")
@@ -378,6 +385,11 @@ def main(args):
             args.sampler = "ddim"
         assert args.sampler in ("ddim", "flow"), (
             f"--sdedit_strength does not compose with --sampler {args.sampler}")
+    assert args.dynamic_threshold is None or args.sampler in (
+        "ddpm", "ddim", "dpm", "unipc"), (
+        f"--dynamic_threshold rescales the DDPM-family pred-x0 clamp "
+        f"(ddpm/ddim/dpm/unipc); the {args.sampler} sampler has no such "
+        "site")
     assert not (args.sampler in ("cm", "pd") and args.deepcache > 1), (
         f"{args.sampler} is already 1-4 evaluations; DeepCache does not apply")
     assert not (args.sampler in ("cm", "pd") and args.controlnet), (
@@ -805,6 +817,7 @@ def main(args):
                 y=jnp.asarray(y) if y is not None else None,
                 mask=mask_j,
                 x0=jnp.asarray(image) if mask_j is not None else None,
+                dynamic_threshold=args.dynamic_threshold,
                 model_state=st0, **gkw,
             )
             samples = np.asarray(out.x, np.float32)
@@ -816,6 +829,7 @@ def main(args):
                 y=jnp.asarray(y) if y is not None else None,
                 mask=mask_j,
                 x0=jnp.asarray(image) if mask_j is not None else None,
+                dynamic_threshold=args.dynamic_threshold,
                 model_state=st0, **gkw,
             )
             samples = np.asarray(out.x, np.float32)
@@ -825,6 +839,7 @@ def main(args):
                 cond=jnp.asarray(cond) if cond is not None else None,
                 y=jnp.asarray(y) if y is not None else None,
                 clip=not args.no_clip,
+                dynamic_threshold=args.dynamic_threshold,
                 jump_len=args.jump_len, jump_n=args.jump_n,
                 model_state=st0, **gkw,
             )
@@ -839,6 +854,7 @@ def main(args):
                 mask=mask_j,
                 x0=jnp.asarray(image) if mask_j is not None else None,
                 clip=args.ddim_clip,
+                dynamic_threshold=args.dynamic_threshold,
                 model_state=st0, **gkw,
             )
             samples = np.asarray(out.x, np.float32)

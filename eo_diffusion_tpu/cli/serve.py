@@ -48,6 +48,11 @@ def parse_args(argv=None):
                    metavar="LO,HI",
                    help="limited guidance interval (arXiv:2404.07724), "
                         "normalized noise level in [0,1]")
+    p.add_argument("--dynamic_threshold", type=float, default=None,
+                   metavar="P",
+                   help="Imagen dynamic thresholding percentile "
+                        "(arXiv:2205.11487): per-sample pred-x0 rescale "
+                        "instead of the static clamp; ddpm/ddim/dpm/unipc")
     p.add_argument("--num_classes", type=int, default=0)
     p.add_argument("--class_dropout", type=float, default=0.0,
                    help="must match training (builds the null-class row "
@@ -175,6 +180,7 @@ def build_engine(args):
         ddim_spacing=args.ddim_spacing, flow_method=args.flow_method,
         guidance_scale=args.guidance_scale,
         guidance_rescale=args.guidance_rescale,
+        dynamic_threshold=args.dynamic_threshold,
         guidance_interval=(tuple(float(v) for v in
                                  args.guidance_interval.split(","))
                            if args.guidance_interval else None),

@@ -123,6 +123,14 @@ def parse_args(argv=None):
                              "seconds)")
     parser.add_argument("--preview_steps", type=int, default=50,
                         help="steps for ddim/dpm previews")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace (TensorBoard / "
+                             "xprof format; utils/profiling.py) of "
+                             "--profile_steps training steps into this "
+                             "directory, starting AFTER the first step so "
+                             "compile time stays out of the capture")
+    parser.add_argument("--profile_steps", type=int, default=3,
+                        help="steps inside the profiler capture window")
     parser.add_argument("--ae_ckpt", type=str, default=None,
                         help="latent presets: directory of a trained first "
                              "stage (train/ae_trainer.save_ae layout); default "
@@ -317,6 +325,10 @@ def main(args):
     old_term = signal.signal(signal.SIGTERM, _graceful)
 
     t_start = time.time()
+    # profiler capture window: starts after the first (compile) step, spans
+    # args.profile_steps steps, stops exactly once (also on early exit)
+    prof = {"on": False, "done": args.profile_dir is None, "count": 0,
+            "start_at": global_steps + 1}
     start_epoch = min(global_steps // steps_per_epoch, args.epochs)
     for epoch in range(start_epoch, args.epochs):
         if preempt["sig"] is not None:
@@ -327,12 +339,22 @@ def main(args):
             if preempt["sig"] is not None:
                 break
             mb = _to_model_batch(batch, cond_type, sr_factor=preset.sr_factor)
+            if not prof["done"] and not prof["on"] and global_steps >= prof["start_at"]:
+                jax.profiler.start_trace(args.profile_dir)
+                prof["on"] = True
             state, metrics = trainer.step(state, mb)
             global_steps += 1
             if tracks is not None:
                 tracks = phema_update(tracks, state.params,
                                       jnp.asarray(global_steps - 1))
-            loss = float(metrics["loss"])
+            loss = float(metrics["loss"])  # host fetch: the step really ran
+            if prof["on"]:
+                prof["count"] += 1
+                if prof["count"] >= args.profile_steps:
+                    jax.profiler.stop_trace()
+                    prof["on"], prof["done"] = False, True
+                    print(f"profiler trace ({prof['count']} steps) -> "
+                          f"{args.profile_dir}")
             lr = trainer.current_lr(global_steps - 1)
             if args.log_freq and j % args.log_freq == 0:
                 print(
@@ -380,6 +402,10 @@ def main(args):
                                          global_steps - 1)
 
     signal.signal(signal.SIGTERM, old_term)
+    if prof["on"]:  # early exit inside the capture window (preempt/short run)
+        jax.profiler.stop_trace()
+        print(f"profiler trace ({prof['count']} steps, early stop) -> "
+              f"{args.profile_dir}")
     save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step=global_steps)
     if tracks is not None and global_steps > 0:
         phema.save_snapshots(phema_dir, jax.device_get(tracks),

@@ -29,6 +29,7 @@ import numpy as np
 from eo_diffusion_tpu.diffusion.gaussian import (
     DiffusionOutput,
     GaussianDiffusion,
+    apply_dynamic_threshold,
     cfg_combine,
     cfg_double_inputs,
     interval_scale,
@@ -85,6 +86,7 @@ def dpm_solver_sample(
     y: Optional[jax.Array] = None,
     x_T: Optional[jax.Array] = None,
     clip: bool = True,
+    dynamic_threshold: Optional[float] = None,
     time_spacing: str = "uniform_lambda",
     dtype=jnp.float32,
     model_state: Any = None,
@@ -150,8 +152,12 @@ def dpm_solver_sample(
                              t_seq[i] / max(T - 1, 1), guidance_interval)
         raw = cfg_combine(out, eff, guidance_rescale) if doubled else out
         _, x0 = diffusion._to_eps_x0(raw, x.astype(jnp.float32), t)
-        if clip:
-            x0 = jnp.clip(x0, -1.0, 1.0)
+        if clip or dynamic_threshold is not None:
+            # dynamic_threshold: Imagen percentile rescale instead of the
+            # static clamp (gaussian.apply_dynamic_threshold, 2205.11487)
+            x0 = (apply_dynamic_threshold(x0, dynamic_threshold)
+                  if dynamic_threshold is not None
+                  else jnp.clip(x0, -1.0, 1.0))
         return x0, m_state
 
     def step(carry, xs):

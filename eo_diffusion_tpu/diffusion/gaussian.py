@@ -173,6 +173,24 @@ def _bcast(table: jax.Array, t: jax.Array) -> jax.Array:
     return table[t][:, None, None, None]
 
 
+def apply_dynamic_threshold(x0: jax.Array, percentile: float) -> jax.Array:
+    """Imagen dynamic thresholding (arXiv:2205.11487 §2.3, beyond-reference).
+
+    Per-sample threshold ``s = max(quantile_p(|x0|), 1)``; x0 is clipped to
+    ``[-s, s]`` and divided by ``s``. At high CFG scales the predicted x0
+    saturates far outside [-1, 1]; a static clip flattens everything at the
+    rails (losing contrast), while this compresses the whole sample back
+    into range. When x0 is already in range, ``s == 1`` and the op is the
+    identity — so it is safe to leave on at guidance_scale 1. One
+    ``jnp.quantile`` (a sort) per step per sample; scan-compatible (static
+    shapes, no host sync)."""
+    assert 0.5 < percentile <= 1.0, percentile
+    flat = jnp.abs(x0.reshape((x0.shape[0], -1)).astype(jnp.float32))
+    s = jnp.quantile(flat, percentile, axis=1)
+    s = jnp.maximum(s, 1.0).reshape((-1,) + (1,) * (x0.ndim - 1))
+    return jnp.clip(x0, -s, s) / s
+
+
 def _log_frame(frames: jax.Array, x: jax.Array, i: jax.Array, k: int) -> jax.Array:
     """Write x into frames[i // k] when i % k == 0 (inside a scan).
 
@@ -456,15 +474,19 @@ class GaussianDiffusion:
         cond: Optional[jax.Array],
         y: Optional[jax.Array],
         clip: bool,
+        dynamic_threshold: Optional[float] = None,
     ) -> jax.Array:
         """One ancestral reverse step.
 
         ``clip=False``: posterior mean from predicted noise (reference
         ``_reverse_diffusion``, model.py:101-122). ``clip=True``: predict x0,
         clamp to [-1, 1], use the q-posterior mean (reference
-        ``_reverse_diffusion_with_clip``, model.py:125-150). The t==0 branch
-        (std=0, acp_prev=1) is expressed with ``jnp.where`` so the whole loop
-        stays inside one compiled scan.
+        ``_reverse_diffusion_with_clip``, model.py:125-150).
+        ``dynamic_threshold`` swaps the static clamp for Imagen dynamic
+        thresholding (:func:`apply_dynamic_threshold`, arXiv:2205.11487) on
+        the same q-posterior path. The t==0 branch (std=0, acp_prev=1) is
+        expressed with ``jnp.where`` so the whole loop stays inside one
+        compiled scan.
         """
         sched = self.schedule
         pred = model_fn(x_t, t, cond, y).astype(jnp.float32)
@@ -478,8 +500,10 @@ class GaussianDiffusion:
 
         t_pos = (t > 0)[:, None, None, None]
 
-        if clip:
-            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+        if clip or dynamic_threshold is not None:
+            x0_pred = (apply_dynamic_threshold(x0_pred, dynamic_threshold)
+                       if dynamic_threshold is not None
+                       else jnp.clip(x0_pred, -1.0, 1.0))
             # q-posterior mean; at t==0 acp_prev==1 makes this collapse to the
             # reference's t==0 expression (model.py:147) exactly.
             mean = (
@@ -504,6 +528,7 @@ class GaussianDiffusion:
         cond: Optional[jax.Array] = None,
         y: Optional[jax.Array] = None,
         clip: bool = True,
+        dynamic_threshold: Optional[float] = None,
         log_every: Optional[int] = None,
         guidance_scale: float = 1.0,
         guidance_rescale: float = 0.0,
@@ -626,7 +651,8 @@ class GaussianDiffusion:
                 else:
                     m_state2 = m_state
                     eff_fn = lambda *_a: model_fn(x_in, t, c, y)
-                x_new, x0_pred = self._reverse_step(eff_fn, x_t, t, noise, c, y, clip)
+                x_new, x0_pred = self._reverse_step(eff_fn, x_t, t, noise, c, y,
+                                                    clip, dynamic_threshold)
                 if self.self_condition:
                     # clamp the carried estimate (lucidrains clips x_start
                     # during sampling; unclipped feedback diverges -- found
@@ -681,6 +707,7 @@ class GaussianDiffusion:
         uncond: Optional[jax.Array] = None,
         y_uncond: Optional[jax.Array] = None,
         clip: bool = False,
+        dynamic_threshold: Optional[float] = None,
         log_every: Optional[int] = None,
         dtype=jnp.float32,
         model_state: Any = None,
@@ -692,6 +719,10 @@ class GaussianDiffusion:
         ``clip=True`` clamps pred_x0 to [-1,1] each step (lucidrains'
         clip_x_start; stabilizes weak models at extreme t). Default False for
         parity with the reference's unclipped p_sample_ddim.
+        ``dynamic_threshold`` (a percentile, e.g. 0.995) replaces the static
+        clip with Imagen dynamic thresholding (:func:`apply_dynamic_threshold`
+        — the high-CFG saturation fix, arXiv:2205.11487); like the clip
+        branch, eps is re-derived from the thresholded x0.
 
         * eta=0 gives the deterministic DDIM ODE; eta=1 recovers ancestral
           DDPM variance on the subsequence (Song et al. 2010.02502 eq. 16).
@@ -777,8 +808,10 @@ class GaussianDiffusion:
                 guidance_rescale) if doubled else out)
             xf = x.astype(jnp.float32)
             e_t, pred_x0 = self._to_eps_x0(raw, xf, t)
-            if clip:
-                pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            if clip or dynamic_threshold is not None:
+                pred_x0 = (apply_dynamic_threshold(pred_x0, dynamic_threshold)
+                           if dynamic_threshold is not None
+                           else jnp.clip(pred_x0, -1.0, 1.0))
                 # re-derive eps from the clamped x0 so the update is consistent
                 a = _bcast(jnp.asarray(self.schedule.sqrt_alphas_cumprod), t)
                 s = _bcast(jnp.asarray(self.schedule.sqrt_one_minus_alphas_cumprod), t)

@@ -48,6 +48,7 @@ import numpy as np
 from eo_diffusion_tpu.diffusion.gaussian import (
     DiffusionOutput,
     GaussianDiffusion,
+    apply_dynamic_threshold,
     cfg_combine,
     cfg_double_inputs,
     interval_scale,
@@ -93,6 +94,7 @@ def unipc_sample(
     y: Optional[jax.Array] = None,
     x_T: Optional[jax.Array] = None,
     clip: bool = True,
+    dynamic_threshold: Optional[float] = None,
     time_spacing: str = "uniform_lambda",
     dtype=jnp.float32,
     model_state: Any = None,
@@ -157,8 +159,12 @@ def unipc_sample(
             d = raw
         else:  # "v"
             d = a * xf - s * raw
-        if clip:
-            d = jnp.clip(d, -1.0, 1.0)
+        if clip or dynamic_threshold is not None:
+            # dynamic_threshold: Imagen percentile rescale instead of the
+            # static clamp (gaussian.apply_dynamic_threshold, 2205.11487)
+            d = (apply_dynamic_threshold(d, dynamic_threshold)
+                 if dynamic_threshold is not None
+                 else jnp.clip(d, -1.0, 1.0))
         return d, m_state
 
     def composite(xf, idx, key):

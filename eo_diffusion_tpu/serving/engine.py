@@ -52,6 +52,10 @@ class ServingConfig:
     # sampler program like guidance_scale (per-request values would retrace)
     guidance_rescale: float = 0.0
     guidance_interval: Optional[tuple] = None
+    # Imagen dynamic thresholding percentile (arXiv:2205.11487): per-sample
+    # pred-x0 rescale instead of the static clamp — the high-guidance_scale
+    # saturation fix; DDPM-family samplers (ddpm/ddim/dpm/unipc) only
+    dynamic_threshold: Optional[float] = None
     num_classes: int = 0  # label vocabulary (0 = unconditional)
     has_null_class: bool = False  # label-CFG against the learned null row
     cond_channels: int = 0  # concat-conditioning width (0 = none)
@@ -93,6 +97,12 @@ class SamplerEngine:
         dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
         gkw = {}
+        if cfg.dynamic_threshold is not None:
+            assert cfg.sampler in ("ddpm", "ddim", "dpm", "unipc"), (
+                "dynamic_threshold rescales the DDPM-family pred-x0 clamp "
+                f"(ddpm/ddim/dpm/unipc); sampler={cfg.sampler} has no such "
+                "site")
+            gkw["dynamic_threshold"] = cfg.dynamic_threshold
         if cfg.guidance_scale != 1.0:
             # validate an actual CFG branch EXISTS at build time: without
             # one the samplers accept guidance_scale but never activate the

@@ -48,6 +48,29 @@ class TestTrainCLI:
         pngs = [f for f in os.listdir(run_dirs["samples"]) if f.endswith(".png")]
         assert pngs, "periodic EMA sampling produced no grid"
 
+    def test_profile_trace_written(self, tmp_path):
+        """--profile_dir captures a jax.profiler trace of the requested
+        step window (compile step excluded) and stops cleanly even when
+        the run ends inside the window."""
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        prof_dir = str(tmp_path / "trace")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            args = train_cli.parse_args([
+                "--preset", "tiny", "--epochs", "1", "--steps_per_epoch", "3",
+                "--batch_size", "8", "--dir", str(tmp_path / "run"),
+                "--sample_every", "0", "--save_every", "0", "--log_freq", "0",
+                "--profile_dir", prof_dir, "--profile_steps", "2",
+            ])
+            train_cli.main(args)
+        finally:
+            os.chdir(cwd)
+        traced = [os.path.join(r, f) for r, _, fs in os.walk(prof_dir)
+                  for f in fs]
+        assert traced, "no trace files written under --profile_dir"
+
 
 class TestInferenceCLI:
     @pytest.mark.parametrize("sampler,extra", [

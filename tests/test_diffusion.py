@@ -537,3 +537,77 @@ class TestCFGHelpers:
                           guidance_rescale=0.7, **kw).x
         assert np.isfinite(np.asarray(b)).all()
         assert np.abs(np.asarray(a - b)).max() > 1e-6
+
+
+class TestDynamicThreshold:
+    """Imagen dynamic thresholding (arXiv:2205.11487 §2.3): percentile
+    rescale of pred_x0 instead of the static [-1,1] clamp."""
+
+    def test_identity_when_in_range(self):
+        from eo_diffusion_tpu.diffusion.gaussian import apply_dynamic_threshold
+
+        x = 0.8 * jax.random.normal(jax.random.PRNGKey(0), (2, SIZE, SIZE, CH))
+        x = jnp.clip(x, -1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(apply_dynamic_threshold(x, 1.0)),
+                                   np.asarray(x), rtol=1e-6)
+
+    def test_compresses_saturation_preserving_contrast(self):
+        """A 3x-saturated sample must come back inside [-1,1] with its
+        ORDERING intact where a static clip flattens everything at the
+        rails (the whole point of the technique)."""
+        from eo_diffusion_tpu.diffusion.gaussian import apply_dynamic_threshold
+
+        x = 3.0 * jax.random.normal(jax.random.PRNGKey(1), (2, SIZE, SIZE, CH))
+        out = np.asarray(apply_dynamic_threshold(x, 0.95))
+        assert np.abs(out).max() <= 1.0 + 1e-6
+        # contrast survives: values the static clip would pin to +/-1
+        # (|x| in (1, s)) stay strictly interior and keep their order
+        flat_in = np.asarray(x).reshape(2, -1)
+        flat_out = out.reshape(2, -1)
+        for b in range(2):
+            inner = (np.abs(flat_in[b]) > 1.0) & (np.abs(flat_out[b]) < 0.999)
+            assert inner.sum() > 10, inner.sum()
+            vals_in, vals_out = flat_in[b][inner], flat_out[b][inner]
+            order = np.argsort(vals_in)
+            assert np.all(np.diff(vals_out[order]) >= -1e-6)
+
+    def test_per_sample_threshold(self):
+        """s is per-sample: an in-range sample in the same batch as a
+        saturated one must pass through untouched."""
+        from eo_diffusion_tpu.diffusion.gaussian import apply_dynamic_threshold
+
+        tame = jnp.clip(0.5 * jax.random.normal(
+            jax.random.PRNGKey(2), (1, SIZE, SIZE, CH)), -1.0, 1.0)
+        wild = 4.0 * jax.random.normal(jax.random.PRNGKey(3), (1, SIZE, SIZE, CH))
+        out = np.asarray(apply_dynamic_threshold(
+            jnp.concatenate([tame, wild]), 0.9))
+        np.testing.assert_allclose(out[0], np.asarray(tame)[0], rtol=1e-6)
+        assert np.abs(out[1]).max() <= 1.0 + 1e-6
+
+    @pytest.mark.parametrize("sampler", ["ddpm_sample", "ddim_sample",
+                                         "dpm_sample", "unipc_sample"])
+    def test_active_through_every_ddpm_family_sampler(self, sampler):
+        """dynamic_threshold=P must change the trajectory vs the static
+        clip (branch actually active) and keep outputs finite, on all four
+        DDPM-family samplers."""
+        d = make_diffusion(T=50)
+
+        def model(x, t, c, y):  # overconfident denoiser -> saturated x0
+            return -2.0 * x
+
+        kw = dict() if sampler == "ddpm_sample" else dict(num_steps=6)
+        fn = getattr(d, sampler)
+        a = fn(model, jax.random.PRNGKey(0), 2, clip=True, **kw).x
+        b = fn(model, jax.random.PRNGKey(0), 2, clip=True,
+               dynamic_threshold=0.9, **kw).x
+        assert np.isfinite(np.asarray(b)).all()
+        assert np.abs(np.asarray(a - b)).max() > 1e-6
+
+    def test_cli_rejects_non_ddpm_family_sampler(self):
+        from eo_diffusion_tpu.cli import inference as inf
+
+        args = inf.parse_args(["--preset", "tiny-flow", "--sampler", "flow",
+                               "--dynamic_threshold", "0.995",
+                               "--n_iter", "0", "--batch_size", "2"])
+        with pytest.raises(AssertionError, match="dynamic_threshold"):
+            inf.main(args)

@@ -304,6 +304,35 @@ class TestEngineEndToEnd:
                 SamplerEngine(model, params, diffusion, preset.image_size,
                               3, cfg)
 
+    def test_dynamic_threshold_serves_and_validates(self):
+        """dynamic_threshold compiles into the served DDPM-family program
+        (Imagen percentile rescale) and is rejected at build for samplers
+        with no pred-x0 clamp site."""
+        import jax
+        import jax.numpy as jnp
+
+        from eo_diffusion_tpu.cli.presets import (build_denoiser,
+                                                  build_process, get_preset)
+
+        preset = get_preset("tiny")
+        model = build_denoiser(preset.model_config(bf16=False))
+        diffusion = build_process(preset, 50, preset.image_size,
+                                  cond_type=None)
+        x0 = jnp.zeros((1, preset.image_size, preset.image_size, 3))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
+        eng = SamplerEngine(model, params, diffusion, preset.image_size, 3,
+                            ServingConfig(batch_size=2, sampler="ddim",
+                                          steps=2, bf16=False,
+                                          dynamic_threshold=0.995))
+        out = eng.generate(jax.random.PRNGKey(1), None, None)
+        assert out.shape[0] == 2 and np.isfinite(out).all()
+        with pytest.raises(AssertionError, match="dynamic_threshold"):
+            SamplerEngine(model, params, diffusion, preset.image_size, 3,
+                          ServingConfig(batch_size=2, sampler="flow",
+                                        steps=2, bf16=False,
+                                        dynamic_threshold=0.995))
+
     def test_warmup_and_submit(self, tiny_serving):
         engine, batcher, preset = tiny_serving
         assert engine.warmup() > 0
