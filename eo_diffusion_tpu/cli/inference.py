@@ -40,6 +40,12 @@ def parse_args(argv=None):
     parser.add_argument("--model_base_dim", type=int, default=None)
     parser.add_argument("--timesteps", type=int, default=None)
     parser.add_argument("--no_clip", action="store_true")
+    parser.add_argument("--dpm_spacing", type=str, default="uniform_lambda",
+                        choices=["uniform_lambda", "uniform_t", "karras"],
+                        help="DPM-solver step grid: uniform half-log-SNR "
+                             "(paper default), DDIM-style t stride, or the "
+                             "Karras rho-7 sigma curve (arXiv:2206.00364 "
+                             "eq. 5, k-diffusion's DPM++ default)")
     parser.add_argument("--dynamic_threshold", type=float, default=None,
                         metavar="P",
                         help="Imagen dynamic thresholding percentile (e.g. "
@@ -818,6 +824,7 @@ def main(args):
                 mask=mask_j,
                 x0=jnp.asarray(image) if mask_j is not None else None,
                 dynamic_threshold=args.dynamic_threshold,
+                time_spacing=args.dpm_spacing,
                 model_state=st0, **gkw,
             )
             samples = np.asarray(out.x, np.float32)

@@ -45,8 +45,11 @@ def solver_time_tables(sched, num_steps: int,
 
     "uniform_lambda" spaces uniformly in the half-log-SNR
     ``lambda = log(alpha/sigma)`` (the papers' recommendation);
-    "uniform_t" is a DDIM-style stride."""
-    assert time_spacing in ("uniform_lambda", "uniform_t"), time_spacing
+    "uniform_t" is a DDIM-style stride; "karras" places the grid on the
+    rho=7 noise-to-signal-ratio curve of Karras et al. (arXiv:2206.00364
+    eq. 5, the k-diffusion default for DPM-Solver++) — denser near the
+    clean end than uniform-lambda, which favors few-step detail."""
+    assert time_spacing in ("uniform_lambda", "uniform_t", "karras"), time_spacing
     T = sched.timesteps
     assert num_steps < T, (num_steps, T)
     if time_spacing == "uniform_t":
@@ -55,7 +58,24 @@ def solver_time_tables(sched, num_steps: int,
         lam_all = np.log(np.maximum(sched.sqrt_alphas_cumprod, 1e-20)) - np.log(
             np.maximum(sched.sqrt_one_minus_alphas_cumprod, 1e-20)
         )
-        targets = np.linspace(lam_all[T - 1], lam_all[0], num_steps + 1)
+        if time_spacing == "karras":
+            # NSR sigma = sigma/alpha = exp(-lambda); Karras rho-7 grid from
+            # sigma_max (t = T-1) down to sigma_min (t = 0), as lambda
+            # targets. sigma_max is capped at 80 (Karras Table 1 /
+            # k-diffusion's default): the cosine schedule's raw table max is
+            # ~e^8, which would bunch half the grid inside the last few
+            # timesteps where one discrete step spans ~3.5 in lambda. The
+            # chain still STARTS at t = T-1 (ts[0] is pinned); the cap only
+            # shapes the interior targets.
+            rho = 7.0
+            s_max = min(float(np.exp(-lam_all[T - 1])), 80.0)
+            s_min = float(np.exp(-lam_all[0]))
+            frac = np.linspace(0.0, 1.0, num_steps + 1)
+            grid = (s_max ** (1 / rho)
+                    + frac * (s_min ** (1 / rho) - s_max ** (1 / rho))) ** rho
+            targets = -np.log(grid)  # ascending lambda, like uniform_lambda
+        else:
+            targets = np.linspace(lam_all[T - 1], lam_all[0], num_steps + 1)
         # strictly-decreasing greedy selection: plain nearest-t quantization
         # duplicates timesteps where the discrete lambda grid is coarse (the
         # cosine schedule jumps ~3.5 in lambda over the last step), wasting

@@ -199,3 +199,51 @@ class TestDPMGuidance:
                                 guidance_scale=1.5, model_state=jnp.zeros(())).x
         assert out.shape == (1, SIZE, SIZE, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestKarrasSpacing:
+    """Karras rho-7 sigma grid (arXiv:2206.00364 eq. 5) on the discrete
+    solver tables — k-diffusion's default spacing for DPM-Solver++."""
+
+    def test_grid_properties(self, diffusion):
+        from eo_diffusion_tpu.diffusion.dpm_solver import solver_time_tables
+
+        T = diffusion.schedule.timesteps
+        ts, alphas, sigmas, lambdas = solver_time_tables(
+            diffusion.schedule, 16, "karras")
+        ts = np.asarray(ts)
+        assert ts[0] == T - 1 and ts[-1] == 0
+        assert np.all(np.diff(ts) < 0), "grid must strictly descend"
+        assert np.all(np.isfinite(np.asarray(lambdas)))
+        # rho=7 concentrates points at the clean (low-sigma) end relative
+        # to uniform-lambda — the defining property of the spacing
+        ts_ul = np.asarray(solver_time_tables(
+            diffusion.schedule, 16, "uniform_lambda")[0])
+        assert (ts < T // 10).sum() >= (ts_ul < T // 10).sum()
+
+    def test_oracle_convergence(self, diffusion):
+        model = oracle_for(diffusion, 0.5)
+        out = dpm_solver_sample(diffusion, model, jax.random.PRNGKey(0), 2,
+                                num_steps=10, time_spacing="karras")
+        np.testing.assert_allclose(np.asarray(out.x), 0.5, atol=2e-2)
+
+    def test_changes_trajectory_vs_uniform_lambda(self, diffusion):
+        def model(x, t, c, y):
+            a = jnp.asarray(diffusion.schedule.sqrt_alphas_cumprod)[t][:, None, None, None]
+            s = jnp.asarray(diffusion.schedule.sqrt_one_minus_alphas_cumprod)[t][:, None, None, None]
+            return (x - a * jnp.tanh(x)) / s
+
+        x_T = jax.random.normal(jax.random.PRNGKey(1), (2, SIZE, SIZE, 3))
+        a = dpm_solver_sample(diffusion, model, jax.random.PRNGKey(0), 2,
+                              num_steps=8, x_T=x_T).x
+        b = dpm_solver_sample(diffusion, model, jax.random.PRNGKey(0), 2,
+                              num_steps=8, x_T=x_T, time_spacing="karras").x
+        assert np.isfinite(np.asarray(b)).all()
+        assert np.abs(np.asarray(a - b)).max() > 1e-6
+
+    def test_cli_flag_accepted(self):
+        from eo_diffusion_tpu.cli import inference as inf
+
+        args = inf.parse_args(["--preset", "tiny", "--sampler", "dpm",
+                               "--dpm_spacing", "karras"])
+        assert args.dpm_spacing == "karras"
