@@ -367,10 +367,15 @@ def main(args):
     # "flow" here means "the process's native sampler": FlowMatching's
     # Euler/Heun velocity integration, EDM's Karras-grid Heun, or the
     # Brownian bridge's posterior walk — all expose the same .sample surface
-    if preset.process in ("flow", "edm", "bridge") and args.sampler != "flow":
+    if (preset.process in ("flow", "edm", "bridge", "meanflow")
+            and args.sampler != "flow"):
         print(f"preset {preset.name} is a {preset.process} process; "
               f"using --sampler flow (its native sampler)")
         args.sampler = "flow"
+    if preset.process == "meanflow" and args.flow_method != "euler":
+        print("note: MeanFlow applies its own average-velocity displacement; "
+              "ignoring --flow_method " + args.flow_method)
+        args.flow_method = "euler"
     if preset.process == "bridge" and args.guidance_scale != 1.0:
         print("note: the bridge is endpoint-conditional; no CFG combine — "
               "ignoring --guidance_scale")
@@ -379,9 +384,9 @@ def main(args):
         f"--sampler flow requires a flow/edm-process preset; {preset.name} "
         f"trained the DDPM chain (use ddpm/ddim/dpm)")
     if args.sdedit_strength:
-        assert preset.process in ("ddpm", "flow"), (
-            f"SDEdit is wired for DDPM-chain and flow presets; {preset.name} "
-            f"trains {preset.process}")
+        assert preset.process in ("ddpm", "flow", "meanflow"), (
+            f"SDEdit is wired for DDPM-chain and flow/meanflow presets; "
+            f"{preset.name} trains {preset.process}")
         assert cond_type != "sum", (
             "SDEdit starts FROM the source image; RePaint 'sum' masking is a "
             "different mechanism (drop --sdedit_strength or use cond_type "
@@ -439,8 +444,10 @@ def main(args):
                if cond_channels else {})
     if num_classes:
         init_kw["y"] = jnp.zeros((1,), jnp.int32)
+    from eo_diffusion_tpu.models import time_template
+
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
-                                 jnp.zeros((1,), jnp.int32), **init_kw)
+                                 time_template(model), **init_kw)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"Diffusion with {n_params/1e6} M params")
 
@@ -549,8 +556,10 @@ def main(args):
         # ln(sigma)/4*time_scale -> sigma/sigma_max, the same convention
         # edm.py's native CFG gate uses; DDPM chains: index/(T-1))
         proc = diffusion.diffusion if preset.is_latent else diffusion
-        if preset.process == "flow":
-            nf = lambda t: t[0] / proc.time_scale
+        if preset.process in ("flow", "meanflow"):
+            # meanflow packs t as [N, 2]=(t, r); row 0 of either layout is
+            # the CURRENT time the gate should see
+            nf = lambda t: jnp.reshape(t, (t.shape[0], -1))[0, 0] / proc.time_scale
         elif preset.process == "edm":
             nf = lambda t: (jnp.exp(4.0 * t[0] / proc.time_scale)
                             / proc.sigma_max)

@@ -51,7 +51,10 @@ class Preset:
     backbone: str = "unet"  # "unet" | "dit"
     patch_size: int = 4
     depth: int = 12
-    process: str = "ddpm"  # "ddpm" | "flow" | "edm" | "bridge"
+    # "meanflow" trains diffusion/meanflow.MeanFlow (average-velocity
+    # one-step generation, arXiv:2505.13447); its backbones are built
+    # dual_time (the model takes (t, r) packed as [N, 2]).
+    process: str = "ddpm"  # "ddpm" | "flow" | "edm" | "bridge" | "meanflow"
     # DDPM prediction objective + Lin et al. 2023 schedule fix
     # (arXiv:2305.08891, beyond-reference): zero_terminal_snr rescales the
     # schedule so SNR(T)=0 (requires objective="v"); pair with
@@ -113,6 +116,14 @@ class Preset:
             if class_dropout_prob > 0:
                 cfg = dataclasses.replace(
                     cfg, class_dropout_prob=class_dropout_prob)
+            if self.process == "meanflow":
+                # dual-time input; attention pinned to XLA because the
+                # MeanFlow loss takes a jax.jvp THROUGH the model and
+                # forward-mode autodiff cannot cross the Pallas kernel's
+                # custom_vjp (at these token counts the auto-dispatch
+                # stays on XLA anyway, ops/attention.py min_seq=512)
+                cfg = dataclasses.replace(cfg, dual_time=True,
+                                          attn_impl="xla")
             return cfg
         if self.backbone == "spade":
             # SDM/SPADE semantic-diffusion UNet (reference vendors it at
@@ -157,6 +168,10 @@ class Preset:
             num_experts=self.num_experts,
             moe_top_k=self.moe_top_k,
             moe_every=self.moe_every,
+            dual_time=(self.process == "meanflow"),
+            # jvp through the model (MeanFlow loss) cannot cross the Pallas
+            # kernel's custom_vjp — pin attention to the XLA path
+            attn_impl="xla" if self.process == "meanflow" else "auto",
         )
 
     def ae_config(self, bf16: bool = False):
@@ -260,6 +275,18 @@ PRESETS = {
                            patch_size=4, depth=2, process="edm"),
     "tiny-flow": Preset("tiny-flow", "synthetic", 8, 3, 32, (1, 2), (), 1, 1,
                         batch_size=16, process="flow"),
+    # beyond-reference: MeanFlow one-step generation (arXiv:2505.13447) —
+    # trains the 1-4-call sampler FROM SCRATCH (no teacher/distillation;
+    # contrast cli/distill.py's three teacher-based families). Same UNet as
+    # flow64 so the 1-NFE capstones compare directly against reflow64.
+    "meanflow64": Preset("meanflow64", "synthetic", 64, 3, 64, (1, 2, 3, 4),
+                         (4, 8), 1, 4, batch_size=64, process="meanflow"),
+    "tiny-meanflow": Preset("tiny-meanflow", "synthetic", 8, 3, 32, (1, 2),
+                            (), 1, 1, batch_size=16, process="meanflow"),
+    # backbone x process composition smoke: dual-time DiT under MeanFlow
+    "tiny-dit-meanflow": Preset("tiny-dit-meanflow", "synthetic", 16, 3, 64,
+                                (), (), 0, 4, batch_size=16, backbone="dit",
+                                patch_size=4, depth=2, process="meanflow"),
     # beyond-reference: Mixture-of-Experts DiT — 8-expert top-1 routed FFN
     # in every second block (GLaM interleave); sparse capacity scaling with
     # near-constant per-token FLOPs. Expert-parallel via --ep.
@@ -345,6 +372,13 @@ def build_process(preset: Preset, timesteps: int, image_size: int,
         # path; "concat" conditions the model like the DDPM presets
         return FlowMatching.create(image_size=size, in_channels=chans,
                                    cond_type=cond_type)
+    if preset.process == "meanflow":
+        from eo_diffusion_tpu.diffusion.meanflow import MeanFlow
+
+        # same conditioning semantics as flow: "sum" is sampling-time-only
+        # masked inpainting (mask/x0 on .sample), "concat" feeds the model
+        return MeanFlow.create(image_size=size, in_channels=chans,
+                               cond_type=cond_type)
     if preset.process == "edm":
         from eo_diffusion_tpu.diffusion.edm import EDMProcess
 

@@ -228,13 +228,19 @@ def main(args):
     # a DDPM-process preset has no .sample ODE integrator, so fail fast
     # instead of crashing at the first periodic preview hours in
     assert not (args.preview_sampler == "flow"
-                and preset.process not in ("flow", "edm", "bridge")), (
-        f"--preview_sampler flow requires a flow/edm/bridge-process preset; "
-        f"{preset.name} trains the DDPM chain (use ddpm/ddim/dpm)")
-    # flow/edm/bridge processes all expose .sample as their integrator; the
-    # Trainer's "flow" preview branch dispatches through it
-    preview_sampler = ("flow" if preset.process in ("flow", "edm", "bridge")
+                and preset.process not in ("flow", "edm", "bridge",
+                                           "meanflow")), (
+        f"--preview_sampler flow requires a flow/edm/bridge/meanflow-process "
+        f"preset; {preset.name} trains the DDPM chain (use ddpm/ddim/dpm)")
+    # flow/edm/bridge/meanflow processes all expose .sample as their
+    # integrator; the Trainer's "flow" preview branch dispatches through it
+    preview_sampler = ("flow" if preset.process in ("flow", "edm", "bridge",
+                                                    "meanflow")
                        else args.preview_sampler)
+    assert not (args.pp_micro and preset.process == "meanflow"), (
+        "the 1F1B pipeline loss head needs a training_tuple decomposition; "
+        "the MeanFlow loss owns a jax.jvp through the model and has none "
+        "(train meanflow presets with DP/FSDP/TP)")
     tcfg = TrainerConfig(
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
         timesteps=timesteps, model_ema_steps=args.model_ema_steps,

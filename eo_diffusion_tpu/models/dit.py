@@ -79,6 +79,12 @@ class DiTConfig:
     # the ToMe-SD paper's default is attention-only).
     tome_ratio: float = 0.0
     tome_mlp: bool = False
+    # dual-time conditioning (MeanFlow, arXiv:2505.13447: the average
+    # velocity u(z, r, t) takes TWO times): when True the timestep argument
+    # is packed as [N, 2] = (t, r) and a second embedding MLP for r is
+    # summed into the conditioning stream (the official MeanFlow DiT
+    # embeds both times and sums them).
+    dual_time: bool = False
 
     @property
     def label_vocab(self) -> Optional[int]:
@@ -240,6 +246,9 @@ class DiT(nn.Module):
         self.patch_embed = Dense(d, dtype=cfg.dtype, name="patch_embed")
         self.t_embed_0 = Dense(d, name="t_embed_0")
         self.t_embed_1 = Dense(d, name="t_embed_1")
+        if cfg.dual_time:
+            self.r_embed_0 = Dense(d, name="r_embed_0")
+            self.r_embed_1 = Dense(d, name="r_embed_1")
         if cfg.num_classes is not None:
             self.label_embed = nn.Embed(cfg.label_vocab, d, name="label_embed",
                                         dtype=jnp.float32)
@@ -294,8 +303,17 @@ class DiT(nn.Module):
         owner as for the UNet — the module never drops labels, so there is
         exactly one dropout mechanism regardless of backbone."""
         cfg = self.cfg
+        if cfg.dual_time:
+            # MeanFlow dual-time input: t packed [N, 2] = (t, r)
+            assert t.ndim == 2 and t.shape[-1] == 2, (
+                "dual_time models take timesteps packed as [N, 2] = (t, r)",
+                t.shape)
+            t, r = t[:, 0], t[:, 1]
         temb = self.t_embed_0(timestep_embedding(t, 256))
         c = self.t_embed_1(nn.silu(temb))
+        if cfg.dual_time:
+            remb = self.r_embed_0(timestep_embedding(r, 256))
+            c = c + self.r_embed_1(nn.silu(remb))
         if cfg.num_classes is not None:
             assert y is not None, "class-conditional DiT requires y"
             c = c + self.label_embed(y)

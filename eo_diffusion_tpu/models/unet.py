@@ -89,6 +89,12 @@ class UNetConfig:
     # classifier_free_guidance.py:289,326-335). When > 0 the embedding table
     # gets one extra row; label index == num_classes selects the null class.
     class_dropout_prob: float = 0.0
+    # dual-time conditioning (MeanFlow, arXiv:2505.13447: the average
+    # velocity u(z, r, t) is a function of TWO times): when True, the
+    # timestep argument is packed as [N, 2] = (t, r) and a second,
+    # independently-parameterized embedding MLP for r is added to the
+    # embedding stream (the official MeanFlow encodes both times and sums).
+    dual_time: bool = False
     # FreeU (Si et al., arXiv:2309.11497): training-free decoder
     # re-weighting at sampling time — (b1, b2) scale the backbone features'
     # first half-channels and (s1, s2) scale the skip connections' lowest
@@ -492,10 +498,24 @@ class UNet(nn.Module):
         assert x.shape[-1] == cfg.in_channels, (x.shape, cfg.in_channels)
 
         # timestep embedding MLP (reference unet_openai.py:597-602, 763)
+        if cfg.dual_time:
+            # MeanFlow dual-time input: timesteps packed [N, 2] = (t, r)
+            assert timesteps.ndim == 2 and timesteps.shape[-1] == 2, (
+                "dual_time models take timesteps packed as [N, 2] = (t, r)",
+                timesteps.shape)
+            timesteps, r_times = timesteps[:, 0], timesteps[:, 1]
         emb = timestep_embedding(timesteps, cfg.model_channels)
         emb = Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="time_embed_0")(emb)
         emb = nn.silu(emb)
         emb = Dense(cfg.time_embed_dim, dtype=cfg.dtype, name="time_embed_2")(emb)
+        if cfg.dual_time:
+            remb = timestep_embedding(r_times, cfg.model_channels)
+            remb = Dense(cfg.time_embed_dim, dtype=cfg.dtype,
+                         name="time_embed_r0")(remb)
+            remb = nn.silu(remb)
+            remb = Dense(cfg.time_embed_dim, dtype=cfg.dtype,
+                         name="time_embed_r2")(remb)
+            emb = emb + remb
 
         if cfg.num_classes is not None:
             # class embedding added to emb (reference unet_openai.py:604-605,

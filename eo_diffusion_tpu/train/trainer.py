@@ -394,7 +394,9 @@ class Trainer:
         if latent:
             # the UNet lives in latent space: init with encoded shapes
             x = self.diffusion.encode(x)
-        t = jnp.zeros((1,), jnp.int32)
+        from eo_diffusion_tpu.models import time_template
+
+        t = time_template(self.model)  # [1] or [1,2] for dual-time backbones
         kwargs = {}
         if self.cfg.cond_type == "concat" and "cond" in sample_batch:
             c = jnp.asarray(sample_batch["cond"][:1])
