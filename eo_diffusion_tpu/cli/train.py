@@ -61,6 +61,11 @@ def parse_args(argv=None):
                         help="global-norm gradient clipping (0 = off; "
                              "recommended ~1.0 for small micro-batches at "
                              "high resolution, e.g. the 256px presets)")
+    parser.add_argument("--skip_nonfinite", action="store_true",
+                        help="drop updates with non-finite grads on device "
+                             "(params/opt state untouched; cumulative count "
+                             "in the step metrics) instead of poisoning the "
+                             "run — long unattended trainings")
     parser.add_argument("--fsdp", action="store_true",
                         help="shard params/EMA/Adam moments over the mesh "
                              "'model' axis (ZeRO-style; parallel/mesh.py)")
@@ -253,7 +258,7 @@ def main(args):
         cond_type="concat" if cond_type == "spade" else cond_type,
         ckpt_dir=ckpt_dir,
         sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
-        grad_clip=args.grad_clip,
+        grad_clip=args.grad_clip, skip_nonfinite=args.skip_nonfinite,
         preview_sampler=preview_sampler, preview_steps=args.preview_steps,
         fsdp=args.fsdp, tp=args.tp, ep=args.ep, pp_micro=args.pp_micro,
         pp_virtual=args.pp_virtual,

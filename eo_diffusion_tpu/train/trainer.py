@@ -150,6 +150,10 @@ def apply_grads(state: TrainState, loss, grads,
         params=params, ema_params=ema, opt_state=opt_state, step=state.step + 1
     )
     metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+    if hasattr(opt_state, "notfinite_count"):
+        # TrainerConfig.skip_nonfinite wrap: cumulative count of dropped
+        # (non-finite) updates, surfaced for the training log
+        metrics["notfinite_count"] = opt_state.notfinite_count
     return new_state, metrics
 
 
@@ -193,6 +197,14 @@ class TrainerConfig:
     # MoE load-balance aux-loss weight (Switch Transformer uses 0.01);
     # applied automatically when the model config has num_experts > 0
     moe_aux_weight: float = 0.01
+    # skip-on-non-finite robustness (no reference counterpart; the
+    # reference's NaN loss silently poisons the params and every later
+    # checkpoint): when True, any update with a non-finite gradient leaf is
+    # dropped ON DEVICE (params/opt-state untouched, optax.apply_if_finite)
+    # and the step's metrics carry a cumulative ``notfinite_count``. After
+    # 100 consecutive bad steps the optimizer stops masking and lets the
+    # NaNs surface — a persistently diverged run should fail loudly.
+    skip_nonfinite: bool = False
     # global-norm gradient clipping (0 = off, reference parity). Strongly
     # recommended for small micro-batches at high resolution: the 256px
     # concat capstone at micro-batch 8 collapsed (loss 0.016 -> 1.0) right
@@ -262,6 +274,12 @@ class Trainer:
             )
         if self.grad_accum > 1:
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=self.grad_accum)
+        if cfg.skip_nonfinite:
+            # outermost wrap: the finiteness check sees the RAW incoming
+            # grads, so a NaN micro-batch is rejected before clip/accum
+            # state can absorb it
+            self.tx = optax.apply_if_finite(self.tx,
+                                            max_consecutive_errors=100)
 
         self.ema_decay = adjusted_decay(
             cfg.model_ema_decay, cfg.batch_size, cfg.model_ema_steps, cfg.epochs
