@@ -100,8 +100,13 @@ def build_engine(args):
     assert cond_type in (None, "concat"), (
         "serving supports unconditional or concat conditioning; RePaint-"
         "'sum' needs a per-request gt/mask protocol (use cli.inference)")
-    if preset.process in ("flow", "edm"):
-        args.sampler = "flow"  # the process's native ODE sampler
+    if preset.process in ("flow", "edm", "meanflow"):
+        args.sampler = "flow"  # the process's native sampler surface
+        if preset.process == "meanflow" and args.flow_method != "euler":
+            # MeanFlow's displacement IS the step; no higher-order corrector
+            print("note: meanflow serving ignores --flow_method "
+                  + args.flow_method)
+            args.flow_method = "euler"
     elif preset.process == "bridge":
         # translation serving: the request's cond image IS the source the
         # bridge starts from (x_{T-1} = y); no other sampler applies
@@ -149,8 +154,10 @@ def build_engine(args):
                if model_cond_ch else {})
     if num_classes:
         init_kw["y"] = jnp.zeros((1,), jnp.int32)
+    from eo_diffusion_tpu.models import time_template
+
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
-                                 jnp.zeros((1,), jnp.int32), **init_kw)
+                                 time_template(model), **init_kw)
     if args.ckpt:
         if os.path.isdir(args.ckpt):
             from eo_diffusion_tpu.train.checkpoint import restore_params

@@ -150,6 +150,31 @@ class TestExportRoundTrip:
         np.testing.assert_array_equal(
             generate(9), engine.generate(jax.random.PRNGKey(9), None, None))
 
+    def test_meanflow_one_nfe_artifact(self, tmp_path):
+        """The 1-model-call MeanFlow sampler (arXiv:2505.13447) exports:
+        dual-time packed timesteps live INSIDE the traced program, so the
+        artifact surface is unchanged (seed -> images)."""
+        from eo_diffusion_tpu.cli.presets import (build_denoiser,
+                                                  build_process, get_preset)
+        from eo_diffusion_tpu.serving.engine import SamplerEngine, ServingConfig
+        from eo_diffusion_tpu.serving.export import export_engine, load_model
+
+        preset = get_preset("tiny-meanflow")
+        model = build_denoiser(preset.model_config(bf16=False))
+        proc = build_process(preset, 50, preset.image_size)
+        s = preset.image_size
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, s, s, 3)),
+                                     jnp.zeros((1, 2), jnp.float32))
+        cfg = ServingConfig(batch_size=2, sampler="flow", steps=1, bf16=False)
+        engine = SamplerEngine(model, params, proc, s, 3, cfg)
+        out = str(tmp_path / "art_mf")
+        export_engine(engine, out)
+        generate, man = load_model(out)
+        assert man["steps"] == 1
+        np.testing.assert_array_equal(
+            generate(9), engine.generate(jax.random.PRNGKey(9), None, None))
+
     def test_int8_artifact_round_trips(self, tmp_path):
         """int8 packing survives export: the quantized leaves land in
         params.npz and the in-program dequant reproduces the live engine."""

@@ -523,6 +523,26 @@ class TestServeCLIBuild:
         finally:
             batcher.shutdown()
 
+    def test_meanflow_preset_serves_one_nfe(self):
+        """tiny-meanflow at --sampler_steps 1: the 1-model-call serving
+        floor (arXiv:2505.13447). The dual-time model rides the engine's
+        flow branch unchanged; --flow_method heun is coerced to euler (the
+        average-velocity displacement IS the step)."""
+        from eo_diffusion_tpu.cli import serve as serve_cli
+
+        args = serve_cli.parse_args([
+            "--preset", "tiny-meanflow", "--batch_size", "2",
+            "--sampler_steps", "1", "--flow_method", "heun", "--no_bf16"])
+        engine, batcher, meta = serve_cli.build_engine(args)
+        try:
+            assert meta["sampler"] == "flow"
+            assert engine.cfg.flow_method == "euler"
+            assert engine.cfg.steps == 1
+            out = batcher.submit(1)
+            assert out.shape == (1, 8, 8, 3) and np.isfinite(out).all()
+        finally:
+            batcher.shutdown()
+
 
 class TestLatentAndCondServing:
     def test_latent_preset_serves_decoded_pixels(self, tmp_path):
