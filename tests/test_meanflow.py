@@ -256,6 +256,42 @@ class TestMeanFlowLearns:
         assert err1 < 0.25 * err0, (err0, err1)
 
 
+class TestMeanFlowParallel:
+    """The loss jvp composes with sharded training: FSDP-sharded params
+    (forward-mode AD through jit-inserted collectives) train to the same
+    losses as replicated — the meanflow x parallelism contract."""
+
+    def _run(self, fsdp, steps=2):
+        from eo_diffusion_tpu.cli.presets import build_process, get_preset
+        from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
+
+        preset = get_preset("tiny-meanflow")
+        cfg = TrainerConfig(lr=1e-3, batch_size=8, epochs=1, timesteps=50,
+                            model_ema_steps=1, warmup_epochs=1, seed=3,
+                            fsdp=fsdp, fsdp_min_size=2**10)
+        from eo_diffusion_tpu.cli.presets import build_denoiser
+
+        model = build_denoiser(preset.model_config(bf16=False))
+        proc = build_process(preset, 50, preset.image_size)
+        tr = Trainer(cfg, model, proc, steps_per_epoch=steps)
+        rng = np.random.default_rng(7)
+        batches = [{"image": rng.normal(size=(8, SIZE, SIZE, 3))
+                    .astype(np.float32) * 0.3} for _ in range(steps)]
+        state = tr.init(jax.random.PRNGKey(0), batches[0])
+        losses = []
+        for b in batches:
+            state, m = tr.step(state, b)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    def test_fsdp_matches_replicated(self):
+        s_rep, l_rep = self._run(fsdp=False)
+        s_fsdp, l_fsdp = self._run(fsdp=True)
+        assert any("data" in str(l.sharding.spec)
+                   for l in jax.tree.leaves(s_fsdp.params))
+        np.testing.assert_allclose(l_rep, l_fsdp, rtol=2e-4, atol=2e-5)
+
+
 class TestMeanFlowCLI:
     @pytest.fixture(scope="class")
     def ckpt(self, tmp_path_factory):
