@@ -61,6 +61,16 @@ def parse_args(argv=None):
                         help="global-norm gradient clipping (0 = off; "
                              "recommended ~1.0 for small micro-batches at "
                              "high resolution, e.g. the 256px presets)")
+    parser.add_argument("--optimizer", type=str, default="adamw",
+                        choices=["adamw", "muon"],
+                        help="adamw (reference parity) or muon "
+                             "(Newton-Schulz-orthogonalized momentum on "
+                             "matrix kernels, adamw on the rest; "
+                             "train/muon.py)")
+    parser.add_argument("--muon_lr_mult", type=float, default=1.0,
+                        help="muon-branch LR as a multiple of the shared "
+                             "schedule (orthogonalized updates have a "
+                             "different natural scale than adam's)")
     parser.add_argument("--skip_nonfinite", action="store_true",
                         help="drop updates with non-finite grads on device "
                              "(params/opt state untouched; cumulative count "
@@ -259,6 +269,7 @@ def main(args):
         ckpt_dir=ckpt_dir,
         sample_dir=args.dir, seed=args.seed, grad_accum=args.grad_accum,
         grad_clip=args.grad_clip, skip_nonfinite=args.skip_nonfinite,
+        optimizer=args.optimizer, muon_lr_mult=args.muon_lr_mult,
         preview_sampler=preview_sampler, preview_steps=args.preview_steps,
         fsdp=args.fsdp, tp=args.tp, ep=args.ep, pp_micro=args.pp_micro,
         pp_virtual=args.pp_virtual,

@@ -197,6 +197,13 @@ class TrainerConfig:
     # MoE load-balance aux-loss weight (Switch Transformer uses 0.01);
     # applied automatically when the model config has num_experts > 0
     moe_aux_weight: float = 0.01
+    # optimizer family: "adamw" (reference parity, train.py:75) or "muon"
+    # (train/muon.py — Newton-Schulz-orthogonalized momentum on matrix
+    # kernels, AdamW on embeddings/biases/norms; the NS iteration is five
+    # matmuls per kernel per step, i.e. MXU work, not bookkeeping).
+    # muon_lr_mult scales the Muon branch relative to the shared schedule.
+    optimizer: str = "adamw"
+    muon_lr_mult: float = 1.0
     # skip-on-non-finite robustness (no reference counterpart; the
     # reference's NaN loss silently poisons the params and every later
     # checkpoint): when True, any update with a non-finite gradient leaf is
@@ -267,7 +274,14 @@ class Trainer:
             warmup_epochs=min(cfg.warmup_epochs, cfg.epochs),
         )
         self.lr_table = sched.table(total_steps)
-        self.tx = optax.adamw(sched.as_optax(total_steps))
+        if cfg.optimizer == "muon":
+            from eo_diffusion_tpu.train.muon import muon_with_adamw
+
+            self.tx = muon_with_adamw(sched.as_optax(total_steps),
+                                      muon_lr_mult=cfg.muon_lr_mult)
+        else:
+            assert cfg.optimizer == "adamw", cfg.optimizer
+            self.tx = optax.adamw(sched.as_optax(total_steps))
         if cfg.grad_clip > 0.0:
             self.tx = optax.chain(
                 optax.clip_by_global_norm(cfg.grad_clip), self.tx

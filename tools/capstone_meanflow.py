@@ -75,7 +75,12 @@ def main():
     ap.add_argument("--steps", type=int, default=9000)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--tag", type=str, default="meanflow64",
+                    help="checkpoint + gallery artifact name (use e.g. "
+                         "meanflow64_18k for reruns so the committed 9k "
+                         "artifacts survive)")
     args = ap.parse_args()
+    tag = args.tag
 
     import optax
 
@@ -103,7 +108,7 @@ def main():
         tx = optax.adamw(sched)
         params = init_params(model)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-        print(f"[meanflow64] {n_params/1e6:.1f} M params", flush=True)
+        print(f"[{tag}] {n_params/1e6:.1f} M params", flush=True)
         state = TrainState.create(params, tx)
         apply_fn = (
             lambda p, xx, tt, cond=None, y=None, train=False,
@@ -129,17 +134,17 @@ def main():
             if (i + 1) % 1000 == 0 or i == args.steps - 1:
                 loss = float(m["loss"])
                 if (i + 1) % 1000 == 0:
-                    print(f"[meanflow64] step {i+1}/{args.steps} "
+                    print(f"[{tag}] step {i+1}/{args.steps} "
                           f"loss={loss:.4f} "
                           f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)",
                           flush=True)
         results["train"] = {"loss_first": loss0, "loss_last": loss,
                             "ms_per_step": (time.time() - t0) / args.steps * 1e3}
-        print(f"[meanflow64] trained: loss {loss0:.4f} -> {loss:.4f} "
+        print(f"[{tag}] trained: loss {loss0:.4f} -> {loss:.4f} "
               f"({results['train']['ms_per_step']:.0f} ms/step)")
-        save_checkpoint(CKPT, jax.device_get(state), name="meanflow64")
+        save_checkpoint(CKPT, jax.device_get(state), name=tag)
 
-    _, ema = restore_params(os.path.join(CKPT, "meanflow64"),
+    _, ema = restore_params(os.path.join(CKPT, tag),
                             init_params(model))
     params = jax.tree.map(jnp.asarray, ema)
 
@@ -160,10 +165,10 @@ def main():
         g = float(np.mean(np.abs(np.diff(np.concatenate(ims), axis=1))))
         results[label] = {"kid": float(k), "grad": g,
                           "s_per_batch64": t_steady}
-        print(f"[meanflow64] {label}: KID={k:.5f} grad={g:.4f} "
+        print(f"[{tag}] {label}: KID={k:.5f} grad={g:.4f} "
               f"(data {data_grad:.4f}) {t_steady:.2f}s/64", flush=True)
         grid = np.clip((np.concatenate(ims)[:16] + 1) / 2, 0, 1)
-        save_image_grid(grid, os.path.join(GALLERY, f"meanflow64_{label}.png"),
+        save_image_grid(grid, os.path.join(GALLERY, f"{tag}_{label}.png"),
                         nrow=4)
 
     # pull the comparison rows (teacher-based 1-NFE pipelines) into the JSON
@@ -177,7 +182,7 @@ def main():
             results[f"vs_{src.split('_')[0]}"] = {
                 k: d[k] for k in keys if k in d}
 
-    out = os.path.join(GALLERY, "meanflow64_metrics.json")
+    out = os.path.join(GALLERY, f"{tag}_metrics.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
