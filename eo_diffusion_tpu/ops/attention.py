@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 __all__ = ["fused_attention", "flash_attention", "xla_attention",
-           "attention_from_qkv", "head_sharded_attention"]
+           "attention_from_qkv", "head_sharded_attention", "ring_attention"]
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -82,6 +82,79 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     w = jnp.einsum("bthc,bshc->bhts", q * s, k * s)
     w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(v.dtype)
     return jnp.einsum("bhts,bshc->bthc", w, v)
+
+
+def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
+                   axis: str = "model") -> jax.Array:
+    """Sequence-parallel (context-parallel) attention over a mesh axis.
+
+    Ring attention (arXiv:2310.01889) in its TPU-idiomatic form: Q/K/V are
+    sharded along the SEQUENCE dim over ``axis``; each device keeps its Q
+    shard resident while the K/V shards rotate one ICI hop per step with
+    ``lax.ppermute``, and the partial attention outputs merge with the same
+    online-softmax (m, l, acc) algebra the flash kernels use. Peak
+    activation memory per chip is O(T/n) instead of O(T), so sequences that
+    exceed one chip's resident-KV capacity (``_MAX_RESIDENT_KV``) shard
+    instead of spilling. The n-step rotation is unrolled (n is the static
+    mesh-axis size), so XLA's latency-hiding scheduler overlaps each hop's
+    collective-permute with the previous chunk's matmuls.
+
+    Fully differentiable (the transpose of ``ppermute`` is the reverse
+    ring), numerically matched to ``xla_attention`` (f32 statistics, the
+    split ``1/sqrt(sqrt(d))`` scaling on both operands).
+
+    The reference is single-GPU and has no analog (SURVEY.md §2.3); the
+    per-device compute here is plain jnp einsums rather than the Pallas
+    kernel so the partitioner sees pure XLA ops it can schedule around —
+    at T/n ≤ 4096 the resident-KV Pallas path and XLA attention are within
+    a few percent of each other (PERF.md), and the ring's win is memory
+    capacity, not kernel time.
+
+    Args:
+      q, k, v: ``[B, T, H, D]`` with ``T % mesh.shape[axis] == 0``.
+      mesh: the device mesh; ``axis`` is the ring (sequence) axis.
+
+    Returns ``[B, T, H, D]`` in ``q.dtype``, sequence-sharded over ``axis``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = int(mesh.shape[axis])
+    b, t, h, d = q.shape
+    assert t % n == 0, f"seq len {t} must divide over {axis}={n}"
+    sc = _scale(d)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+
+    def local(ql, kl, vl):
+        tq = ql.shape[1]
+        m = jnp.full((b, h, tq, 1), -jnp.inf, jnp.float32)
+        l = jnp.zeros((b, h, tq, 1), jnp.float32)
+        acc = jnp.zeros((b, tq, h, d), jnp.float32)
+        kc, vc = kl, vl
+        qs = ql * jnp.asarray(sc, ql.dtype)
+        for i in range(n):
+            s = jnp.einsum("bthc,bshc->bhts", qs, kc * jnp.asarray(sc, kc.dtype),
+                           preferred_element_type=jnp.float32)
+            m_c = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m_c)
+            l_c = jnp.sum(p, axis=-1, keepdims=True)
+            o_c = jnp.einsum("bhts,bshc->bthc", p.astype(vc.dtype), vc,
+                             preferred_element_type=jnp.float32)
+            m_new = jnp.maximum(m, m_c)
+            alpha = jnp.exp(m - m_new)
+            beta = jnp.exp(m_c - m_new)
+            l = alpha * l + beta * l_c
+            acc = (acc * jnp.swapaxes(alpha, 1, 2)
+                   + o_c * jnp.swapaxes(beta, 1, 2))
+            m = m_new
+            if i + 1 < n:  # last chunk needs no hop: every shard visited
+                kc = jax.lax.ppermute(kc, axis, fwd)
+                vc = jax.lax.ppermute(vc, axis, fwd)
+        return (acc / jnp.swapaxes(l, 1, 2)).astype(ql.dtype)
+
+    spec = P(None, axis, None, None)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+    )(q, k, v)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
