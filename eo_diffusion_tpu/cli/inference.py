@@ -129,6 +129,12 @@ def parse_args(argv=None):
                              "level is inside [LO,HI] (1 = pure noise); "
                              "e.g. 0.2,0.8. Improves FID at equal scale by "
                              "disabling guidance at the extremes.")
+    parser.add_argument("--pag_scale", type=float, default=0.0,
+                        help="perturbed-attention guidance (arXiv:2403.17377):"
+                             " extrapolate away from the same model with "
+                             "self-attention replaced by identity, weight s "
+                             "(>0 enables; typical 1-5; needs no extra model "
+                             "or condition — works unconditionally)")
     parser.add_argument("--autoguide_scale", type=float, default=1.0,
                         help="autoguidance (arXiv:2406.02507): extrapolate "
                              "away from a WORSE variant of the same model "
@@ -569,6 +575,22 @@ def main(args):
             model_fn, bad_fn, args.autoguide_scale,
             guidance_rescale=args.guidance_rescale, guidance_interval=giv,
             timesteps=timesteps, noise_frac_fn=nf)
+
+    if args.pag_scale > 0.0:
+        # perturbed-attention guidance (arXiv:2403.17377): the "bad" branch
+        # is the SAME model with self-attention -> identity; no extra
+        # checkpoint, no condition. Wraps under any DDPM-chain/flow/EDM
+        # sampler; the distilled students are already few-step maps.
+        from eo_diffusion_tpu.diffusion.pag import pag_model_fn
+
+        assert args.deepcache <= 1, (
+            "DeepCache's stateful fn wraps (model, params) directly and "
+            "would bypass the PAG combine; drop one of the two")
+        assert args.sampler not in ("cm", "pd"), (
+            f"the {args.sampler} student is already a distilled few-step "
+            "map; PAG does not apply")
+        model_fn = pag_model_fn(model_fn, args.pag_scale)
+        print(f"PAG enabled: scale={args.pag_scale}")
 
     # classifier guidance (Dhariwal & Nichol 2021): wrap the denoiser with a
     # noisy-image classifier's input gradient. The reference vendors the

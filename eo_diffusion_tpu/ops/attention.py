@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 __all__ = ["fused_attention", "flash_attention", "xla_attention",
-           "attention_from_qkv", "head_sharded_attention", "ring_attention"]
+           "attention_from_qkv", "head_sharded_attention", "ring_attention",
+           "identity_attention"]
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -51,6 +52,32 @@ _INTERPRET = False
 # (parallel/mesh.py tp_param_specs efficiency note); heads are
 # embarrassingly parallel, so the shard_mapped kernel needs zero collectives.
 _TP_MESH = None
+
+# trace-time perturbed-attention routing (PAG, arXiv:2403.17377): inside the
+# identity_attention() context every self-attention map is replaced by the
+# identity -- each token attends only to itself, so attention_from_qkv
+# returns V. The PAG guidance wrapper (diffusion/pag.py) traces the
+# perturbed model call inside this context.
+_IDENTITY = False
+
+
+@contextlib.contextmanager
+def identity_attention():
+    """Replace self-attention with the identity map for calls traced inside.
+
+    This is PAG's perturbation (arXiv:2403.17377 §3.1): softmax(QK^T) -> I,
+    so the attention output is V exactly. Like head_sharded_attention, the
+    routing is trace-time -- enter the context around the model call while
+    jit traces it and the identity branch is baked into the jaxpr. Only
+    self-attention (attention_from_qkv) is perturbed; cross-attention
+    conditioning paths are untouched, per the paper.
+    """
+    global _IDENTITY
+    prev, _IDENTITY = _IDENTITY, True
+    try:
+        yield
+    finally:
+        _IDENTITY = prev
 
 
 @contextlib.contextmanager
@@ -832,6 +859,14 @@ def attention_from_qkv(qkv: jax.Array, heads: int, new_order: bool = False,
     b, t, c3 = qkv.shape
     c = c3 // 3
     d = c // heads
+    if _IDENTITY:
+        # PAG perturbed branch (identity_attention context): softmax map = I,
+        # output is V in the block's channel layout -- no matmuls at all
+        if new_order:
+            v = qkv.reshape(b, t, 3, heads, d)[:, :, 2]
+        else:
+            v = qkv.reshape(b, t, heads, 3, d)[:, :, :, 2]
+        return v.reshape(b, t, c)
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if block_q is None:
         block_q = t if t <= 1024 else 512

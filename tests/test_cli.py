@@ -89,6 +89,8 @@ class TestInferenceCLI:
         # SDEdit partial chain (arXiv:2108.01073): source = the gt image on
         # this uncond preset; runs the truncated DDIM tail
         ("ddim", ["--sampler_steps", "5", "--sdedit_strength", "0.4"]),
+        # perturbed-attention guidance (arXiv:2403.17377): works uncond
+        ("ddim", ["--sampler_steps", "5", "--pag_scale", "2.0"]),
     ])
     def test_inference_roundtrip(self, trained, run_dirs, sampler, extra):
         from eo_diffusion_tpu.cli import inference as infer_cli
@@ -100,6 +102,8 @@ class TestInferenceCLI:
             name += "_dc" + extra[extra.index("--deepcache") + 1]
         if "--sdedit_strength" in extra:
             name += "_sdedit"
+        if "--pag_scale" in extra:
+            name += "_pag"
         outdir = os.path.join(run_dirs["infer"], name)
         args = infer_cli.parse_args([
             "--preset", "tiny", "--ckpt", ckpt, "--sampler", sampler,
