@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--flow_method", type=str, default="euler",
                    choices=["euler", "heun"])
     p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--pag_scale", type=float, default=0.0,
+                   help="perturbed-attention guidance (arXiv:2403.17377): "
+                        "self-attention->identity degraded branch, no "
+                        "condition needed; ddpm/ddim/dpm/unipc/flow")
     p.add_argument("--int8", action="store_true",
                    help="weight-only int8 serving (utils/quantize.py): "
                         "kernels stored as per-channel int8 + scales, "
@@ -186,6 +190,7 @@ def build_engine(args):
         steps=args.sampler_steps, eta=args.eta,
         ddim_spacing=args.ddim_spacing, flow_method=args.flow_method,
         guidance_scale=args.guidance_scale,
+        pag_scale=args.pag_scale,
         guidance_rescale=args.guidance_rescale,
         dynamic_threshold=args.dynamic_threshold,
         guidance_interval=(tuple(float(v) for v in
@@ -214,6 +219,7 @@ def build_engine(args):
             "image_size": image_size, "channels": preset.in_channels,
             "num_classes": num_classes, "cond_channels": cond_channels,
             "guidance_scale": args.guidance_scale,
+            "pag_scale": args.pag_scale,
             "params_m": round(n_params / 1e6, 3),
             "data_range": (float(lo), float(hi))}
     return engine, batcher, meta

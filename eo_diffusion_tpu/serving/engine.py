@@ -56,6 +56,11 @@ class ServingConfig:
     # pred-x0 rescale instead of the static clamp — the high-guidance_scale
     # saturation fix; DDPM-family samplers (ddpm/ddim/dpm/unipc) only
     dynamic_threshold: Optional[float] = None
+    # perturbed-attention guidance (arXiv:2403.17377): extrapolate away from
+    # the same model with self-attention -> identity (diffusion/pag.py).
+    # Compiled into the sampler program; needs no condition, so it works on
+    # the unconditional presets where guidance_scale cannot.
+    pag_scale: float = 0.0
     num_classes: int = 0  # label vocabulary (0 = unconditional)
     has_null_class: bool = False  # label-CFG against the learned null row
     cond_channels: int = 0  # concat-conditioning width (0 = none)
@@ -103,6 +108,11 @@ class SamplerEngine:
                 f"(ddpm/ddim/dpm/unipc); sampler={cfg.sampler} has no such "
                 "site")
             gkw["dynamic_threshold"] = cfg.dynamic_threshold
+        if cfg.pag_scale > 0.0:
+            assert cfg.sampler in ("ddpm", "ddim", "dpm", "unipc", "flow"), (
+                "pag_scale wraps the denoiser under the generative chain "
+                f"(ddpm/ddim/dpm/unipc/flow); sampler={cfg.sampler} is a "
+                "translation/distilled map PAG does not apply to")
         if cfg.guidance_scale != 1.0:
             # validate an actual CFG branch EXISTS at build time: without
             # one the samplers accept guidance_scale but never activate the
@@ -131,6 +141,10 @@ class SamplerEngine:
 
                 params = dequantize_tree(*params)
             fn = lambda x, t, c, yy: model.apply(params, x, t, cond=c, y=yy)
+            if cfg.pag_scale > 0.0:
+                from eo_diffusion_tpu.diffusion.pag import pag_model_fn
+
+                fn = pag_model_fn(fn, cfg.pag_scale)
             kw = dict(gkw)
             if cfg.guidance_scale != 1.0:
                 if cfg.num_classes and cfg.has_null_class:

@@ -304,6 +304,47 @@ class TestEngineEndToEnd:
                 SamplerEngine(model, params, diffusion, preset.image_size,
                               3, cfg)
 
+    def test_pag_serves_shifts_output_and_validates(self):
+        """pag_scale compiles into the served program (arXiv:2403.17377),
+        shifts the output on a model with nonzero attention projections,
+        and is rejected at build for translation/distilled samplers."""
+        import jax
+        import jax.numpy as jnp
+
+        from eo_diffusion_tpu.cli.presets import (build_denoiser,
+                                                  build_process, get_preset)
+
+        preset = get_preset("tiny")
+        model = build_denoiser(preset.model_config(bf16=False))
+        diffusion = build_process(preset, 50, preset.image_size,
+                                  cond_type=None)
+        x0 = jnp.zeros((1, preset.image_size, preset.image_size, 3))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
+        # zero-init proj_out makes PAG a numeric no-op on fresh params;
+        # jitter every leaf deterministically so the branches differ
+        params = jax.tree.map(
+            lambda p: p + 0.05 * jnp.sin(
+                jnp.arange(p.size, dtype=jnp.float32)).reshape(p.shape
+                                                               ).astype(p.dtype),
+            params)
+
+        def build(s):
+            return SamplerEngine(
+                model, params, diffusion, preset.image_size, 3,
+                ServingConfig(batch_size=2, sampler="ddim", steps=2,
+                              bf16=False, pag_scale=s))
+
+        plain = build(0.0).generate(jax.random.PRNGKey(1), None, None)
+        pag = build(2.0).generate(jax.random.PRNGKey(1), None, None)
+        assert np.isfinite(pag).all()
+        assert not np.allclose(plain, pag, atol=1e-5), (
+            "pag_scale had no effect on the served samples")
+        with pytest.raises(AssertionError, match="pag_scale"):
+            SamplerEngine(model, params, diffusion, preset.image_size, 3,
+                          ServingConfig(batch_size=2, sampler="bridge",
+                                        steps=2, bf16=False, pag_scale=2.0))
+
     def test_dynamic_threshold_serves_and_validates(self):
         """dynamic_threshold compiles into the served DDPM-family program
         (Imagen percentile rescale) and is rejected at build for samplers
