@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 
 __all__ = ["fused_attention", "flash_attention", "xla_attention",
            "attention_from_qkv", "head_sharded_attention", "ring_attention",
-           "identity_attention"]
+           "sequence_sharded_attention", "identity_attention"]
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -78,6 +78,32 @@ def identity_attention():
         yield
     finally:
         _IDENTITY = prev
+
+
+# trace-time sequence-parallel routing (set via sequence_sharded_attention):
+# when a (mesh, axis) pair is active, attention_from_qkv dispatches to
+# ring_attention -- Q/K/V sequence-sharded, K/V rotating by ppermute -- so
+# any backbone using the shared dispatch (UNet AttentionBlock, DiTBlock)
+# runs context-parallel without model changes.
+_SP_MESH = None
+
+
+@contextlib.contextmanager
+def sequence_sharded_attention(mesh, axis: str = "model"):
+    """Route attention_from_qkv through :func:`ring_attention` over ``axis``
+    for any attention traced inside the context (sequence parallelism).
+
+    Same trace-time contract as :func:`head_sharded_attention`: enter around
+    the FIRST call of a jitted function; the ring dispatch is baked into the
+    jaxpr. Attention whose sequence length does not divide
+    ``mesh.shape[axis]`` falls back to the regular dispatch.
+    """
+    global _SP_MESH
+    prev, _SP_MESH = _SP_MESH, (mesh, axis)
+    try:
+        yield
+    finally:
+        _SP_MESH = prev
 
 
 @contextlib.contextmanager
@@ -867,6 +893,20 @@ def attention_from_qkv(qkv: jax.Array, heads: int, new_order: bool = False,
         else:
             v = qkv.reshape(b, t, heads, 3, d)[:, :, :, 2]
         return v.reshape(b, t, c)
+    if _SP_MESH is not None:
+        # sequence-parallel routing (sequence_sharded_attention context):
+        # dispatch to the ppermute ring when the token count divides the axis
+        sp_mesh, sp_axis = _SP_MESH
+        sp_n = dict(sp_mesh.shape).get(sp_axis, 1)
+        if sp_n > 1 and t % sp_n == 0:
+            if new_order:
+                r = qkv.reshape(b, t, 3, heads, d)
+                q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+            else:
+                r = qkv.reshape(b, t, heads, 3, d)
+                q, k, v = r[:, :, :, 0], r[:, :, :, 1], r[:, :, :, 2]
+            return ring_attention(q, k, v, sp_mesh, axis=sp_axis
+                                  ).reshape(b, t, c)
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if block_q is None:
         block_q = t if t <= 1024 else 512

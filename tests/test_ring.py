@@ -92,3 +92,53 @@ class TestRingAttention:
         out = jax.jit(lambda *a: A.ring_attention(*a, mesh=mesh))(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-5, rtol=5e-5)
+
+
+class TestSequenceShardedContext:
+    """sequence_sharded_attention routes the shared attention dispatch
+    (attention_from_qkv) through the ring — any backbone using it (UNet
+    AttentionBlock, DiTBlock) runs context-parallel with no model changes."""
+
+    def test_qkv_dispatch_matches_xla_both_layouts(self):
+        rng = np.random.default_rng(4)
+        b, t, h, d = 2, 64, 4, 16
+        qkv = jnp.asarray(rng.normal(size=(b, t, 3 * h * d)), jnp.float32)
+        mesh = make_mesh(data=jax.device_count() // 4, model=4)
+        for new_order in (False, True):
+            ref = A.attention_from_qkv(qkv, h, new_order=new_order,
+                                       impl="xla")
+            with A.sequence_sharded_attention(mesh, "model"):
+                out = jax.jit(lambda x, _no=new_order: A.attention_from_qkv(
+                    x, h, new_order=_no))(qkv)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_indivisible_seq_falls_back(self):
+        rng = np.random.default_rng(5)
+        qkv = jnp.asarray(rng.normal(size=(1, 50, 3 * 32)), jnp.float32)
+        mesh = make_mesh(data=jax.device_count() // 8, model=8)
+        ref = A.attention_from_qkv(qkv, 2, impl="xla")
+        with A.sequence_sharded_attention(mesh, "model"):
+            out = jax.jit(lambda x: A.attention_from_qkv(x, 2))(qkv)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_dit_forward_parity_under_context(self):
+        """Whole-model check: a DiT forward traced inside the context equals
+        the plain forward (16 tokens ring over 4 shards)."""
+        from eo_diffusion_tpu.models.dit import DiT, DiTConfig
+
+        cfg = DiTConfig(image_size=16, in_channels=3, out_channels=3,
+                        patch_size=4, hidden_size=32, depth=2, num_heads=4)
+        model = DiT(cfg)
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)), jnp.float32)
+        t = jnp.zeros((2,), jnp.int32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+        mesh = make_mesh(data=jax.device_count() // 4, model=4)
+        ref = model.apply(params, x, t)
+        with A.sequence_sharded_attention(mesh, "model"):
+            out = jax.jit(lambda p, xx, tt: model.apply(p, xx, tt))(
+                params, x, t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-5)
