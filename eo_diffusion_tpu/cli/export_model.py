@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--flow_method", type=str, default="euler",
                    choices=["euler", "heun"])
     p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--pag_scale", type=float, default=0.0,
+                   help="bake perturbed-attention guidance "
+                        "(arXiv:2403.17377) into the exported program")
     p.add_argument("--guidance_rescale", type=float, default=0.0)
     p.add_argument("--guidance_interval", type=str, default=None,
                    metavar="LO,HI")

@@ -110,6 +110,7 @@ def export_engine(engine, out_dir: str, extra_meta: Optional[dict] = None,
         "eta": cfg.eta,
         "ddim_spacing": cfg.ddim_spacing,
         "guidance_scale": cfg.guidance_scale,
+        "pag_scale": cfg.pag_scale,
         "int8": cfg.int8,
         "bf16": cfg.bf16,
     }

@@ -199,11 +199,13 @@ class TestExportCLI:
         args = M.parse_args([
             "--preset", "tiny", "--out", out, "--batch_size", "2",
             "--sampler", "ddim", "--sampler_steps", "2", "--no_bf16",
-            "--run"])
+            "--pag_scale", "1.5", "--run"])
         M.main(args)
         with open(os.path.join(out, "manifest.json")) as f:
             man = json.load(f)
         assert man["preset"] == "tiny" and man["steps"] == 2
+        # PAG rode the export: recorded in the manifest, baked in the program
+        assert man["pag_scale"] == 1.5
         assert os.path.exists(os.path.join(out, "smoke.png"))
 
     def test_artifact_server_http_roundtrip(self, tmp_path):
