@@ -83,6 +83,11 @@ def parse_args(argv=None):
                         help="Megatron tensor parallelism on the attention "
                              "projections over the 'model' axis (composes "
                              "with --fsdp)")
+    parser.add_argument("--sp", action="store_true",
+                        help="sequence parallelism: route self-attention "
+                             "through the ppermute ring over the 'model' "
+                             "axis (ring attention, O(T/n) per-chip KV; "
+                             "mutually exclusive with --tp)")
     parser.add_argument("--ep", action="store_true",
                         help="expert parallelism: shard MoE expert weights "
                              "over the 'model' axis (MoE presets, e.g. "
@@ -271,7 +276,8 @@ def main(args):
         grad_clip=args.grad_clip, skip_nonfinite=args.skip_nonfinite,
         optimizer=args.optimizer, muon_lr_mult=args.muon_lr_mult,
         preview_sampler=preview_sampler, preview_steps=args.preview_steps,
-        fsdp=args.fsdp, tp=args.tp, ep=args.ep, pp_micro=args.pp_micro,
+        fsdp=args.fsdp, tp=args.tp, sp=args.sp, ep=args.ep,
+        pp_micro=args.pp_micro,
         pp_virtual=args.pp_virtual,
     )
     mesh = None

@@ -194,6 +194,13 @@ class TrainerConfig:
     # Composes with tp and fsdp (disjoint leaves; EP specs win where they
     # apply). No-op unless the model has MoE layers.
     ep: bool = False
+    # sequence parallelism (ring attention, ops/attention.ring_attention):
+    # route every self-attention through the ppermute ring over the mesh
+    # 'model' axis at trace time — O(T/n) per-chip KV residency for token
+    # counts past one chip's resident cap. Mutually exclusive with tp
+    # (both own the 'model' axis for attention); attention whose T doesn't
+    # divide the axis falls back to the regular dispatch per-layer.
+    sp: bool = False
     # MoE load-balance aux-loss weight (Switch Transformer uses 0.01);
     # applied automatically when the model config has num_experts > 0
     moe_aux_weight: float = 0.01
@@ -345,10 +352,24 @@ class Trainer:
         # shard_map at trace time (ops/attention.head_sharded_attention) --
         # GSPMD cannot partition the Mosaic custom call and would otherwise
         # all-gather the full attention activation around it
+        assert not (cfg.tp and cfg.sp), (
+            "tp (head-sharded attention) and sp (ring attention) both "
+            "partition attention over the 'model' axis; pick one")
         if cfg.tp:
             from eo_diffusion_tpu.ops.attention import head_sharded_attention
 
             self._attn_ctx = lambda: head_sharded_attention(self.mesh, "model")
+        elif cfg.sp:
+            from eo_diffusion_tpu.ops.attention import (
+                sequence_sharded_attention,
+            )
+
+            assert ("model" in self.mesh.shape
+                    and self.mesh.shape["model"] > 1), (
+                "TrainerConfig.sp=True needs a mesh with a model axis > 1 "
+                "to serve as the sequence ring (pass mesh=make_mesh(model=N))")
+            self._attn_ctx = lambda: sequence_sharded_attention(
+                self.mesh, "model")
         else:
             import contextlib
 

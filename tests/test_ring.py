@@ -142,3 +142,51 @@ class TestSequenceShardedContext:
                 params, x, t)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-5, rtol=5e-5)
+
+
+class TestTrainerSP:
+    """TrainerConfig.sp routes training-time attention through the ring
+    (mirrors the tp head-sharded activation at trainer.py _attn_ctx)."""
+
+    def _run(self, sp):
+        from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+        from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+        from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
+
+        cfg = TrainerConfig(lr=1e-3, batch_size=8, epochs=1, timesteps=10,
+                            model_ema_steps=1, warmup_epochs=1, seed=3, sp=sp)
+        ucfg = UNetConfig(image_size=8, in_channels=3, model_channels=32,
+                          out_channels=3, num_res_blocks=1,
+                          attention_resolutions=(2,), channel_mult=(1, 2),
+                          num_heads=4)
+        model = UNet(ucfg)
+        diffusion = GaussianDiffusion.create(timesteps=10, image_size=8,
+                                             in_channels=3)
+        mesh = make_mesh(model=4) if sp else None
+        tr = Trainer(cfg, model, diffusion, steps_per_epoch=1, mesh=mesh)
+        rng = np.random.default_rng(7)
+        batch = {"image": rng.normal(size=(8, 8, 8, 3)).astype(np.float32) * 0.3}
+        state = tr.init(jax.random.PRNGKey(0), batch)
+        _, m = tr.step(state, batch)
+        return float(m["loss"])
+
+    def test_sp_loss_matches_replicated(self):
+        np.testing.assert_allclose(self._run(False), self._run(True),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_tp_and_sp_mutually_exclusive(self):
+        from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+        from eo_diffusion_tpu.models.unet import UNet, UNetConfig
+        from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
+
+        cfg = TrainerConfig(lr=1e-3, batch_size=8, epochs=1, timesteps=10,
+                            tp=True, sp=True)
+        ucfg = UNetConfig(image_size=8, in_channels=3, model_channels=16,
+                          out_channels=3, num_res_blocks=1,
+                          attention_resolutions=(2,), channel_mult=(1, 2),
+                          num_heads=2)
+        with pytest.raises(AssertionError, match="pick one"):
+            Trainer(cfg, UNet(ucfg),
+                    GaussianDiffusion.create(timesteps=10, image_size=8,
+                                             in_channels=3),
+                    steps_per_epoch=1, mesh=make_mesh(model=4))
