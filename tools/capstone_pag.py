@@ -156,11 +156,11 @@ def main():
             grid = np.clip((x[:16] + 1) / 2, 0, 1)
             save_image_grid(grid, os.path.join(GALLERY, f"pag64_{tag}.png"),
                             nrow=4)
+            # incremental dump: partial sweeps survive preemption
+            with open(os.path.join(GALLERY, "pag64_metrics.json"), "w") as f:
+                json.dump(results, f, indent=2)
 
-    out = os.path.join(GALLERY, "pag64_metrics.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=2)
-    print(f"wrote {out}")
+    print(f"wrote {os.path.join(GALLERY, 'pag64_metrics.json')}")
 
 
 if __name__ == "__main__":
