@@ -93,8 +93,9 @@ def parse_args(argv=None):
                              "over the 'model' axis (MoE presets, e.g. "
                              "moe-dit64; composes with --fsdp/--tp)")
     parser.add_argument("--model_parallel", type=int, default=1,
-                        help="mesh 'model' axis size for --fsdp/--tp/--ep "
-                             "(devices/model_parallel become the data axis)")
+                        help="mesh 'model' axis size for --fsdp/--tp/--sp/"
+                             "--ep (devices/model_parallel become the data "
+                             "axis)")
     parser.add_argument("--pp_micro", type=int, default=0,
                         help="1F1B pipeline parallelism over the 'model' "
                              "axis with this many microbatches (DiT "
@@ -280,8 +281,12 @@ def main(args):
         pp_micro=args.pp_micro,
         pp_virtual=args.pp_virtual,
     )
+    if args.sp and args.model_parallel <= 1:
+        raise SystemExit(
+            "--sp (ring attention) needs --model_parallel > 1: the 'model' "
+            "mesh axis is the sequence ring")
     mesh = None
-    if args.fsdp or args.tp or args.ep or args.model_parallel > 1:
+    if args.fsdp or args.tp or args.sp or args.ep or args.model_parallel > 1:
         from eo_diffusion_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(model=args.model_parallel)

@@ -40,12 +40,29 @@ def pag_model_fn(model_fn: Callable, pag_scale: float) -> Callable:
     the prediction half is guided; the variance half passes through from
     the unperturbed branch.
     """
-    from eo_diffusion_tpu.ops.attention import identity_attention
+    from eo_diffusion_tpu.ops.attention import (identity_attention,
+                                                identity_attention_hits)
+
+    if pag_scale == 0:  # identity: skip the (paid) perturbed branch entirely
+        return model_fn
 
     def fn(x, t, cond, y):
         pred = model_fn(x, t, cond, y)
+        hits0 = identity_attention_hits()
         with identity_attention():
             pred_p = model_fn(x, t, cond, y)
+        if identity_attention_hits() == hits0:
+            # trace-time guard (ADVICE r3): a backbone whose attention does
+            # not route through attention_from_qkv (e.g. ConvNeXt linear
+            # attention) makes the perturbed branch equal the plain branch —
+            # PAG would be a silent numeric no-op that still pays the
+            # double forward. Fail loudly instead.
+            raise ValueError(
+                "pag_scale is a no-op on this backbone: no self-attention "
+                "site routed through ops.attention.attention_from_qkv "
+                "during the perturbed trace (PAG perturbs only that "
+                "dispatch). Use a UNet/DiT backbone with standard "
+                "attention, or drop --pag_scale.")
         c = x.shape[-1]
         s = jnp.asarray(pag_scale, jnp.float32)
         if pred.shape[-1] == 2 * c:  # learned-variance tail passes through

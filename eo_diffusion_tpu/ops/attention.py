@@ -59,6 +59,16 @@ _TP_MESH = None
 # returns V. The PAG guidance wrapper (diffusion/pag.py) traces the
 # perturbed model call inside this context.
 _IDENTITY = False
+# trace-time counter: how many attention_from_qkv sites were actually
+# perturbed inside an identity_attention() context. Lets the PAG wrapper
+# detect (at trace time) a backbone with no routed self-attention site,
+# where the perturbed branch would silently equal the plain branch.
+_IDENTITY_HITS = 0
+
+
+def identity_attention_hits() -> int:
+    """Number of self-attention sites perturbed inside identity contexts."""
+    return _IDENTITY_HITS
 
 
 @contextlib.contextmanager
@@ -178,10 +188,10 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
     fwd = [(i, (i + 1) % n) for i in range(n)]
 
     def local(ql, kl, vl):
-        tq = ql.shape[1]
-        m = jnp.full((b, h, tq, 1), -jnp.inf, jnp.float32)
-        l = jnp.zeros((b, h, tq, 1), jnp.float32)
-        acc = jnp.zeros((b, tq, h, d), jnp.float32)
+        bl, tq = ql.shape[0], ql.shape[1]  # local shard shapes (batch may be
+        m = jnp.full((bl, h, tq, 1), -jnp.inf, jnp.float32)  # data-sharded)
+        l = jnp.zeros((bl, h, tq, 1), jnp.float32)
+        acc = jnp.zeros((bl, tq, h, d), jnp.float32)
         kc, vc = kl, vl
         qs = ql * jnp.asarray(sc, ql.dtype)
         for i in range(n):
@@ -204,7 +214,11 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
                 vc = jax.lax.ppermute(vc, axis, fwd)
         return (acc / jnp.swapaxes(l, 1, 2)).astype(ql.dtype)
 
-    spec = P(None, axis, None, None)
+    # batch rides the 'data' axis when the mesh has one (and the batch
+    # divides it) so DP and SP compose without replicating Q/K/V over data
+    batch_axis = ("data" if "data" in mesh.shape and "data" != axis
+                  and b % int(mesh.shape["data"]) == 0 else None)
+    spec = P(batch_axis, axis, None, None)
     return jax.shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
     )(q, k, v)
@@ -888,6 +902,8 @@ def attention_from_qkv(qkv: jax.Array, heads: int, new_order: bool = False,
     if _IDENTITY:
         # PAG perturbed branch (identity_attention context): softmax map = I,
         # output is V in the block's channel layout -- no matmuls at all
+        global _IDENTITY_HITS
+        _IDENTITY_HITS += 1
         if new_order:
             v = qkv.reshape(b, t, 3, heads, d)[:, :, 2]
         else:

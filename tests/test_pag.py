@@ -6,6 +6,7 @@ no second model, so it applies to the unconditional EO presets."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import eo_diffusion_tpu.ops.attention as A
 from eo_diffusion_tpu.diffusion.pag import pag_model_fn
@@ -86,6 +87,8 @@ class TestPagModelFn:
 
         def model_fn(x, t, c, y):
             flag = 1.0 if AA._IDENTITY else 0.0
+            if AA._IDENTITY:  # simulate a routed self-attention site
+                AA._IDENTITY_HITS += 1
             return x * 2.0 + flag  # perturbed branch shifts by +1
 
         x = jnp.ones((2, 4, 4, 3)) * 0.5
@@ -106,6 +109,8 @@ class TestPagModelFn:
 
         def model_fn(x, t, c, y):
             flag = 1.0 if AA._IDENTITY else 0.0
+            if AA._IDENTITY:  # simulate a routed self-attention site
+                AA._IDENTITY_HITS += 1
             return jnp.concatenate([x + flag, x * 5.0], axis=-1)
 
         x = jnp.ones((1, 4, 4, 2)) * 0.2
@@ -113,6 +118,25 @@ class TestPagModelFn:
         # eps half: e=0.2, e_p=1.2 -> 0.2 + 2*(-1) = -1.8; tail: 1.0 as-is
         np.testing.assert_allclose(np.asarray(out[..., :2]), -1.8, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out[..., 2:]), 1.0, atol=1e-6)
+
+    def test_no_attention_site_raises(self):
+        """A backbone that never routes through attention_from_qkv makes the
+        perturbed branch equal the plain one — the wrapper must fail loudly
+        instead of silently sampling unguided (ADVICE r3)."""
+        def attention_free_model(x, t, c, y):
+            return x * 2.0
+
+        x = jnp.ones((1, 4, 4, 3))
+        with pytest.raises(ValueError, match="no-op on this backbone"):
+            pag_model_fn(attention_free_model, 2.0)(x, None, None, None)
+
+    def test_scale_zero_skips_perturbed_branch(self):
+        """pag_scale=0 returns the plain model_fn — no double forward, and
+        no no-op guard (nothing is guided at s=0)."""
+        def model_fn(x, t, c, y):
+            return x * 2.0
+
+        assert pag_model_fn(model_fn, 0.0) is model_fn
 
     def test_guides_a_real_sampler(self):
         """PAG shifts DDIM output on a jittered tiny UNet; pag_scale=0 does

@@ -82,6 +82,29 @@ class TestRingAttention:
         with pytest.raises(AssertionError, match="seq len"):
             A.ring_attention(q, k, v, mesh=mesh)
 
+    def test_dp_sp_compose_without_batch_replication(self):
+        """With a data axis > 1 the batch dim must ride P('data', ...) inside
+        the shard_map — otherwise every chip replicates the full batch and
+        recomputes all data shards' attention (ADVICE r3). Check both parity
+        and that batch-sharded inputs stay sharded (no all-gather over data
+        in the compiled HLO)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        q, k, v = _qkv(b=4, t=256)
+        mesh = make_mesh(data=2, model=4)
+        shd = NamedSharding(mesh, P("data", "model", None, None))
+        args = [jax.device_put(x, shd) for x in (q, k, v)]
+        compiled = jax.jit(
+            lambda *a: A.ring_attention(*a, mesh=mesh),
+            in_shardings=(shd,) * 3, out_shardings=shd,
+        ).lower(*args).compile()
+        hlo = compiled.as_text()
+        assert "all-gather" not in hlo, "batch was replicated over data"
+        out = compiled(*args)
+        ref = A.xla_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
     def test_long_seq_beyond_resident_cap_shards(self):
         """T > _MAX_RESIDENT_KV is exactly the regime ring attention is for:
         per-chip KV residency is T/n. Run one at 8192 over 8 shards (1024
