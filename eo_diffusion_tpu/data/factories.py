@@ -22,6 +22,7 @@ from eo_diffusion_tpu.data.datasets import (
     OSCDDataset,
     SARWakeDataset,
     SyntheticEO,
+    SyntheticEOHard,
     train_val_split,
 )
 from eo_diffusion_tpu.data.loader import DataLoader
@@ -35,6 +36,7 @@ __all__ = [
     "create_SARWake_dataloaders",
     "create_Eurosat_dataloaders",
     "create_synthetic_dataloaders",
+    "create_synthetic_hard_dataloaders",
     "DATASET_FACTORIES",
 ]
 
@@ -167,12 +169,20 @@ def create_sen12mscr_dataloaders(batch_size, num_workers=0, val_split=0.15, SEED
 def create_synthetic_dataloaders(batch_size, image_size=64, length=1024, channels=3,
                                  val_split=0.15, SEED=4097, num_classes=5,
                                  data_range=(0.0, 1.0), shard=(0, 1),
-                                 with_cond_image=False, **kw):
-    ds = SyntheticEO(size=image_size, length=length, channels=channels,
-                     num_classes=num_classes, data_range=data_range,
-                     with_cond_image=with_cond_image)
+                                 with_cond_image=False, hard=False, **kw):
+    cls = SyntheticEOHard if hard else SyntheticEO
+    ds = cls(size=image_size, length=length, channels=channels,
+             num_classes=num_classes, data_range=data_range,
+             with_cond_image=with_cond_image)
     train_ds, test_ds = train_val_split(ds, val_split, SEED)
     return _loaders(train_ds, test_ds, batch_size, transforms=_FLIPS, shard=shard)
+
+
+def create_synthetic_hard_dataloaders(batch_size, **kw):
+    """The discriminative-evaluation fixture (``--dataset synthetic_hard``):
+    multi-modal class-diverse SyntheticEOHard, same loader surface."""
+    kw.pop("hard", None)
+    return create_synthetic_dataloaders(batch_size, hard=True, **kw)
 
 
 DATASET_FACTORIES = {
@@ -185,4 +195,5 @@ DATASET_FACTORIES = {
     "eurosat": create_Eurosat_dataloaders,
     "sen12mscr": create_sen12mscr_dataloaders,
     "synthetic": create_synthetic_dataloaders,
+    "synthetic_hard": create_synthetic_hard_dataloaders,
 }

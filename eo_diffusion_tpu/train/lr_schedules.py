@@ -3,7 +3,9 @@
 Re-design of the reference ``KeyframeLR`` torch scheduler
 (``script_utils/train_utils.py:17-226``): a list of keyframes
 ``{"position": p, "lr": v}`` with named ("linear", "cos") or callable
-transitions between them, in "percent" or "steps" units.
+transitions between them, in "percent", "steps", or "time" units
+(train_utils.py:23 — "time" positions are fractions of an expected run time
+in seconds, evaluated against the wall clock).
 
 TPU-native shape: the schedule is *parsed and evaluated host-side in pure
 Python* and materialized into a dense per-step float32 table; the optax
@@ -20,6 +22,7 @@ builds in ``train.py:76-85`` (cos warmup from lr/100 to lr over
 from __future__ import annotations
 
 import math
+from timeit import default_timer as _timer
 from typing import Callable, Mapping, Sequence, Union
 
 import numpy as np
@@ -45,11 +48,16 @@ class KeyframeSchedule:
     """
 
     def __init__(self, frames: Sequence[Frame], end: float, units: str = "percent"):
-        assert units in ("percent", "steps"), units
+        assert units in ("percent", "steps", "time"), units
         self.end = end
         self.units = units
         self.last_lr = 0.0
         self.frames = self._parse(frames)
+        # "time" units (train_utils.py:23,50-54,190-197): `end` is the
+        # expected run time in SECONDS, positions are fractions of it, and
+        # evaluation reads the wall clock — inherently host-side, so it
+        # cannot be materialized into a step table (see table()).
+        self.start_time = _timer() if units == "time" else None
 
     # -- parsing ------------------------------------------------------------
 
@@ -131,13 +139,47 @@ class KeyframeSchedule:
         return lr
 
     def __call__(self, step: int) -> float:
+        self._last_step = step
+        if self.units == "time":
+            # step is ignored: position is elapsed-wall-time / expected-run-
+            # time. Past the expected end, lr_at_position finds no bracketing
+            # frames and holds last_lr (reference get_lr_at_pos fallthrough).
+            return self.lr_at_position((_timer() - self.start_time) / self.end)
         pos = step / self.end if self.units == "percent" else step
         return self.lr_at_position(pos)
+
+    @property
+    def progress(self) -> float:
+        """Fraction of the schedule consumed (train_utils.py:184-188); for
+        "time" units this reads the wall clock, otherwise the last step
+        seen by __call__ over `end`."""
+        if self.units == "time":
+            return (_timer() - self.start_time) / self.end
+        return getattr(self, "_last_step", 0) / self.end
+
+    def sample_lrs(self, n: int = 100):
+        """Sample n LRs across the schedule for visualization
+        (train_utils.py:204-222); works for every unit, including "time"
+        (positions are fractions, no clock involved)."""
+        lrs = []
+        for i in range(n):
+            pos = i / n
+            if self.units == "steps":
+                pos *= self.end
+            lrs.append(self.lr_at_position(pos))
+        self.last_lr = 0.0
+        return lrs
 
     # -- TPU/optax interface --------------------------------------------------
 
     def table(self, num_steps: int) -> np.ndarray:
         """Dense per-step LR table (exact at every integer step)."""
+        if self.units == "time":
+            raise ValueError(
+                'units="time" evaluates against the wall clock and cannot '
+                "be materialized into a step table — call the schedule "
+                "host-side per step (see __call__), or use percent/steps "
+                "units for the jitted table path")
         self.last_lr = 0.0
         out = np.empty(num_steps, np.float32)
         for s in range(num_steps):

@@ -27,22 +27,34 @@ def main():
     ap.add_argument("--timesteps", type=int, default=1000)
     ap.add_argument("--ddim", type=int, default=50)
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model + 16px scenes (CPU-runnable CI smoke)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
-    from eo_diffusion_tpu.models.unet import UNet, unet_clouds
+    from eo_diffusion_tpu.models.unet import UNet, UNetConfig, unet_clouds
     from eo_diffusion_tpu.utils.images import save_image_grid
 
-    cfg = unet_clouds(64, in_channels=3 + 3, dtype=jnp.bfloat16)  # x | t1 cond
+    if args.smoke:
+        size = 16
+        args.timesteps = min(args.timesteps, 20)
+        args.ddim = min(args.ddim, 5)
+        cfg = UNetConfig(image_size=size, in_channels=3 + 3, model_channels=16,
+                         out_channels=3, num_res_blocks=1,
+                         attention_resolutions=(), channel_mult=(1, 2),
+                         dtype=jnp.bfloat16)
+    else:
+        size = 64
+        cfg = unet_clouds(size, in_channels=3 + 3, dtype=jnp.bfloat16)  # x | t1 cond
     model = UNet(cfg)
-    diffusion = GaussianDiffusion.create(timesteps=args.timesteps, image_size=64,
+    diffusion = GaussianDiffusion.create(timesteps=args.timesteps, image_size=size,
                                          in_channels=3, cond_type="concat")
     params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
-        jnp.zeros((1,), jnp.int32), cond=jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32), cond=jnp.zeros((1, size, size, 3), jnp.bfloat16),
     )
     if args.ckpt:
         from eo_diffusion_tpu.train.checkpoint import restore_params
@@ -52,14 +64,14 @@ def main():
     if args.synthetic or args.data is None:
         from eo_diffusion_tpu.data.datasets import SyntheticEO
 
-        ds = SyntheticEO(size=64, length=4)
+        ds = SyntheticEO(size=size, length=4)
         before = np.stack([ds[i]["image"] for i in range(4)])
         print("using synthetic 'before' scenes")
     else:
         from eo_diffusion_tpu.data.datasets import OSCDDataset
 
         ds = OSCDDataset(args.data, return_pair=True)
-        before = np.stack([ds[i]["image2"][:64, :64] for i in range(4)])
+        before = np.stack([ds[i]["image2"][:size, :size] for i in range(4)])
 
     model_fn = lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y)
     out = diffusion.ddim_sample(

@@ -32,23 +32,34 @@ def main():
     ap.add_argument("--timesteps", type=int, default=1000)
     ap.add_argument("--ddim", type=int, default=0, help="use DDIM with this many steps")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model + 16px scenes (CPU-runnable CI smoke)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
-    from eo_diffusion_tpu.models.unet import UNet, unet_clouds
+    from eo_diffusion_tpu.models.unet import UNet, UNetConfig, unet_clouds
     from eo_diffusion_tpu.utils.images import save_image_grid
 
-    cfg = unet_clouds(64, dtype=jnp.bfloat16)
+    if args.smoke:
+        size = 16
+        args.timesteps = min(args.timesteps, 20)
+        cfg = UNetConfig(image_size=size, in_channels=3, model_channels=16,
+                         out_channels=3, num_res_blocks=1,
+                         attention_resolutions=(), channel_mult=(1, 2),
+                         dtype=jnp.bfloat16)
+    else:
+        size = 64
+        cfg = unet_clouds(size, dtype=jnp.bfloat16)
     model = UNet(cfg)
     diffusion = GaussianDiffusion.create(
-        timesteps=args.timesteps, image_size=64, in_channels=3, cond_type="sum"
+        timesteps=args.timesteps, image_size=size, in_channels=3, cond_type="sum"
     )
 
     params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.bfloat16),
         jnp.zeros((1,), jnp.int32),
     )
     if args.ckpt:
@@ -65,7 +76,7 @@ def main():
     if args.synthetic or args.image is None:
         from eo_diffusion_tpu.data.datasets import SyntheticEO
 
-        ds = SyntheticEO(size=64, length=4, with_mask=True)
+        ds = SyntheticEO(size=size, length=4, with_mask=True)
         items = [ds[i] for i in range(4)]
         image = np.stack([it["image"] for it in items])
         mask = np.stack([it["segmentation"] for it in items])
@@ -73,9 +84,9 @@ def main():
     else:
         from PIL import Image
 
-        img = np.asarray(Image.open(args.image).convert("RGB").resize((64, 64)),
+        img = np.asarray(Image.open(args.image).convert("RGB").resize((size, size)),
                          np.float32)[None] / 255.0
-        m = np.asarray(Image.open(args.mask).convert("L").resize((64, 64)),
+        m = np.asarray(Image.open(args.mask).convert("L").resize((size, size)),
                        np.float32)[None, :, :, None] / 255.0
         image, mask = img, (m > 0.5).astype(np.float32)
 

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--ddim_steps", type=int, default=100)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model + 16px scenes (CPU-runnable CI smoke)")
     args = ap.parse_args()
 
     import jax
@@ -33,15 +35,25 @@ def main():
 
     from eo_diffusion_tpu.data.transforms import random_rect_mask
     from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
-    from eo_diffusion_tpu.models.unet import UNet, unet_clouds
+    from eo_diffusion_tpu.models.unet import UNet, UNetConfig, unet_clouds
     from eo_diffusion_tpu.utils.images import save_image_grid
 
-    cfg = unet_clouds(64, dtype=jnp.bfloat16)
+    if args.smoke:
+        size = 16
+        args.timesteps = min(args.timesteps, 20)
+        args.ddim_steps = min(args.ddim_steps, 5)
+        cfg = UNetConfig(image_size=size, in_channels=3, model_channels=16,
+                         out_channels=3, num_res_blocks=1,
+                         attention_resolutions=(), channel_mult=(1, 2),
+                         dtype=jnp.bfloat16)
+    else:
+        size = 64
+        cfg = unet_clouds(size, dtype=jnp.bfloat16)
     model = UNet(cfg)
-    diffusion = GaussianDiffusion.create(timesteps=args.timesteps, image_size=64,
+    diffusion = GaussianDiffusion.create(timesteps=args.timesteps, image_size=size,
                                          in_channels=3, cond_type="sum")
     params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.bfloat16),
         jnp.zeros((1,), jnp.int32),
     )
     if args.ckpt:
@@ -57,19 +69,20 @@ def main():
     if args.synthetic or args.image is None:
         from eo_diffusion_tpu.data.datasets import SyntheticEO
 
-        ds = SyntheticEO(size=64, length=4, with_mask=False)
+        ds = SyntheticEO(size=size, length=4, with_mask=False)
         scenes = np.stack([ds[i]["image"] for i in range(4)])
     else:
         from PIL import Image
 
         scenes = np.asarray(
-            Image.open(args.image).convert("RGB").resize((64, 64)), np.float32
+            Image.open(args.image).convert("RGB").resize((size, size)), np.float32
         )[None] / 255.0
 
     # "replan" region = random rectangle (reference make_label,
     # script_utils/utils.py:17-37, via inference.py --random_label)
     rng = np.random.default_rng(args.seed)
-    rect = np.stack([random_rect_mask((64, 64), 10, 10, 40, 40, rng)
+    lo, hi = max(size // 6, 2), max(size * 40 // 64, 4)
+    rect = np.stack([random_rect_mask((size, size), lo, lo, hi, hi, rng)
                      for _ in range(scenes.shape[0])])
     known = 1.0 - rect  # regenerate inside the rectangle
 

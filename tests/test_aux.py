@@ -148,3 +148,26 @@ class TestTrace:
         # a trace directory with at least one event file appears
         found = list(tmp_path.rglob("*"))
         assert found, "profiler trace produced no files"
+
+
+class TestViz:
+    """Headless ports of the reference's interactive helpers
+    (script_utils/utils.py:6-15 show, 39-52 plot_params)."""
+
+    def test_plot_schedule_params(self, tmp_path):
+        from eo_diffusion_tpu.core.schedules import make_schedule
+        from eo_diffusion_tpu.utils.viz import plot_schedule_params
+
+        sched = make_schedule(100)
+        out = plot_schedule_params(sched, 10, str(tmp_path / "sched.png"))
+        assert os.path.getsize(out) > 1000
+
+    def test_show_single_and_batch(self, tmp_path):
+        from eo_diffusion_tpu.utils.viz import show
+
+        rng = np.random.default_rng(0)
+        one = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+        batch = rng.uniform(0, 1, (3, 16, 16, 1)).astype(np.float32)
+        p1 = show(one, str(tmp_path / "one.png"), data_range=(-1, 1))
+        p2 = show(batch, str(tmp_path / "row.png"))
+        assert os.path.getsize(p1) > 500 and os.path.getsize(p2) > 500

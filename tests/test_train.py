@@ -85,6 +85,35 @@ class TestKeyframeLR:
                              end=100, units="percent")
         assert s(50) == pytest.approx(0.5)
 
+    def test_time_units(self, monkeypatch):
+        """units="time" (reference train_utils.py:23,50-54,190-197): end is
+        expected seconds, position = elapsed/end against the wall clock; past
+        the expected end the last LR holds (get_lr_at_pos fallthrough)."""
+        import eo_diffusion_tpu.train.lr_schedules as L
+
+        now = [100.0]
+        monkeypatch.setattr(L, "_timer", lambda: now[0])
+        s = KeyframeSchedule([(0, 0.0), (1, 1.0)], end=10.0, units="time")
+        assert s(0) == pytest.approx(0.0)
+        now[0] = 105.0  # halfway through the expected 10 s
+        assert s(123) == pytest.approx(0.5)  # step arg ignored
+        assert s.progress == pytest.approx(0.5)
+        now[0] = 112.0  # past the expected end: hold last LR
+        assert s(0) == pytest.approx(0.5)
+
+    def test_time_units_reject_table(self):
+        s = KeyframeSchedule([(0, 0.0), (1, 1.0)], end=10.0, units="time")
+        with pytest.raises(ValueError, match="wall clock"):
+            s.table(10)
+
+    def test_sample_lrs(self):
+        """sample_lrs (train_utils.py:204-222) spans the schedule in every
+        unit without disturbing schedule state."""
+        s = KeyframeSchedule([(0, 0.0), (10, 1.0)], end=10, units="steps")
+        lrs = s.sample_lrs(n=5)
+        assert lrs == pytest.approx([0.0, 0.2, 0.4, 0.6, 0.8])
+        assert s.last_lr == 0.0
+
 
 TINY = UNetConfig(
     image_size=8, in_channels=3, model_channels=32, out_channels=3,
