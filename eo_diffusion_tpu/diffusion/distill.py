@@ -35,7 +35,42 @@ __all__ = [
     "coupling_batches",
     "straightness",
     "endpoint_gap",
+    "cfg_model_fn",
 ]
+
+
+def cfg_model_fn(model_fn: Callable, scale: float, null_y: int,
+                 guidance_rescale: float = 0.0) -> Callable:
+    """Collapse classifier-free guidance into one ``model_fn``.
+
+    Guidance distillation (Meng et al., arXiv:2210.03142) folds the
+    CFG-combined teacher — two model calls per step via the samplers'
+    batch-doubling (``cfg_double_inputs``) — into a single callable the
+    distillation machinery can treat as an ordinary teacher: couplings
+    simulated from THIS fn follow the guided probability-flow ODE, so the
+    re-fit student reproduces guided quality with one unguided call.
+
+    The two teacher evaluations live in one jaxpr (XLA schedules them
+    back-to-back; cost equals the doubled batch, paid only at distillation
+    time). ``null_y``: the learned null-class row (index ``num_classes``,
+    mirroring the samplers' ``y_uncond``). ``guidance_rescale`` is the
+    arXiv:2305.08891 std-rescue, matching ``cfg_combine``.
+    """
+    def fn(x, t, cond=None, y=None):
+        assert y is not None, "guided teacher needs class labels"
+        e_c = model_fn(x, t, cond, y).astype(jnp.float32)
+        e_u = model_fn(x, t, cond, jnp.full_like(y, null_y)).astype(jnp.float32)
+        guided = e_u + scale * (e_c - e_u)
+        if guidance_rescale:
+            axes = tuple(range(1, guided.ndim))
+            std_c = jnp.std(e_c, axis=axes, keepdims=True)
+            std_g = jnp.std(guided, axis=axes, keepdims=True)
+            fixed = guided * (std_c / jnp.maximum(std_g, 1e-8))
+            guided = (guidance_rescale * fixed
+                      + (1.0 - guidance_rescale) * guided)
+        return guided
+
+    return fn
 
 
 def _pad_to_batch(a, batch_size: int):

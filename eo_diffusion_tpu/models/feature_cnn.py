@@ -113,9 +113,17 @@ def train_feature_extractor(
     params = jax.jit(model.init)(jax.random.PRNGKey(seed),
                                  jnp.zeros((1,) + images.shape[1:]))
     opt_state = jax.jit(tx.init)(params)
+    # device-resident data with index-only feeds: per-step host-array feeds
+    # leak host RSS through the axon tunnel (CLAUDE.md); the whole fixture
+    # is a few hundred MB at most, so it lives in HBM and rides the jit as
+    # explicit arguments (closed-over trees hit the remote-compile payload
+    # limit — HTTP-413 failure mode)
+    imgs_d = jnp.asarray(images)
+    labels_d = jnp.asarray(labels)
 
     @jax.jit
-    def step(params, opt_state, x, y, key):
+    def step(params, opt_state, data, labels_all, idx, key):
+        x, y = data[idx], labels_all[idx]
         # random horizontal/vertical flips (EO imagery has no canonical
         # orientation; reference augs data_utils/data.py:31-43)
         kh, kv = jax.random.split(key)
@@ -135,22 +143,20 @@ def train_feature_extractor(
         return params, opt_state, loss, acc
 
     @jax.jit
-    def eval_acc(params, x, y):
-        logits, _ = model.apply(params, x)
-        return jnp.mean(jnp.argmax(logits, -1) == y)
+    def eval_acc(params, data, labels_all, idx):
+        logits, _ = model.apply(params, data[idx])
+        return jnp.mean(jnp.argmax(logits, -1) == labels_all[idx])
 
     key = jax.random.PRNGKey(seed + 1)
     for i in range(steps):
-        idx = rng.choice(train_idx, batch_size)
+        idx = jnp.asarray(rng.choice(train_idx, batch_size))
         key, skey = jax.random.split(key)
         params, opt_state, loss, acc = step(
-            params, opt_state, jnp.asarray(images[idx]),
-            jnp.asarray(labels[idx]), skey)
+            params, opt_state, imgs_d, labels_d, idx, skey)
         if log_every and i % log_every == 0:
             print(f"extractor step {i}/{steps} loss={float(loss):.4f} "
-                  f"acc={float(acc):.3f}")
-    val_acc = float(eval_acc(params, jnp.asarray(images[val_idx]),
-                             jnp.asarray(labels[val_idx])))
+                  f"acc={float(acc):.3f}", flush=True)
+    val_acc = float(eval_acc(params, imgs_d, labels_d, jnp.asarray(val_idx)))
     return params, val_acc
 
 
