@@ -41,10 +41,20 @@ def parse_args(argv=None):
     p.add_argument("--ckpt", type=str, required=True,
                    help="teacher TrainState checkpoint directory")
     p.add_argument("--method", type=str, default="reflow",
-                   choices=["reflow", "consistency", "progressive"],
+                   choices=["reflow", "consistency", "progressive", "guided"],
                    help="reflow = flow-teacher straightening; consistency = "
                         "DDPM-teacher consistency distillation; progressive "
-                        "= Salimans-Ho halving rounds (DDPM teachers)")
+                        "= Salimans-Ho halving rounds (DDPM teachers); "
+                        "guided = fold the CFG-combined teacher into a "
+                        "single-call student (arXiv:2210.03142; class-"
+                        "conditional flow or DDPM teachers)")
+    p.add_argument("--guidance_scale", type=float, default=3.0,
+                   help="guided: the CFG scale w baked into the student")
+    p.add_argument("--pool_n", type=int, default=4096,
+                   help="guided+ddpm: teacher-sample x0 pool size (the "
+                        "regression stays data-free like consistency)")
+    p.add_argument("--pool_steps", type=int, default=50,
+                   help="guided+ddpm: teacher DDIM steps for the pool")
     p.add_argument("--pd_base_steps", type=int, default=16,
                    help="progressive: round-1 teacher grid size (halves "
                         "each round; final student = base/2^rounds steps)")
@@ -105,6 +115,13 @@ def main(args):
     from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
 
     preset = get_preset(args.preset)
+    if args.method == "guided":
+        assert preset.num_classes > 0, (
+            "guidance distillation folds CLASSIFIER-FREE guidance — the "
+            f"teacher preset must be class-conditional (preset "
+            f"{preset.name!r} has num_classes=0; use cflow64/cddpm64)")
+        assert preset.process in ("flow", "ddpm"), preset.process
+        return _guided_main(args, preset)
     if args.method in ("consistency", "progressive"):
         assert preset.process == "ddpm", (
             f"{args.method} distillation needs a DDPM-chain teacher; preset "
@@ -517,6 +534,245 @@ def _progressive_main(args, preset):
     print(f"student checkpoint: {ckpt_path}")
     print(json.dumps({k: v for k, v in results.items()
                       if k.startswith(("teacher", "round"))}))
+    return results
+
+
+def _guided_main(args, preset):
+    """Guidance distillation (Meng et al., arXiv:2210.03142): fold the
+    CFG-combined class-conditional teacher into a single-call student, so
+    guided sampling stops paying the doubled batch.
+
+    * flow teachers: couplings are simulated from the GUIDED probability-
+      flow ODE (``cfg_model_fn`` wraps the teacher; both CFG branches live
+      in one jaxpr) and the class-conditional student re-fits on the paired
+      endpoints — one stage buys BOTH the CFG fold and ReFlow's few-step
+      straightening, so the student samples guided-quality classes at 1-4
+      unguided Euler calls.
+    * ddpm teachers: single-call regression — the student matches the
+      guided eps-prediction at q-sampled points of a teacher-sample pool
+      (data-free, like the consistency path); same-NFE sampling at half
+      the per-step cost.
+
+    The student keeps a fixed w (the paper's w-conditioned variant needs a
+    w-embedding input the backbones don't carry; a per-w student is the
+    fixed-scale row of the paper's Table 2).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from eo_diffusion_tpu.cli.presets import build_denoiser, build_process
+    from eo_diffusion_tpu.diffusion.distill import (
+        cfg_model_fn,
+        endpoint_gap,
+        generate_couplings,
+        straightness,
+    )
+    from eo_diffusion_tpu.train.checkpoint import restore_params, save_checkpoint
+    from eo_diffusion_tpu.train.trainer import TrainState, make_train_step
+
+    if args.image_size:
+        preset.image_size = args.image_size
+    batch_size = args.batch_size or preset.batch_size
+    n_classes = preset.num_classes
+    w = args.guidance_scale
+    process = build_process(preset, preset.timesteps, preset.image_size,
+                            cond_type=None)
+    # the null embedding row MUST exist (cfg_model_fn indexes class
+    # num_classes); teachers are trained with CFG label dropout (the
+    # class-conditional presets default class_dropout=0.15) — a teacher
+    # without the row would NaN on the unconditional branch
+    mcfg = preset.model_config(bf16=not args.no_bf16,
+                               class_dropout_prob=preset.class_dropout or 0.1)
+    model = build_denoiser(mcfg)
+    dtype = jnp.float32 if args.no_bf16 else jnp.bfloat16
+
+    x0 = jnp.zeros((1, process.image_size, process.image_size,
+                    process.in_channels), jnp.float32)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0), x0,
+                                   jnp.zeros((1,), jnp.int32),
+                                   y=jnp.zeros((1,), jnp.int32))
+    try:
+        raw, ema = restore_params(args.ckpt, template)
+    except Exception as e:
+        raise SystemExit(
+            f"failed to restore the guided teacher from {args.ckpt}: {e}\n"
+            "guidance distillation needs a teacher trained WITH CFG label "
+            "dropout (the null class row) — train with --preset cflow64/"
+            "cddpm64 (class_dropout defaults on) or pass --class_dropout")
+    teacher = jax.tree.map(jnp.asarray, raw if args.use_raw_params else ema)
+    print(f"teacher loaded from {args.ckpt} (w={w:g}, {n_classes} classes)")
+
+    apply5 = lambda p, x, t, c, y: model.apply(p, x, t, cond=c, y=y)
+    # the guided teacher: CFG folded into one fn (two calls in one jaxpr)
+    apply5g = lambda p, x, t, c, y: cfg_model_fn(
+        lambda xx, tt, cc, yy: model.apply(p, xx, tt, cond=cc, y=yy),
+        w, n_classes)(x, t, c, y)
+
+    rng = jax.random.PRNGKey(args.seed)
+    npr = np.random.default_rng(args.seed)
+    results = {"guidance_scale": w, "process": preset.process}
+
+    if preset.process == "flow":
+        y_pairs = npr.integers(0, n_classes, args.n_pairs).astype(np.int32)
+        t0 = time.time()
+        eps, x1 = generate_couplings(
+            process, apply5g, rng, args.n_pairs, num_steps=args.pair_steps,
+            method=args.pair_method, batch_size=batch_size, dtype=dtype,
+            y=y_pairs, params=teacher)
+        print(f"{args.n_pairs} GUIDED couplings via {args.pair_method}-"
+              f"{args.pair_steps} in {time.time()-t0:.1f}s")
+
+        eval_eps = jax.random.normal(
+            jax.random.fold_in(rng, 10_007),
+            (args.eval_n, process.image_size, process.image_size,
+             process.in_channels), jnp.float32)
+        eval_y = jnp.asarray(np.arange(args.eval_n) % n_classes, jnp.int32)
+        eval_x1 = jax.jit(lambda tp, e, yy: process.sample(
+            lambda x, t, c, y: apply5g(tp, x, t, c, y), rng, args.eval_n,
+            num_steps=args.pair_steps, method=args.pair_method, x_T=e,
+            y=yy, dtype=dtype).x)(teacher, eval_eps, eval_y)
+
+        def score(params, fn5, label):
+            out = {"straightness": float(straightness(
+                process, fn5, eval_eps, eval_x1, y=eval_y, params=params))}
+            for k in args.few_steps:
+                out[f"euler{k}_gap"] = float(endpoint_gap(
+                    process, fn5, eval_eps, few_steps=k, dtype=dtype,
+                    y=eval_y, params=params))
+            print(f"[{label}] " + "  ".join(f"{k}={v:.4f}"
+                                            for k, v in out.items()))
+            return out
+
+        results["teacher"] = score(teacher, apply5g, "guided teacher")
+
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, max(args.steps // 20, 1), args.steps,
+            args.lr * 0.01)
+        tx = optax.adamw(sched)
+        state = TrainState.create(jax.tree.map(jnp.copy, teacher), tx)
+        step_fn = make_train_step(
+            process, lambda p, x, t, cond=None, y=None, train=False,
+            dropout_rng=None: model.apply(p, x, t, cond=cond, y=y),
+            tx, ema_decay=args.ema_decay, ema_every=1, ema_warmup=False,
+            class_conditional=True, class_dropout_prob=0.0,
+            num_classes=n_classes)
+        # device-resident couplings with index-only feeds: per-step host
+        # batch feeds leak host RSS through the axon tunnel (CLAUDE.md)
+        import functools
+
+        from eo_diffusion_tpu.data.device_cache import DeviceDataCache
+
+        cache = DeviceDataCache({"image": x1, "noise": eps,
+                                 "label": y_pairs})
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def jstep(state, tensors, r):
+            i_rng, s_rng = jax.random.split(r)
+            idx = jax.random.randint(i_rng, (batch_size,), 0,
+                                     tensors["image"].shape[0])
+            mb = {k: v[idx] for k, v in tensors.items()}
+            return step_fn(state, mb, s_rng)
+
+        t0 = time.time()
+        loss0 = loss = None
+        for i in range(args.steps):
+            rng, srng = jax.random.split(rng)
+            state, m = jstep(state, cache.tensors, srng)
+            if i == 0:
+                loss0 = float(m["loss"])
+            if (i + 1) % max(args.steps // 10, 1) == 0:
+                loss = float(m["loss"])
+                print(f"step {i+1}/{args.steps} loss={loss:.5f} "
+                      f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)")
+        print(f"re-fit: loss {loss0:.5f} -> {loss:.5f}")
+        results["student"] = score(state.ema_params, apply5,
+                                   "single-call student")
+    else:  # ddpm: single-call guided-eps regression on a teacher pool
+        n_pool = args.pool_n
+        y_pool = npr.integers(0, n_classes, n_pool).astype(np.int32)
+        y_null = jnp.full((batch_size,), n_classes, jnp.int32)
+
+        def draw(tp, r, yy):
+            return process.ddim_sample(
+                lambda x, t, c, y: apply5(tp, x, t, c, y), r, batch_size,
+                num_steps=args.pool_steps, y=yy, guidance_scale=w,
+                y_uncond=y_null, clip=True, dtype=dtype,
+            ).x.astype(jnp.float32)
+
+        jd = jax.jit(draw)
+        pool = []
+        t0 = time.time()
+        for i in range(-(-n_pool // batch_size)):
+            yy = jnp.asarray(np.resize(y_pool[i * batch_size:(i + 1) * batch_size],
+                                       batch_size))
+            pool.append(np.asarray(jd(teacher, jax.random.PRNGKey(700 + i), yy)))
+        pool = np.concatenate(pool)[:n_pool]
+        print(f"{n_pool} guided teacher samples (DDIM-{args.pool_steps}, "
+              f"w={w:g}) in {time.time()-t0:.1f}s")
+
+        T = process.timesteps
+
+        def loss_fn(p, tp, x0b, yb, r):
+            r1, r2 = jax.random.split(r)
+            t = jax.random.randint(r1, (x0b.shape[0],), 0, T)
+            noise = jax.random.normal(r2, x0b.shape, jnp.float32)
+            x_t = process.q_sample(x0b, t, noise).astype(dtype)
+            target = jax.lax.stop_gradient(
+                apply5g(tp, x_t, t, None, yb).astype(jnp.float32))
+            pred = apply5(p, x_t, t, None, yb).astype(jnp.float32)
+            return jnp.mean((pred - target) ** 2)
+
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, max(args.steps // 20, 1), args.steps,
+            args.lr * 0.01)
+        tx = optax.adamw(sched)
+        state = TrainState.create(jax.tree.map(jnp.copy, teacher), tx)
+
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def jstep(state, tp, x0b, yb, r):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, tp,
+                                                      x0b, yb, r)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = jax.tree.map(
+                lambda e, q: args.ema_decay * e + (1 - args.ema_decay) * q,
+                state.ema_params, params)
+            return state.replace(params=params, opt_state=opt_state,
+                                 ema_params=ema,
+                                 step=state.step + 1), loss
+
+        pool_d = jnp.asarray(pool)
+        y_d = jnp.asarray(y_pool)
+        t0 = time.time()
+        loss0 = loss = None
+        for i in range(args.steps):
+            idx = jnp.asarray(npr.integers(0, n_pool, batch_size))
+            rng, srng = jax.random.split(rng)
+            state, l = jstep(state, teacher, pool_d[idx], y_d[idx], srng)
+            if i == 0:
+                loss0 = float(l)
+            if (i + 1) % max(args.steps // 10, 1) == 0:
+                loss = float(l)
+                print(f"step {i+1}/{args.steps} loss={loss:.5f} "
+                      f"({(time.time()-t0)/(i+1)*1e3:.0f} ms/step)")
+        print(f"regression: loss {loss0:.5f} -> {loss:.5f}")
+        results["teacher"] = {"pool_steps": args.pool_steps}
+        results["student"] = {"regression_loss_first": loss0,
+                              "regression_loss_final": loss}
+
+    os.makedirs(args.dir, exist_ok=True)
+    ckpt_path = save_checkpoint(os.path.abspath(args.dir),
+                                jax.device_get(state), name="student")
+    results["config"] = {k: v for k, v in vars(args).items()}
+    with open(os.path.join(args.dir, "distill_metrics.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"student checkpoint: {ckpt_path}")
+    print(json.dumps({k: results[k] for k in ("teacher", "student")}))
     return results
 
 

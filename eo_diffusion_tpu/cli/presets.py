@@ -55,6 +55,13 @@ class Preset:
     # one-step generation, arXiv:2505.13447); its backbones are built
     # dual_time (the model takes (t, r) packed as [N, 2]).
     process: str = "ddpm"  # "ddpm" | "flow" | "edm" | "bridge" | "meanflow"
+    # MeanFlow CFG-integrated training (paper §4): omega > 1 bakes
+    # omega-guided sampling into the learned field (1-NFE guided samples
+    # from a single conditional call). Needs num_classes > 0.
+    mf_cfg_omega: float = 1.0
+    # default CFG label-dropout for class-conditional presets (allocates
+    # the null embedding row; cli/train's --class_dropout overrides)
+    class_dropout: float = 0.0
     # DDPM prediction objective + Lin et al. 2023 schedule fix
     # (arXiv:2305.08891, beyond-reference): zero_terminal_snr rescales the
     # schedule so SNR(T)=0 (requires objective="v"); pair with
@@ -255,10 +262,41 @@ PRESETS = {
     "dit256": Preset("dit256", "synthetic", 256, 3, 768, (), (), 0, 12,
                      batch_size=16, backbone="dit", patch_size=8, depth=12,
                      process="flow"),
+    # the production LDM configuration (VERDICT r4 item 2): f4 ConvAE first
+    # stage at 256px, DiT-B/4 + rectified flow on the 64x64x4 latent grid
+    # (256 tokens vs dit256's 1024 pixel-space tokens; the AE amortizes
+    # away 16x of the denoiser's spatial area)
+    "latent256": Preset("latent256", "synthetic_hard", 256, 3, 768, (), (),
+                        0, 12, batch_size=32, backbone="dit", patch_size=4,
+                        depth=12, process="flow", latent_downs=2,
+                        latent_channels=4, ae_base_dim=128, ae_steps=6000),
+    "tiny-latent-dit": Preset("tiny-latent-dit", "synthetic", 16, 3, 64,
+                              (), (), 0, 4, timesteps=50, batch_size=16,
+                              backbone="dit", patch_size=2, depth=2,
+                              process="flow", latent_downs=2,
+                              latent_channels=4, ae_base_dim=16,
+                              ae_steps=16),
     # beyond-reference: rectified-flow training on the synthetic64 UNet
     # (samples in 8-32 Euler/Heun steps, no beta schedule)
     "flow64": Preset("flow64", "synthetic", 64, 3, 64, (1, 2, 3, 4), (4, 8), 1, 4,
                      batch_size=64, process="flow"),
+    # class-conditional rectified flow on the hard fixture: the guided-
+    # distillation teacher (cli/distill.py --method guided) — train with
+    # CFG label dropout, sample with --guidance_scale, then distill the
+    # guided ODE into a single-call student (arXiv:2210.03142)
+    "cflow64": Preset("cflow64", "synthetic_hard", 64, 3, 64, (1, 2, 3, 4),
+                      (4, 8), 1, 4, batch_size=64, process="flow",
+                      num_classes=5, class_dropout=0.15),
+    "tiny-cflow": Preset("tiny-cflow", "synthetic_hard", 8, 3, 32, (1, 2),
+                         (), 1, 1, timesteps=50, batch_size=16,
+                         process="flow", num_classes=5, class_dropout=0.15),
+    # class-conditional DDPM sibling (guided distillation's eps-teacher)
+    "cddpm64": Preset("cddpm64", "synthetic_hard", 64, 3, 64, (1, 2, 3, 4),
+                      (4, 8), 1, 4, batch_size=64, num_classes=5,
+                      class_dropout=0.15),
+    "tiny-cddpm": Preset("tiny-cddpm", "synthetic_hard", 8, 3, 32, (1, 2),
+                         (), 1, 1, timesteps=50, batch_size=16,
+                         num_classes=5, class_dropout=0.15),
     # CI / CPU smoke configs for the two new axes
     "tiny-dit": Preset("tiny-dit", "synthetic", 16, 3, 64, (), (), 0, 4,
                        timesteps=50, batch_size=16,
@@ -283,6 +321,16 @@ PRESETS = {
                          (4, 8), 1, 4, batch_size=64, process="meanflow"),
     "tiny-meanflow": Preset("tiny-meanflow", "synthetic", 8, 3, 32, (1, 2),
                             (), 1, 1, batch_size=16, process="meanflow"),
+    # CFG-integrated MeanFlow (paper §4): guidance baked into the learned
+    # field at train time — 1-NFE class-guided samples from ONE call
+    "cmeanflow64": Preset("cmeanflow64", "synthetic_hard", 64, 3, 64,
+                          (1, 2, 3, 4), (4, 8), 1, 4, batch_size=64,
+                          process="meanflow", num_classes=5,
+                          mf_cfg_omega=2.0),
+    "tiny-cmeanflow": Preset("tiny-cmeanflow", "synthetic_hard", 8, 3, 32,
+                             (1, 2), (), 1, 1, batch_size=16,
+                             process="meanflow", num_classes=5,
+                             mf_cfg_omega=2.0),
     # backbone x process composition smoke: dual-time DiT under MeanFlow
     "tiny-dit-meanflow": Preset("tiny-dit-meanflow", "synthetic", 16, 3, 64,
                                 (), (), 0, 4, batch_size=16, backbone="dit",
@@ -377,8 +425,14 @@ def build_process(preset: Preset, timesteps: int, image_size: int,
 
         # same conditioning semantics as flow: "sum" is sampling-time-only
         # masked inpainting (mask/x0 on .sample), "concat" feeds the model
+        kw = {}
+        if preset.mf_cfg_omega != 1.0:
+            assert preset.num_classes > 0, (
+                "mf_cfg_omega needs a class-conditional preset")
+            kw = dict(cfg_omega=preset.mf_cfg_omega,
+                      cfg_null_index=preset.num_classes)
         return MeanFlow.create(image_size=size, in_channels=chans,
-                               cond_type=cond_type)
+                               cond_type=cond_type, **kw)
     if preset.process == "edm":
         from eo_diffusion_tpu.diffusion.edm import EDMProcess
 

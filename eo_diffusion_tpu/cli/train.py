@@ -196,6 +196,21 @@ def main(args):
     if args.model_base_dim:
         preset.base_dim = args.model_base_dim
     cond_type = args.cond_type or preset.cond_type
+    if args.num_classes == 0 and preset.num_classes:
+        # class-conditional presets (cflow64/cddpm64) train conditional by
+        # default — without this the model builds conditional (preset
+        # num_classes) but the Trainer would feed y=None
+        args.num_classes = preset.num_classes
+    if args.class_dropout == 0.0 and preset.class_dropout:
+        # class-conditional presets default to CFG label dropout (the null
+        # embedding row must exist for guidance / guided distillation)
+        args.class_dropout = preset.class_dropout
+    if preset.process == "meanflow" and preset.mf_cfg_omega != 1.0 \
+            and args.class_dropout == 0.0:
+        # CFG-integrated MeanFlow: the null embedding row must exist
+        # (model class_dropout_prob > 0 allocates it); the LOSS owns the
+        # actual dropout — the Trainer zeroes its own (trainer.py)
+        args.class_dropout = 0.1
     num_classes = args.num_classes if args.num_classes > 0 else None
     ckpt_dir = os.path.join("logs", os.path.split(args.dir)[1])
 

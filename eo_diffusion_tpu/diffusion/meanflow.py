@@ -91,6 +91,18 @@ class MeanFlow:
     # adaptive_p = 0 recovers plain MSE.
     adaptive_p: float = 1.0
     adaptive_c: float = 1e-3
+    # CFG-INTEGRATED training (paper §4, eq. 24 / Alg. 3 — the variant that
+    # sets the paper's SOTA): cfg_omega > 1 replaces the tangent/target
+    # velocity with the guided field
+    #     v~ = omega * v + (1 - omega) * sg(u_theta(z_t, t, t | null)),
+    # so the learned u IS the omega-guided average velocity and 1-NFE
+    # sampling yields guided samples from a SINGLE conditional call (no
+    # batch-doubling, ever). Needs class labels: cfg_null_index is the
+    # learned null row (num_classes); cfg_dropout both trains the null
+    # branch and switches those samples' target to the plain identity.
+    cfg_omega: float = 1.0
+    cfg_dropout: float = 0.1
+    cfg_null_index: Optional[int] = None
 
     @classmethod
     def create(cls, image_size: int = 64, in_channels: int = 3,
@@ -141,7 +153,7 @@ class MeanFlow:
         ``stop_gradient`` (paper Alg. 1): gradients flow only through the
         primal prediction ``u``.
         """
-        tr_rng, n_rng = jax.random.split(rng)
+        tr_rng, n_rng, drop_rng = jax.random.split(rng, 3)
         n = x0.shape[0]
         t, r = self._sample_tr(tr_rng, n)
         eps = (noise.astype(jnp.float32) if noise is not None
@@ -151,14 +163,36 @@ class MeanFlow:
         z = ((1.0 - tb) * x0f + tb * eps).astype(x0.dtype)
         v = eps - x0f  # conditional (straight-line) velocity, dz/dt
 
+        use_cfg = self.cfg_omega != 1.0
+        if use_cfg:
+            assert y is not None and self.cfg_null_index is not None, (
+                "cfg_omega != 1 is CFG-integrated training (paper §4): it "
+                "needs class labels and cfg_null_index (the null row)")
+            # internal label dropout: the null branch must ALSO be trained
+            # (it appears inside the guided target), and dropped samples'
+            # target degrades to the plain identity (omega=1), per Alg. 3
+            y_null = jnp.full_like(y, self.cfg_null_index)
+            dropped = jax.random.uniform(drop_rng, (n,)) < self.cfg_dropout
+            y = jnp.where(dropped, y_null, y)
+            # one extra (stop-graded) forward: the model's own estimate of
+            # the MARGINAL velocity — u at r == t with the null class
+            u_null = jax.lax.stop_gradient(
+                model_fn(z, self.pack_time(t, t), cond, y_null)
+            ).astype(jnp.float32)
+            v_tilde = self.cfg_omega * v + (1.0 - self.cfg_omega) * u_null
+            # dropped samples train the unconditional field: plain v
+            v_tilde = jnp.where(dropped[:, None, None, None], v, v_tilde)
+        else:
+            v_tilde = v
+
         def u_fn(zz, tt, rr):
             return model_fn(zz, self.pack_time(tt, rr), cond, y)
 
         u, dudt = jax.jvp(
             u_fn, (z, t, r),
-            (v.astype(z.dtype), jnp.ones_like(t), jnp.zeros_like(r)))
+            (v_tilde.astype(z.dtype), jnp.ones_like(t), jnp.zeros_like(r)))
         u = u.astype(jnp.float32)
-        target = v - (t - r)[:, None, None, None] * dudt.astype(jnp.float32)
+        target = v_tilde - (t - r)[:, None, None, None] * dudt.astype(jnp.float32)
         delta = u - jax.lax.stop_gradient(target)
         sq = jnp.mean(delta**2, axis=(1, 2, 3))  # per-sample [N]
         if self.adaptive_p:
@@ -204,12 +238,12 @@ class MeanFlow:
         — higher-order correctors would re-integrate what u already
         aggregates — so anything else is rejected.
 
-        CFG here is the *sampling-time* combine on u (shared
-        ``cfg_double_inputs``/``cfg_combine`` policy). The paper instead
-        folds guidance into the training target (their eq. 24, keeping
-        1-NFE sampling); that variant needs a cond/uncond double model
-        call inside ``train_loss`` and is not implemented — sample-time
-        CFG on u is the same approximation every other process here uses.
+        CFG at sampling time is the shared ``cfg_double_inputs``/
+        ``cfg_combine`` policy — the right tool for models trained with
+        ``cfg_omega == 1``. Models trained CFG-INTEGRATED (``cfg_omega >
+        1``, paper §4) need none of it: guidance is baked into the learned
+        field, so sample class-conditionally with ``guidance_scale=1`` and
+        one call per step.
 
         ``mask``/``x0``: RePaint-style composite — exact on this path
         because the time-t marginal IS the linear interpolation (same

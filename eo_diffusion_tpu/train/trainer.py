@@ -339,8 +339,13 @@ class Trainer:
             class_conditional=cfg.num_classes > 0,
             use_cond=cfg.cond_type == "concat",
             # the module config attribute is .config (UNet) or .cfg (DiT);
-            # the train step is the single owner of CFG label dropout
-            class_dropout_prob=getattr(model_cfg, "class_dropout_prob", 0.0),
+            # the train step is the single owner of CFG label dropout —
+            # EXCEPT for CFG-integrated MeanFlow (cfg_omega != 1), whose
+            # loss owns dropout internally (it must know which samples
+            # dropped to switch their target to the plain identity)
+            class_dropout_prob=(
+                0.0 if getattr(self.diffusion, "cfg_omega", 1.0) != 1.0
+                else getattr(model_cfg, "class_dropout_prob", 0.0)),
             num_classes=cfg.num_classes,
             moe_aux_weight=cfg.moe_aux_weight if num_experts else 0.0,
         )

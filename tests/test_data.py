@@ -526,3 +526,78 @@ class TestClassCorrelatedSynthetic:
         a = SyntheticEO(size=8, length=2)[0]["image"]
         b = SyntheticEO(size=8, length=2, class_correlated=False)[0]["image"]
         np.testing.assert_array_equal(a, b)
+
+
+class TestSen12DressRehearsal:
+    """VERDICT r4 item 7a: full-fidelity SEN12MS-CR rehearsal — REAL
+    multi-band uint16/float32 GeoTIFF bytes on disk, the sen12mscr factory
+    composed with the NATIVE default reader (no injected stubs), one real
+    cli.train step end to end."""
+
+    def _write_tree(self, root, size=8, scenes=(10, 42), patches=(3, 7)):
+        from tests.test_tiff_native import write_tiff
+
+        from eo_diffusion_tpu.data.sen12ms_cr import Seasons
+
+        season = Seasons.SUMMER.value
+        rng = np.random.default_rng(0)
+        for scene in scenes:
+            for sensor, bands, dtype in (("s1", 2, np.float32),
+                                         ("s2", 13, np.uint16),
+                                         ("s2_cloudy", 13, np.uint16)):
+                d = os.path.join(root, season, f"{sensor}_{scene}")
+                os.makedirs(d, exist_ok=True)
+                for pid in patches:
+                    if dtype is np.uint16:
+                        arr = rng.integers(0, 10000,
+                                           (size, size, bands)).astype(dtype)
+                    else:
+                        arr = rng.normal(-10, 3,
+                                         (size, size, bands)).astype(dtype)
+                    write_tiff(os.path.join(
+                        d, f"{season}_{sensor}_{scene}_p{pid}.tif"), arr,
+                        rows_per_strip=4)
+        return season
+
+    def test_factory_native_reader_composition(self, tmp_path):
+        """Factory -> SEN12MSCRCloudRemoval -> native TIFF decode of real
+        13-band uint16 bytes; correct band slice + reflectance scaling."""
+        from eo_diffusion_tpu.data.factories import create_sen12mscr_dataloaders
+
+        self._write_tree(str(tmp_path))
+        train_ds, test_ds = create_sen12mscr_dataloaders(
+            batch_size=2, root=str(tmp_path), return_dataset=True)
+        assert len(train_ds) + len(test_ds) == 4
+        it = train_ds[0]
+        assert it["image"].shape == (8, 8, 3)
+        assert it["cond_image"].shape == (8, 8, 3)
+        assert it["sar"].shape == (8, 8, 2)
+        assert 0.0 <= it["image"].min() and it["image"].max() <= 1.0
+        assert it["image"].max() > 0.1  # real decoded DNs, not zeros
+
+    def test_cli_train_step_on_real_tiffs(self, tmp_path):
+        """One cli.train step (tiny-cr concat-conditioned preset) fed
+        entirely from the on-disk GeoTIFF tree via the native reader."""
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        # batch 8: the test mesh is 8 virtual devices and the DP sharding
+        # needs batch % devices == 0
+        self._write_tree(str(tmp_path / "SEN12MS_CR"),
+                         patches=tuple(range(8)))
+        sample_dir = str(tmp_path / "results")
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-cr", "--dataset", "sen12mscr",
+                "--data_root", str(tmp_path / "SEN12MS_CR"),
+                "--epochs", "1", "--steps_per_epoch", "2",
+                "--batch_size", "8", "--dir", sample_dir,
+                "--sample_every", "100", "--save_every", "2",
+                "--log_freq", "1", "--n_samples", "2",
+            ]))
+        finally:
+            os.chdir(cwd)
+        ckpt_root = os.path.join(str(tmp_path), "logs",
+                                 os.path.basename(sample_dir))
+        assert any(e.startswith("steps_") for e in os.listdir(ckpt_root))

@@ -341,3 +341,116 @@ class TestDistillCLI:
             assert os.listdir(os.path.join(infer_out, "samples_fid"))
         finally:
             os.chdir(cwd)
+
+
+class TestGuidedDistillation:
+    """Guidance distillation (arXiv:2210.03142; cli/distill.py --method
+    guided): cfg_model_fn folds the CFG pair into one teacher callable."""
+
+    def test_cfg_model_fn_combine_algebra(self):
+        from eo_diffusion_tpu.diffusion.distill import cfg_model_fn
+
+        def model_fn(x, t, cond, y):
+            # conditional branch returns 2, null branch returns 1
+            return jnp.where((y == 9)[:, None, None, None],
+                             jnp.ones_like(x), 2.0 * jnp.ones_like(x))
+
+        x = jnp.zeros((4, 8, 8, 3))
+        t = jnp.zeros((4,))
+        y = jnp.zeros((4,), jnp.int32)
+        out = cfg_model_fn(model_fn, 3.0, 9)(x, t, None, y)
+        # e_u=1, e_c=2 -> 1 + 3*(2-1) = 4
+        np.testing.assert_allclose(np.asarray(out), 4.0, atol=1e-6)
+
+    def test_cfg_model_fn_requires_labels(self):
+        from eo_diffusion_tpu.diffusion.distill import cfg_model_fn
+
+        fn = cfg_model_fn(lambda x, t, c, y: x, 2.0, 5)
+        with pytest.raises(AssertionError, match="class labels"):
+            fn(jnp.zeros((2, 4, 4, 3)), jnp.zeros((2,)), None, None)
+
+    def test_cfg_model_fn_rescale_restores_std(self):
+        """guidance_rescale=1 rescales the guided output to the
+        conditional branch's per-sample std (arXiv:2305.08891)."""
+        from eo_diffusion_tpu.diffusion.distill import cfg_model_fn
+
+        rng = np.random.default_rng(0)
+        e_c = jnp.asarray(rng.normal(size=(2, 8, 8, 3)), jnp.float32)
+
+        def model_fn(x, t, cond, y):
+            null = (y == 7)[:, None, None, None]
+            return jnp.where(null, 0.25 * e_c, e_c)
+
+        out = cfg_model_fn(model_fn, 4.0, 7, guidance_rescale=1.0)(
+            jnp.zeros((2, 8, 8, 3)), jnp.zeros((2,)), None,
+            jnp.zeros((2,), jnp.int32))
+        np.testing.assert_allclose(
+            np.std(np.asarray(out), axis=(1, 2, 3)),
+            np.std(np.asarray(e_c), axis=(1, 2, 3)), rtol=1e-4)
+
+    def test_guided_couplings_follow_guided_ode(self):
+        """Couplings simulated through cfg_model_fn must land on the
+        guided ODE's endpoint, not the conditional one — checked on an
+        analytic pair of point-mass fields where the guided field is the
+        point mass at mu_u + w (mu_c - mu_u)."""
+        from eo_diffusion_tpu.diffusion.distill import cfg_model_fn
+
+        flow = FlowMatching.create(image_size=8, in_channels=3)
+        mu_c, mu_u, w = 0.6, 0.2, 2.0
+
+        def model_fn(x, t_scaled, cond, y):
+            t = (t_scaled / 1000.0)[:, None, None, None]
+            mu = jnp.where((y == 5)[:, None, None, None], mu_u, mu_c)
+            return (x - mu) / jnp.maximum(t, 1e-4)
+
+        guided = cfg_model_fn(model_fn, w, 5)
+        eps, x1 = generate_couplings(
+            flow, guided, jax.random.PRNGKey(0), 8, num_steps=64,
+            batch_size=8, y=np.zeros(8, np.int32))
+        mu_guided = mu_u + w * (mu_c - mu_u)  # = 1.0
+        np.testing.assert_allclose(x1.mean(), mu_guided, atol=0.05)
+
+    def test_cli_guided_flow_roundtrip(self, tmp_path):
+        """Train a tiny class-conditional flow teacher through the real
+        train CLI, guided-distill it, and check the student checkpoint +
+        metrics land (the full-size run is the chip capstone)."""
+        import os
+
+        from eo_diffusion_tpu.cli import distill as distill_cli
+        from eo_diffusion_tpu.cli import train as train_cli
+
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            train_cli.main(train_cli.parse_args([
+                "--preset", "tiny-cflow", "--epochs", "1",
+                "--steps_per_epoch", "10", "--batch_size", "16",
+                "--dir", "results/teacher", "--sample_every", "100",
+                "--save_every", "10", "--log_freq", "5",
+                "--n_samples", "4",
+            ]))
+            teacher = os.path.join("logs", "teacher", "steps_00000010")
+            outdir = str(tmp_path / "out")
+            results = distill_cli.main(distill_cli.parse_args([
+                "--preset", "tiny-cflow", "--method", "guided",
+                "--ckpt", teacher, "--dir", outdir,
+                "--steps", "5", "--n_pairs", "16", "--pair_steps", "2",
+                "--eval_n", "8", "--few_steps", "1", "--no_bf16",
+                "--guidance_scale", "2.0",
+            ]))
+            assert np.isfinite(results["teacher"]["euler1_gap"])
+            assert np.isfinite(results["student"]["euler1_gap"])
+            assert os.path.isdir(os.path.join(outdir, "student"))
+            assert os.path.exists(
+                os.path.join(outdir, "distill_metrics.json"))
+        finally:
+            os.chdir(cwd)
+
+    def test_guided_requires_class_conditional_preset(self):
+        from eo_diffusion_tpu.cli import distill as distill_cli
+
+        with pytest.raises(AssertionError, match="class-conditional"):
+            distill_cli.main(distill_cli.parse_args([
+                "--preset", "flow64", "--method", "guided",
+                "--ckpt", "/nonexistent",
+            ]))

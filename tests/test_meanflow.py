@@ -59,6 +59,8 @@ class TestMeanFlowMath:
         loss = self.mf.train_loss(bad, jax.random.PRNGKey(0), x0)
         assert float(loss) > 1e-3, float(loss)
 
+
+
     @pytest.mark.parametrize("num_steps", [1, 4])
     def test_sampling_exact_on_analytic_field(self, num_steps):
         """x = eps - 1 * u*(eps, 0, 1) = x* — one call, exact landing; the
@@ -129,6 +131,93 @@ class TestMeanFlowMath:
         assert out.intermediates.shape == (2, 2, SIZE, SIZE, CHANS)
 
 
+class TestCFGIntegrated:
+    """CFG-integrated training (paper §4, eq. 24): the tangent/target
+    velocity becomes v~ = omega v + (1-omega) sg(u(z,t,t|null))."""
+
+    def setup_method(self):
+        self.mf = MeanFlow.create(image_size=SIZE, in_channels=CHANS,
+                                  time_sampling="uniform", adaptive_p=0.0,
+                                  cfg_omega=2.0, cfg_null_index=5,
+                                  cfg_dropout=0.25)
+        self.x_star = jnp.tanh(
+            jnp.arange(SIZE * SIZE * CHANS, dtype=jnp.float32)
+            .reshape(1, SIZE, SIZE, CHANS) / 37.0)
+
+    def test_requires_labels(self):
+        x0 = jnp.tile(self.x_star, (8, 1, 1, 1))
+        model_fn = _analytic_field(self.x_star, self.mf.time_scale)
+        with pytest.raises(AssertionError, match="CFG-integrated"):
+            self.mf.train_loss(model_fn, jax.random.PRNGKey(0), x0)
+
+    def test_analytic_field_still_zero_loss(self):
+        """For point-mass data the marginal field equals the conditional
+        one, so v~ == v for ANY omega and the exact u* stays a zero of the
+        guided objective — the identity wiring is omega-invariant."""
+        x0 = jnp.tile(self.x_star, (16, 1, 1, 1))
+        y = jnp.zeros((16,), jnp.int32)
+        model_fn = _analytic_field(self.x_star, self.mf.time_scale)
+        loss = self.mf.train_loss(model_fn, jax.random.PRNGKey(0), x0, y=y)
+        assert float(loss) < 1e-6, float(loss)
+
+    def test_null_branch_sees_null_labels(self):
+        """The extra stop-graded forward must be called with the null row
+        (it estimates the MARGINAL field); the primal call must see real
+        (possibly dropped) labels."""
+        seen = []
+
+        def spy(z, tp, c, y):
+            seen.append(np.asarray(y))
+            t = tp[:, 0] / self.mf.time_scale
+            return (z.astype(jnp.float32) - self.x_star) / t[:, None, None, None]
+
+        x0 = jnp.tile(self.x_star, (8, 1, 1, 1))
+        y = jnp.asarray(np.arange(8) % 5, jnp.int32)
+        self.mf.train_loss(spy, jax.random.PRNGKey(3), x0, y=y)
+        # first trace call = u_null (all-null labels), later = primal/jvp
+        assert (seen[0] == 5).all()
+        assert any((s != 5).any() for s in seen[1:])
+
+    def test_guided_target_differs_from_plain(self):
+        """On a field whose null branch disagrees with the conditional one,
+        omega != 1 must change the loss (the guided mixture is real)."""
+        x0 = jnp.tile(self.x_star, (16, 1, 1, 1))
+        y = jnp.zeros((16,), jnp.int32)
+
+        def classy(z, tp, c, yy):
+            t = tp[:, 0] / self.mf.time_scale
+            base = (z.astype(jnp.float32) - self.x_star) / t[:, None, None, None]
+            return base + 0.3 * (yy == 5).astype(jnp.float32)[:, None, None, None]
+
+        plain = dataclasses.replace(self.mf, cfg_omega=1.0)
+        l_plain = float(plain.train_loss(classy, jax.random.PRNGKey(0), x0,
+                                         y=y))
+        l_cfg = float(self.mf.train_loss(classy, jax.random.PRNGKey(0), x0,
+                                         y=y))
+        assert abs(l_plain - l_cfg) > 1e-4, (l_plain, l_cfg)
+
+    def test_grads_flow_only_through_primal(self):
+        """stop_gradient walls: grads w.r.t. a scale on the null branch
+        must be zero; on the primal branch nonzero."""
+        x0 = jnp.tile(self.x_star, (8, 1, 1, 1))
+        y = jnp.zeros((8,), jnp.int32)
+
+        def loss_of(s_null, s_primal):
+            def fn(z, tp, c, yy):
+                t = tp[:, 0] / self.mf.time_scale
+                base = (z.astype(jnp.float32) - self.x_star
+                        ) / t[:, None, None, None]
+                is_null = (yy == 5).astype(jnp.float32)[:, None, None, None]
+                return base * (is_null * s_null + (1 - is_null) * s_primal)
+
+            # cfg_dropout=0 so no sample routes through the null PRIMAL path
+            mf = dataclasses.replace(self.mf, cfg_dropout=0.0)
+            return mf.train_loss(fn, jax.random.PRNGKey(1), x0, y=y)
+
+        g_null = float(jax.grad(loss_of, argnums=0)(1.0, 1.0))
+        g_primal = float(jax.grad(loss_of, argnums=1)(1.0, 1.0))
+        assert g_null == 0.0, g_null
+        assert abs(g_primal) > 1e-8, g_primal
 class TestDualTimeModels:
     def _loss_and_grads(self, model, params, mf, x0):
         """Grads after 2 warmup steps: the zero-init output heads make all
