@@ -553,7 +553,10 @@ def stage_cfg(ctx: Ctx, results: dict):
     if not os.path.exists(os.path.join(ck, "final")):
         sched = optax.warmup_cosine_decay_schedule(
             0.0, 1e-3, min(500, steps // 4 or 1), steps, 1e-5)
-        tx = optax.adamw(sched)
+        # grad clip: the class-conditional 64px model diverges right when
+        # warmup reaches 1e-3 (measured: loss 0.042@400 -> 1.02@500 with
+        # |params| blowing up); the unconditional base does not
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
         state = TrainState.create(jax.tree.map(jnp.copy, params0), tx)
         apply_fn = (lambda p, xx, tt, cond=None, y=None, train=False,
                     dropout_rng=None: model.apply(p, xx, tt, cond=cond, y=y))

@@ -130,7 +130,8 @@ def main():
     if not args.skip_train and not os.path.exists(os.path.join(tpath, "final")):
         sched = optax.warmup_cosine_decay_schedule(
             0.0, 1e-3, min(500, args.steps // 4 or 1), args.steps, 1e-5)
-        tx = optax.adamw(sched)
+        tx = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adamw(sched))
         state = TrainState.create(jax.tree.map(jnp.copy, params0), tx)
         step_fn = make_train_step(
             flow, lambda p, x, t, cond=None, y=None, train=False,
@@ -216,7 +217,7 @@ def main():
 
     sched = optax.warmup_cosine_decay_schedule(
         0.0, 1e-4, max(args.refit_steps // 20, 1), args.refit_steps, 1e-6)
-    tx = optax.adamw(sched)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
     state = TrainState.create(jax.tree.map(jnp.copy, teacher), tx)
     step_fn = make_train_step(
         flow, lambda p, x, t, cond=None, y=None, train=False,

@@ -127,7 +127,8 @@ def main():
         else:
             sched = optax.warmup_cosine_decay_schedule(
                 0.0, 1e-3, min(1000, args.steps // 10 or 1), args.steps, 1e-5)
-            tx = optax.adamw(sched)
+            tx = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adamw(sched))
             state = TrainState.create(jax.tree.map(jnp.copy, params0), tx)
             step_fn = make_train_step(
                 mf, lambda p, x, t, cond=None, y=None, train=False,

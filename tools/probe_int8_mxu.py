@@ -37,9 +37,10 @@ GALLERY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 def _time(fn, *args, iters=ITERS):
-    """Chained-iteration timing: compile, then time one fused loop call."""
+    """Chained-iteration timing: compile+warm the SAME n, then time it
+    (a different static n would recompile inside the timed region)."""
     j = jax.jit(fn, static_argnames=("n",))
-    out = j(*args, n=2)  # compile + warm
+    out = j(*args, n=iters)  # compile + warm
     _ = float(jnp.sum(out.astype(jnp.float32)))
     t0 = time.time()
     out = j(*args, n=iters)
@@ -78,6 +79,32 @@ def gemm_w8a8_dynamic(a, b8, bscale, n):
                                 preferred_element_type=jnp.int32)
         y = y.astype(jnp.float32) * (sx * bscale)
         return (y * 1e-3).astype(jnp.bfloat16)[:, :a.shape[1]]
+
+    return jax.lax.fori_loop(0, n, body, a)
+
+
+def rect_bf16(a, b, n):
+    """Rectangular GEMM chain: output feeds a cheap reduction back into the
+    next iteration's input (keeps iterations dependent without shape games)."""
+    def body(i, x):
+        y = jax.lax.dot_general(x, b, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        fb = jnp.mean(y) * 1e-6
+        return (a + fb.astype(a.dtype)).astype(jnp.bfloat16)
+
+    return jax.lax.fori_loop(0, n, body, a)
+
+
+def rect_w8a8_dynamic(a, b8, bscale, n):
+    def body(i, x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        sx = jnp.maximum(amax, 1e-12) / 127.0
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127,
+                     127).astype(jnp.int8)
+        y = jax.lax.dot_general(q, b8, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        fb = jnp.mean(y.astype(jnp.float32) * (sx * bscale)) * 1e-6
+        return (a + fb.astype(a.dtype)).astype(jnp.bfloat16)
 
     return jax.lax.fori_loop(0, n, body, a)
 
@@ -141,6 +168,25 @@ def main():
         }
         print(f"gemm{m}: {json.dumps(results[f'gemm{m}'], default=float)}",
               flush=True)
+
+    # --- DiT-B's dominant GEMMs (batch 32 x 256 latent tokens = M 8192) ----
+    for (m, k, n_out, tag) in ((8192, 768, 3072, "dit_mlp_up"),
+                               (8192, 3072, 768, "dit_mlp_down"),
+                               (8192, 768, 768, "dit_proj")):
+        a = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+        b = jnp.asarray(rng.normal(size=(k, n_out)), jnp.bfloat16)
+        a8 = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+        b8 = jnp.asarray(rng.integers(-127, 128, (k, n_out)), jnp.int8)
+        bsc = jnp.asarray(rng.uniform(0.005, 0.02, (1, n_out)), jnp.float32)
+        flops = 2 * m * k * n_out
+        t_bf = _time(rect_bf16, a, b)
+        t_dyn = _time(rect_w8a8_dynamic, a, b8, bsc)
+        results[tag] = {
+            "bf16_tf_s": flops / t_bf / 1e12,
+            "w8a8_dyn_tf_s": flops / t_dyn / 1e12,
+            "w8a8_dyn_speedup": t_bf / t_dyn,
+        }
+        print(f"{tag}: {json.dumps(results[tag], default=float)}", flush=True)
 
     # --- the 256px sampler's dominant conv shapes (clouds UNet, PERF.md) ----
     # (batch 8 as in the headline protocol; channels x resolution ladder)
