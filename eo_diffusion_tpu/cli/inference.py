@@ -114,6 +114,12 @@ def parse_args(argv=None):
     parser.add_argument("--tome_mlp", action="store_true",
                         help="extend --tome_ratio's merge around the MLP "
                              "branch too (faster, slightly lossier)")
+    parser.add_argument("--int8_compute", action="store_true",
+                        help="W8A8: large Dense matmuls run on the MXU "
+                             "int8 path with in-graph quantization — a "
+                             "DiT-preset lever (gallery/"
+                             "int8_mxu_probe.json); any checkpoint, no "
+                             "conversion")
     parser.add_argument("--freeu", type=str, default=None,
                         metavar="B1,B2,S1,S2",
                         help="FreeU (arXiv:2309.11497) on UNet presets: "
@@ -258,12 +264,23 @@ def _build_cond(batch, cond_type, image_size, random_label=False, mask_rng=None,
 
 
 def main(args):
+    import contextlib
+
     import jax.numpy as jnp
 
     from eo_diffusion_tpu.cli.presets import build_denoiser, build_process, get_preset
     from eo_diffusion_tpu.data.factories import DATASET_FACTORIES
     from eo_diffusion_tpu.utils import metrics as M
     from eo_diffusion_tpu.utils.images import rescale_to_unit, save_image_grid
+
+    if getattr(args, "int8_compute", False):
+        # trace-time routing: every sampler jit traced inside this context
+        # takes the W8A8 Dense path (nn/primitives.int8_dense_compute)
+        from eo_diffusion_tpu.nn.primitives import int8_dense_compute
+
+        with int8_dense_compute():
+            args.int8_compute = False  # re-entry guard
+            return main(args)
 
     preset = get_preset(args.preset)
     dataset = args.dataset or preset.dataset

@@ -46,6 +46,11 @@ def parse_args(argv=None):
                    help="weight-only int8 serving (utils/quantize.py): "
                         "kernels stored as per-channel int8 + scales, "
                         "dequantized inside the compiled program (W8A16)")
+    p.add_argument("--int8_compute", action="store_true",
+                   help="W8A8: large Dense matmuls run on the MXU int8 "
+                        "path (nn/primitives.int8_dense_compute) — a "
+                        "DiT-preset lever (2x on the proj GEMM, ~1x on "
+                        "convs; gallery/int8_mxu_probe.json)")
     p.add_argument("--guidance_rescale", type=float, default=0.0,
                    help="CFG-rescale phi (arXiv:2305.08891 §3.4)")
     p.add_argument("--guidance_interval", type=str, default=None,
@@ -199,7 +204,8 @@ def build_engine(args):
         num_classes=num_classes,
         has_null_class=has_null, cond_channels=cond_channels,
         bf16=not args.no_bf16, batch_window_ms=args.batch_window_ms,
-        request_timeout_s=args.request_timeout, dp=args.dp, int8=args.int8)
+        request_timeout_s=args.request_timeout, dp=args.dp, int8=args.int8,
+        int8_compute=args.int8_compute)
     engine = SamplerEngine(model, params, diffusion, image_size,
                            preset.in_channels, scfg)
     batcher = BatchingEngine(engine, base_seed=args.seed)

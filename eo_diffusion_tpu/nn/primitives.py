@@ -14,6 +14,7 @@ and OIHW->HWIO transposes from torch checkpoints.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import math
 from typing import Any, Optional
 
@@ -28,6 +29,7 @@ __all__ = [
     "ZeroConv",
     "Dense",
     "ZeroDense",
+    "int8_dense_compute",
     "avg_pool_2d",
     "nearest_upsample_2d",
 ]
@@ -134,7 +136,80 @@ def ZeroConv(
     )
 
 
-def Dense(features: int, *, dtype: Any = jnp.float32, name: Optional[str] = None) -> nn.Dense:
+# --------------------------------------------------------------------------
+# W8A8 int8 compute (VERDICT r4 item 4). Trace-time routing like
+# ops.attention's identity/sequence contexts: inside int8_dense_compute(),
+# Dense() returns a module with IDENTICAL param structure (kernel/bias,
+# f32 masters) whose matmul runs on the MXU's int8 path — per-output-
+# channel weight quantization and per-tensor dynamic activation
+# quantization happen in-graph, so ANY trained checkpoint serves quantized
+# with no conversion. Measured on-chip (gallery/int8_mxu_probe.json): the
+# win is matmul-shaped — 2.0x on the DiT [8192,768]x[768,768] proj, ~1.1x
+# on the 768->3072 MLP, <=1.0x on small or conv shapes — so only matmuls
+# above _INT8_MIN_* thresholds take the quantized path.
+# --------------------------------------------------------------------------
+
+_INT8_DENSE = False
+_INT8_MIN_ROWS = 1024
+_INT8_MIN_DIM = 256
+
+
+@_contextlib.contextmanager
+def int8_dense_compute():
+    """Context manager: route large Dense matmuls through int8 compute.
+
+    Enter around the model call while jit traces it (the serving engine
+    and cli.inference do this under ``--int8_compute``); the routing is
+    baked into the jaxpr.
+    """
+    global _INT8_DENSE
+    prev, _INT8_DENSE = _INT8_DENSE, True
+    try:
+        yield
+    finally:
+        _INT8_DENSE = prev
+
+
+class _Int8Dense(nn.Module):
+    """Drop-in nn.Dense with W8A8 matmul (same params: f32 kernel/bias)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if (rows < _INT8_MIN_ROWS or in_dim < _INT8_MIN_DIM
+                or self.features < _INT8_MIN_DIM):
+            # below the measured break-even: plain matmul (nn.Dense
+            # semantics — compute in self.dtype)
+            xd = x.astype(self.dtype)
+            return xd @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+        # per-output-channel symmetric weight quant (in-graph; XLA hoists
+        # the constant-foldable part, and the cost is trivial vs the matmul)
+        sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0), 1e-12) / 127.0
+        qw = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+        # dynamic per-tensor activation quant (f32 statistics)
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        qx = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            qx.reshape(rows, in_dim), qw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (sx * sw) + bias
+        return y.reshape(x.shape[:-1] + (self.features,)).astype(self.dtype)
+
+
+def Dense(features: int, *, dtype: Any = jnp.float32, name: Optional[str] = None):
+    if _INT8_DENSE:
+        return _Int8Dense(features=features, dtype=dtype, name=name)
     return nn.Dense(features=features, dtype=dtype, param_dtype=jnp.float32, name=name)
 
 

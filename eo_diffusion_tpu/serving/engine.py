@@ -76,6 +76,13 @@ class ServingConfig:
     # channel scales, dequantized inside the jitted program — halves param
     # HBM storage/read bandwidth at serving batch sizes (W8A16)
     int8: bool = False
+    # int8 COMPUTE (W8A8, nn/primitives.int8_dense_compute): large Dense
+    # matmuls run on the MXU's int8 path with in-graph per-channel weight +
+    # dynamic per-tensor activation quantization. Measured win is matmul-
+    # shaped (DiT proj 2.0x, MLP ~1.1x, convs ~1.0x — gallery/
+    # int8_mxu_probe.json), so this is a DiT-preset lever. Composes with
+    # int8 (storage) but they are independent knobs.
+    int8_compute: bool = False
     # shard each device batch over all visible chips ('data' mesh axis):
     # the samplers are pure jitted scans, so multi-chip serving is one
     # out_sharding — GSPMD partitions the whole trajectory with zero
@@ -178,6 +185,17 @@ class SamplerEngine:
                                             method=cfg.ddim_spacing,
                                             cond=cond, y=y, dtype=dtype, **kw)
             return out.x.astype(jnp.float32)
+
+        if cfg.int8_compute:
+            # trace-time routing: entering the context while jit traces
+            # bakes the int8 Dense path into the program
+            from eo_diffusion_tpu.nn.primitives import int8_dense_compute
+
+            base_run = run
+
+            def run(params, rng, y, cond):  # noqa: F811
+                with int8_dense_compute():
+                    return base_run(params, rng, y, cond)
 
         if cfg.dp and len(jax.devices()) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P

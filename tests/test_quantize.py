@@ -121,3 +121,101 @@ class TestInt8Serving:
         eng.swap_params(p2)  # must re-pack, not store raw floats
         out = eng.generate(jax.random.PRNGKey(0), None, None)
         assert np.isfinite(out).all()
+
+
+class TestW8A8Compute:
+    """int8 COMPUTE (nn/primitives.int8_dense_compute, VERDICT r4 item 4):
+    trace-time routing of large Dense matmuls onto the MXU int8 path with
+    identical param structure (any checkpoint, no conversion)."""
+
+    def _dit(self):
+        from eo_diffusion_tpu.models.dit import DiT, DiTConfig
+
+        cfg = DiTConfig(image_size=16, in_channels=3, out_channels=3,
+                        patch_size=2, hidden_size=256, depth=2, num_heads=4)
+        model = DiT(cfg)
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(16, 16, 16, 3)), jnp.float32)
+        t = jnp.zeros((16,), jnp.int32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+        return model, params, x, t
+
+    def test_params_structure_unchanged(self):
+        """A checkpoint initialized WITHOUT the context applies inside it
+        (same kernel/bias names) — and vice versa."""
+        from eo_diffusion_tpu.nn.primitives import int8_dense_compute
+
+        model, params, x, t = self._dit()
+        with int8_dense_compute():
+            params_q = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(params_q))
+        with int8_dense_compute():
+            _ = model.apply(params, x, t)  # plain ckpt under the context
+
+    def test_output_close_to_plain_forward(self):
+        """Quantization error stays small: the W8A8 forward correlates
+        ~1 with the plain one on a real DiT (per-channel weights +
+        per-tensor activations)."""
+        from eo_diffusion_tpu.nn.primitives import int8_dense_compute
+
+        model, params, x, t = self._dit()
+        # the zero-init output head makes the init forward identically 0;
+        # jitter every leaf so the comparison is non-trivial
+        params = jax.tree.map(
+            lambda p: p + 0.03 * jnp.sin(
+                jnp.arange(p.size, dtype=jnp.float32)).reshape(p.shape
+                                                               ).astype(p.dtype),
+            params)
+        ref = np.asarray(model.apply(params, x, t), np.float64).ravel()
+        with int8_dense_compute():
+            q = np.asarray(jax.jit(
+                lambda p, xx, tt: model.apply(p, xx, tt))(params, x, t),
+                np.float64).ravel()
+        denom = np.sqrt((ref ** 2).mean()) + 1e-12
+        rel = np.sqrt(((q - ref) ** 2).mean()) / denom
+        assert rel < 0.15, f"relative error {rel}"
+        corr = np.corrcoef(ref, q)[0, 1]
+        assert corr > 0.99, corr
+
+    def test_int8_dot_lands_in_hlo(self):
+        """The compiled program must contain a real s8 x s8 -> s32 dot —
+        the MXU int8 path, not a dequantize-then-bf16 fallback."""
+        from eo_diffusion_tpu.nn.primitives import int8_dense_compute
+
+        model, params, x, t = self._dit()
+        with int8_dense_compute():
+            lowered = jax.jit(
+                lambda p, xx, tt: model.apply(p, xx, tt)).lower(params, x, t)
+        hlo = lowered.as_text()  # StableHLO spells int8 as i8
+        assert "xi8>" in hlo and "xi32>" in hlo, "no int8 dot in the program"
+
+    def test_small_matmuls_stay_float(self):
+        """Below the measured break-even (rows/dims), Dense stays on the
+        float path — the timestep-embedding MLPs must not quantize."""
+        import flax.linen as nn_
+
+        from eo_diffusion_tpu.nn.primitives import Dense, int8_dense_compute
+
+        class Tiny(nn_.Module):
+            @nn_.compact
+            def __call__(self, x):
+                return Dense(64, name="d")(x)
+
+        x = jnp.ones((4, 32))
+        m = Tiny()
+        p = m.init(jax.random.PRNGKey(0), x)
+        with int8_dense_compute():
+            hlo = jax.jit(lambda pp, xx: m.apply(pp, xx)).lower(p, x).as_text()
+        assert "xi8>" not in hlo
+
+    def test_routing_restored_after_context(self):
+        import flax.linen as nn_
+
+        from eo_diffusion_tpu.nn import primitives as P
+
+        assert P._INT8_DENSE is False
+        with P.int8_dense_compute():
+            assert P._INT8_DENSE is True
+        assert P._INT8_DENSE is False
+        assert isinstance(P.Dense(8), nn_.Dense)
