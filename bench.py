@@ -198,6 +198,63 @@ def main():
     except Exception:
         pass
 
+    # rider: the same DiT flow sampler with W8A8 int8 compute
+    # (nn/primitives.int8_dense_compute — VERDICT r4 item 4; quality audit
+    # in gallery/w8a8_rider.json on the trained latent256 model)
+    w8a8_img_s = None
+    try:
+        from eo_diffusion_tpu.nn.primitives import int8_dense_compute
+
+        with int8_dense_compute():
+            f8 = jax.jit(sample_flow)
+            f8.lower(dparams, jax.random.PRNGKey(0)).compile()
+        float(f8(dparams, jax.random.PRNGKey(0)))
+        t0 = time.time()
+        for i in range(ITERS):
+            float(f8(dparams, jax.random.PRNGKey(i)))
+        w8a8_img_s = BATCH / ((time.time() - t0) / ITERS)
+    except Exception:
+        pass
+
+    # rider: the latent256 production LDM config (f4 decode + DiT-B/4 flow
+    # on the 64px latent grid — 256 tokens/call vs the pixel DiT's 1024;
+    # trained-quality grounding in gallery/latent256_metrics.json)
+    latent_img_s = None
+    try:
+        from eo_diffusion_tpu.models.autoencoder import (AutoencoderConfig,
+                                                         ConvAutoencoder)
+
+        lat, zc = IMAGE_SIZE // 4, 4
+        ae = ConvAutoencoder(AutoencoderConfig(
+            in_channels=3, latent_channels=zc, base_channels=128, num_down=2))
+        ae_params = jax.jit(ae.init)(jax.random.PRNGKey(1),
+                                     jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3)))
+        ldcfg = dit_b(lat, dtype=jnp.bfloat16)
+        import dataclasses as _dc2
+
+        ldcfg = _dc2.replace(ldcfg, in_channels=zc, out_channels=zc,
+                             patch_size=4)
+        lmodel = DiT(ldcfg)
+        lparams = jax.jit(lmodel.init)(
+            jax.random.PRNGKey(2), jnp.zeros((1, lat, lat, zc)),
+            jnp.zeros((1,), jnp.int32))
+        lfm = FlowMatching.create(image_size=lat, in_channels=zc)
+
+        def sample_latent(lp, ap, rng):
+            fn = lambda x, t, c, y: lmodel.apply(lp, x, t, cond=c, y=y)
+            z = lfm.sample(fn, rng, BATCH, num_steps=8, method="heun",
+                           dtype=jnp.bfloat16).x
+            return jnp.float32(jnp.sum(ae.apply(ap, z, method="decode")))
+
+        flat = jax.jit(sample_latent)
+        float(flat(lparams, ae_params, jax.random.PRNGKey(0)))
+        t0 = time.time()
+        for i in range(ITERS):
+            float(flat(lparams, ae_params, jax.random.PRNGKey(i)))
+        latent_img_s = BATCH / ((time.time() - t0) / ITERS)
+    except Exception:
+        pass
+
     # rider: ToMe token merging on the same DiT protocol (ops/tome.py,
     # arXiv:2303.17604) — parameter-free, so the SAME dparams apply; ratio
     # 0.375 takes the 1024-token grid to 640 (5x128 lanes) in every block's
@@ -236,6 +293,8 @@ def main():
                 "deepcache_k3_img_s": None if dc_img_s is None else round(dc_img_s, 3),
                 "dit_b8_img_s": None if dit_img_s is None else round(dit_img_s, 3),
                 "dit_flow_heun8_img_s": None if flow_img_s is None else round(flow_img_s, 3),
+                "dit_flow_heun8_w8a8_img_s": None if w8a8_img_s is None else round(w8a8_img_s, 3),
+                "latent256_heun8_img_s": None if latent_img_s is None else round(latent_img_s, 3),
                 "dit_tome375_img_s": None if tome_img_s is None else round(tome_img_s, 3),
             }
         )
