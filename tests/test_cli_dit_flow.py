@@ -105,6 +105,23 @@ class TestLatentFlowCLI:
         infer_cli.main(args)
         assert os.listdir(os.path.join(outdir, "samples_fid"))
 
+    def test_latent_dit_roundtrip(self, run_dirs):
+        """The latent256 production recipe at tiny scale (VERDICT r4 item
+        2): f4 ConvAE first stage + DiT + rectified flow on the latent
+        grid, trained and sampled through the CLIs."""
+        from eo_diffusion_tpu.cli import inference as infer_cli
+
+        sample_dir = os.path.join(run_dirs["root"], "results_ldit")
+        ckpt = _train("tiny-latent-dit", sample_dir)
+        outdir = os.path.join(run_dirs["infer"], "latent_dit")
+        args = infer_cli.parse_args([
+            "--preset", "tiny-latent-dit", "--ckpt", ckpt,
+            "--sampler_steps", "4", "--save", "--samples_fid",
+            "--n_iter", "0", "--batch_size", "4", "--outdir", outdir,
+        ])
+        infer_cli.main(args)
+        assert os.listdir(os.path.join(outdir, "samples_fid"))
+
 
 class TestFlowCLI:
     def test_sdedit_roundtrip(self, flow_ckpt, run_dirs):
