@@ -53,6 +53,10 @@ def parse_args(argv=None):
                    help="export weight-only int8 params (W8A16): the packed "
                         "int8 leaves + scales land in params.npz and the "
                         "dequant runs inside the exported program")
+    p.add_argument("--int8_compute", action="store_true",
+                   help="bake W8A8 int8 MXU compute into the exported "
+                        "program (nn/primitives.int8_dense_compute; "
+                        "DiT-preset lever)")
     p.add_argument("--ae_ckpt", type=str, default=None)
     p.add_argument("--platforms", type=str, default=None,
                    help="comma list (e.g. 'tpu,cpu'); default = current "

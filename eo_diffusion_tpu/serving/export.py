@@ -112,6 +112,7 @@ def export_engine(engine, out_dir: str, extra_meta: Optional[dict] = None,
         "guidance_scale": cfg.guidance_scale,
         "pag_scale": cfg.pag_scale,
         "int8": cfg.int8,
+        "int8_compute": cfg.int8_compute,
         "bf16": cfg.bf16,
     }
     if extra_meta:

@@ -290,3 +290,35 @@ class TestExportCLI:
                            capture_output=True, text=True, timeout=600)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "LOADER_OK" in r.stdout
+
+
+class TestW8A8Export:
+    def test_w8a8_program_round_trips(self, tmp_path):
+        """--int8_compute bakes the int8 MXU program into the artifact: the
+        deserialized program reproduces the live W8A8 engine byte-exactly
+        and the manifest records the mode."""
+        from eo_diffusion_tpu.cli.presets import (build_denoiser,
+                                                  build_process, get_preset)
+        from eo_diffusion_tpu.serving.engine import SamplerEngine, ServingConfig
+        from eo_diffusion_tpu.serving.export import export_engine, load_model
+
+        preset = get_preset("tiny-dit")
+        import dataclasses as _dc
+
+        dcfg = _dc.replace(preset.model_config(bf16=False),
+                           hidden_size=256, num_heads=4)
+        model = build_denoiser(dcfg)
+        diffusion = build_process(preset, 50, preset.image_size)
+        x0 = jnp.zeros((1, preset.image_size, preset.image_size, 3))
+        params = _jitter(jax.jit(model.init)(
+            jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32)))
+        cfg = ServingConfig(batch_size=64, sampler="ddim", steps=2,
+                            bf16=False, int8_compute=True)
+        engine = SamplerEngine(model, params, diffusion, preset.image_size,
+                               3, cfg)
+        out = str(tmp_path / "art_w8a8")
+        manifest = export_engine(engine, out)
+        assert manifest["int8_compute"]
+        generate, _ = load_model(out)
+        np.testing.assert_array_equal(
+            generate(4), engine.generate(jax.random.PRNGKey(4), None, None))
