@@ -89,6 +89,12 @@ class Ctx:
         return self._imgs, self._labels
 
     def extractor(self):
+        """Tile-averaged features: the extractor is trained on TILE-sized
+        crops (a 256px global-pool extractor saturates on the trivially
+        separable classes and goes blur-invariant — its ladder failed on
+        chip); 256px images are scored as the mean feature over the
+        non-overlapping tile grid, which keeps per-tile blur/noise
+        sensitivity."""
         if self._ext is None:
             from eo_diffusion_tpu.models.feature_cnn import (FeatureCNNConfig,
                                                              load_params,
@@ -98,7 +104,20 @@ class Ctx:
             widths = tuple(int(w) for w in meta["widths"])
             fcfg = FeatureCNNConfig(in_channels=3, widths=widths,
                                     num_classes=int(meta["num_classes"]))
-            self._ext = make_extractor(params, fcfg, batch=64)
+            tile = int(meta["tile"])
+            base = make_extractor(params, fcfg, batch=256)
+
+            def tiled(x):
+                x = np.asarray(x, np.float32)
+                n, h, w, c = x.shape
+                gh, gw = h // tile, w // tile
+                tiles = (x.reshape(n, gh, tile, gw, tile, c)
+                         .transpose(0, 1, 3, 2, 4, 5)
+                         .reshape(n * gh * gw, tile, tile, c))
+                f = base(tiles)
+                return f.reshape(n, gh * gw, -1).mean(axis=1)
+
+            self._ext = tiled
         return self._ext
 
     def feats(self, x):
@@ -154,14 +173,29 @@ def stage_extractor(ctx, results):
                                                      train_feature_extractor)
 
     imgs, labels = ctx.data
-    fcfg = FeatureCNNConfig(in_channels=3, widths=ctx.ext_widths,
-                            num_classes=5)
+    # train on random TILE-sized crops (4 per image): a full-256px
+    # global-pool extractor saturates and loses blur sensitivity (the
+    # first chip run's ladder failed); tile-level training keeps texture
+    # resolution, and eval features tile-average (see Ctx.extractor)
+    tile = max(ctx.size // 4, 8)
+    rng = np.random.default_rng(3)
+    crops, crop_labels = [], []
+    for i in range(len(imgs)):
+        for _ in range(4):
+            oy, ox = rng.integers(0, ctx.size - tile + 1, 2)
+            crops.append(imgs[i, oy:oy + tile, ox:ox + tile])
+            crop_labels.append(labels[i])
+    crops = np.stack(crops)
+    crop_labels = np.asarray(crop_labels, np.int32)
+    widths = (16, 24) if ctx.smoke else (32, 64, 128, 192)
+    fcfg = FeatureCNNConfig(in_channels=3, widths=widths, num_classes=5)
     params, acc = train_feature_extractor(
-        imgs, labels, cfg=fcfg, steps=ctx.ext_steps, batch_size=32,
+        crops, crop_labels, cfg=fcfg, steps=ctx.ext_steps, batch_size=64,
         seed=0, log_every=max(ctx.ext_steps // 6, 1))
     save_params(params, EXT_NPZ, meta={
-        "widths": np.asarray(ctx.ext_widths), "num_classes": 5,
-        "size": ctx.size, "data": "synthetic_hard", "seed": 0})
+        "widths": np.asarray(widths), "num_classes": 5,
+        "size": ctx.size, "tile": tile, "data": "synthetic_hard",
+        "seed": 0})
     ctx._ext = None
 
     half = len(imgs) // 2
