@@ -356,7 +356,8 @@ def stage_dit(ctx, results):
             print(f"dit step {i+1}/{steps} loss={float(m['loss']):.4f} "
                   f"({(time.time()-t0)/max(i,1)*1e3:.0f} ms/step)",
                   flush=True)
-    save_checkpoint(CKPT, jax.device_get(state), name="final")
+    save_checkpoint(CKPT, jax.device_get(state),
+                    name="final" + getattr(ctx, "_suffix", ""))
     results["dit"] = {"steps": steps, "loss_final": float(m["loss"]),
                       "params_m": n_params / 1e6}
 
@@ -374,7 +375,8 @@ def stage_eval(ctx, results):
     params0 = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, ctx.lat, ctx.lat, ctx.zc)),
         jnp.zeros((1,), jnp.int32))
-    _, ema = restore_params(os.path.join(CKPT, "final"), params0)
+    _, ema = restore_params(
+        os.path.join(CKPT, "final" + getattr(ctx, "_suffix", "")), params0)
     ema = jax.tree.map(jnp.asarray, ema)
 
     half = ctx.n_data // 2
@@ -423,6 +425,9 @@ def main():
     ap.add_argument("--stage", default="all", choices=STAGES + ("all",))
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--force", action="store_true")
+    ap.add_argument("--dit_steps", type=int, default=0,
+                    help="override the DiT training budget (the longer-run "
+                         "entry; eval results land under eval{steps}k)")
     args = ap.parse_args()
 
     global METRICS, EXT_NPZ, CKPT
@@ -432,15 +437,23 @@ def main():
         CKPT = CKPT + "_smoke"
 
     ctx = Ctx(args.smoke)
+    if args.dit_steps:
+        # longer-run entry: fresh DiT budget, results under suffixed keys
+        # (the 8k-budget rows stay as the pixel-baseline-matched pair)
+        ctx.dit_steps = args.dit_steps
+        ctx._suffix = f"{args.dit_steps // 1000}k"
     results = _load()
     fns = {"extractor": stage_extractor, "ae": stage_ae, "dit": stage_dit,
            "eval": stage_eval}
     for s in (STAGES if args.stage == "all" else (args.stage,)):
-        if s in results and not args.force:
-            print(f"stage {s}: already recorded, skipping")
+        key = s + getattr(ctx, "_suffix", "") if s in ("dit", "eval") else s
+        if key in results and not args.force:
+            print(f"stage {key}: already recorded, skipping")
             continue
-        print(f"=== stage {s} ===", flush=True)
+        print(f"=== stage {key} ===", flush=True)
         fns[s](ctx, results)
+        if getattr(ctx, "_suffix", "") and s in ("dit", "eval"):
+            results[key] = results.pop(s)
         _dump(results)
     print(f"wrote {METRICS}")
 
