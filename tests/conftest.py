@@ -94,6 +94,9 @@ _SMOKE = {
     "test_dpm_solver.py": "test_oracle_convergence_few_steps",
     "test_edit.py": "test_bounds",
     "test_edm.py": "test_weight_times_cout_sq_is_one",
+    # test_examples.py deliberately absent: each demo subprocess pays a
+    # fresh ~10 s jax startup (4 demos ~45 s) — full-suite only
+    "test_feature_cnn.py": "test_learns_above_chance",
     "test_flow.py": "test_zero_for_perfect_model_at_known_t",
     "test_freeu.py": "test_backbone_half_channel_scaling",
     "test_inception.py": "test_output_shapes_and_param_count",
