@@ -270,6 +270,20 @@ PRESETS = {
                         0, 12, batch_size=32, backbone="dit", patch_size=4,
                         depth=12, process="flow", latent_downs=2,
                         latent_channels=4, ae_base_dim=128, ae_steps=6000),
+    # conditional production stack (VERDICT r4 item 2): cloud removal AT the
+    # latent256 config — the cloudy view is first-stage-encoded and channel-
+    # concatenated to the noisy latent (cond_type="concat" train+sample
+    # semantics); chip capstone tools/capstone_latent256_cond.py
+    "latent256-cr": Preset("latent256-cr", "synthetic_hard", 256, 3, 768,
+                           (), (), 0, 12, cond_type="concat", batch_size=32,
+                           backbone="dit", patch_size=4, depth=12,
+                           process="flow", latent_downs=2, latent_channels=4,
+                           ae_base_dim=128, ae_steps=6000),
+    "tiny-latent-cr": Preset("tiny-latent-cr", "synthetic", 16, 3, 64,
+                             (), (), 0, 4, cond_type="concat", timesteps=50,
+                             batch_size=16, backbone="dit", patch_size=2,
+                             depth=2, process="flow", latent_downs=2,
+                             latent_channels=4, ae_base_dim=16, ae_steps=16),
     "tiny-latent-dit": Preset("tiny-latent-dit", "synthetic", 16, 3, 64,
                               (), (), 0, 4, timesteps=50, batch_size=16,
                               backbone="dit", patch_size=2, depth=2,
