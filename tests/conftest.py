@@ -25,7 +25,30 @@ def _env_ready() -> bool:
     )
 
 
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _guard_cache() -> str:
+    """Stale-cache guard (ROADMAP r5 #4): CPU AOT entries compiled on a
+    previous VM's CPU SIGILL the suite mid-run; key the cache dir by a CPU
+    feature fingerprint and wipe on mismatch (clean cold run instead).
+    Runs before JAX initializes — both in the pre-re-exec parent and when
+    the caller prepared the env themselves (no re-exec)."""
+    if _ROOT not in sys.path:
+        sys.path.insert(0, _ROOT)
+    from eo_diffusion_tpu.utils.cache_guard import ensure_cache_matches_cpu
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        _ROOT, ".jax_cache_tests")
+    state = ensure_cache_matches_cpu(cache)
+    if state == "wiped":
+        print(f"[conftest] {cache}: CPU features changed since the cache "
+              "was written — wiped (cold run)", file=sys.stderr)
+    return cache
+
+
 def pytest_configure(config):
+    cache = _guard_cache()
     if os.environ.get("_EO_TESTS_REEXEC") == "1" or _env_ready():
         return
     capman = config.pluginmanager.getplugin("capturemanager")
@@ -44,8 +67,6 @@ def pytest_configure(config):
     )
     # persistent XLA compile cache: the suite is dominated by single-core CPU
     # compiles of many small model configs; warm reruns are minutes faster
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                         ".jax_cache_tests")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
     sys.stdout.flush()
