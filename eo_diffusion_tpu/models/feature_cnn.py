@@ -236,3 +236,44 @@ def make_extractor(params, cfg: Optional[FeatureCNNConfig] = None,
         return np.concatenate(outs, 0)
 
     return extract
+
+
+def make_two_stream_extractor(tile_params, tile_cfg: FeatureCNNConfig,
+                              tile: int, global_params,
+                              global_cfg: FeatureCNNConfig, down: int,
+                              batch: int = 256) -> Callable:
+    """Texture + composition features for high-resolution KID (VERDICT r4
+    weak #4: tile-averaged 64px features are blind to any global-
+    composition failure larger than a tile — tile-shuffled images score
+    like the originals).
+
+    Stream A (texture): the tile extractor evaluated on the non-overlapping
+    ``tile``-sized grid, mean-pooled over tiles — per-tile blur/noise
+    sensitivity, same as the r4 harness. Stream B (composition): a second
+    FeatureCNN trained on ``down``x average-pool-downsampled full images —
+    it sees the whole layout at once, so scrambling tiles moves it. Each
+    stream is L2-normalized per sample before concatenation so neither
+    scale dominates the KID kernel; validation (tools/capstone_evalharden.py)
+    requires the combined ladder to rank plain best against blur/noise AND
+    tile-shuffle/tile-swap degradations before any capstone uses it.
+    """
+    tile_extract = make_extractor(tile_params, tile_cfg, batch=batch)
+    global_extract = make_extractor(global_params, global_cfg, batch=batch)
+
+    def _l2(f):
+        return f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True),
+                              1e-8)
+
+    def extract(x):
+        x = np.asarray(x, np.float32)
+        n, h, w, c = x.shape
+        gh, gw = h // tile, w // tile
+        tiles = (x.reshape(n, gh, tile, gw, tile, c)
+                 .transpose(0, 1, 3, 2, 4, 5)
+                 .reshape(n * gh * gw, tile, tile, c))
+        tex = tile_extract(tiles).reshape(n, gh * gw, -1).mean(axis=1)
+        xd = x.reshape(n, h // down, down, w // down, down, c).mean((2, 4))
+        comp = global_extract(xd)
+        return np.concatenate([_l2(tex), _l2(comp)], axis=-1)
+
+    return extract

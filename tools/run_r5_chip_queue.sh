@@ -42,8 +42,7 @@ run_stage() {
 }
 
 run_stage latent_distill python tools/capstone_latent_distill.py
-[ -f tools/capstone_latent256_cond.py ] && \
-  run_stage latent256_cond python tools/capstone_latent256_cond.py
-[ -f tools/capstone_moe.py ] && \
-  run_stage moe python tools/capstone_moe.py
+run_stage latent256_cond python tools/capstone_latent256_cond.py
+run_stage evalharden python tools/capstone_evalharden.py
+run_stage moe python tools/capstone_moe.py
 echo "r5 queue complete (present stages)"
