@@ -45,4 +45,5 @@ run_stage latent_distill python tools/capstone_latent_distill.py
 run_stage latent256_cond python tools/capstone_latent256_cond.py
 run_stage evalharden python tools/capstone_evalharden.py
 run_stage moe python tools/capstone_moe.py
+run_stage int8_attn python tools/probe_int8_attn.py
 echo "r5 queue complete (present stages)"
