@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--skip", nargs="*", default=[],
                     choices=["plain", "cfg"])
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--tag", default="",
+                    help="suffix for ckpt dir + metrics file: the off-floor "
+                         "budget A/B (VERDICT r4 weak #6) runs at a reduced "
+                         "--steps under --tag budget8k so the 30k floor "
+                         "rows stay untouched")
     args = ap.parse_args()
 
     import optax
@@ -79,6 +84,10 @@ def main():
         ext_path = os.path.join(GALLERY, "eval_extractor64.npz")
         metrics_path = os.path.join(GALLERY, "meanflow_cfg_metrics.json")
         ckpt = CKPT
+    if args.tag:
+        metrics_path = metrics_path.replace(
+            ".json", f"_{args.tag}.json")
+        ckpt = ckpt + "_" + args.tag
 
     N_CLASSES, DROPOUT = 5, 0.1
     ds = SyntheticEOHard(size=size, length=n_data, num_classes=N_CLASSES,

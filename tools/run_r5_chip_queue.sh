@@ -46,4 +46,5 @@ run_stage latent256_cond python tools/capstone_latent256_cond.py
 run_stage evalharden python tools/capstone_evalharden.py
 run_stage moe python tools/capstone_moe.py
 run_stage int8_attn python tools/probe_int8_attn.py
+run_stage mfcfg_offfloor python tools/capstone_meanflow_cfg.py --steps 8000 --tag budget8k
 echo "r5 queue complete (present stages)"
