@@ -100,11 +100,12 @@ def parse_args(argv=None):
                         help="1F1B pipeline parallelism over the 'model' "
                              "axis with this many microbatches (DiT "
                              "backbones; needs --model_parallel > 1). "
-                             "LIMITATION: the pipeline loss head uses the "
-                             "plain-objective training_tuple decomposition "
-                             "— self_cond/p2/VLB/min-SNR/MeanFlow presets "
-                             "train with DP/FSDP/TP instead (the engine "
-                             "asserts loudly)")
+                             "Supports every objective + p2/VLB/min-SNR "
+                             "reweighting (per-sample weight threaded to "
+                             "the pipeline loss head); LIMITATION: "
+                             "self_cond/MeanFlow presets train with "
+                             "DP/FSDP/TP instead (structural second model "
+                             "pass; the engine asserts loudly)")
     parser.add_argument("--pp_virtual", type=int, default=1,
                         help="interleaved virtual stages per device "
                              "(Megatron-style; shrinks the pipeline bubble "

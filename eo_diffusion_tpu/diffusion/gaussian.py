@@ -378,10 +378,6 @@ class GaussianDiffusion:
         assert not self.self_condition, (
             "training_tuple is a plain-MSE decomposition; self-conditioning "
             "needs the two-pass train_loss")
-        assert (self.p2_loss_weight_gamma == 0.0 and self.elbo_weight == 0.0
-                and self.min_snr_gamma == 0.0), (
-            "training_tuple cannot carry p2/VLB/min-SNR loss reweighting; "
-            "use train_loss")
         t_rng, n_rng, _ = jax.random.split(rng, 3)
         n = x0.shape[0]
         t = jax.random.randint(t_rng, (n,), 0, self.timesteps)
@@ -391,6 +387,34 @@ class GaussianDiffusion:
         target = self._target(x0.astype(jnp.float32), t,
                               noise.astype(jnp.float32))
         return x_t, t, target
+
+    def training_weight(self, t: jax.Array) -> Optional[jax.Array]:
+        """Per-sample loss weight [N] that makes the decomposed loss
+        ``mean(w * (pred - target)^2)`` equal the fused :meth:`train_loss`
+        under every reweighting this process supports.
+
+        All three reweightings are per-sample scalars in t, so they
+        compose multiplicatively (train_loss applies p2/min-SNR to the
+        elementwise error, then adds ``elbo_weight * lvlb[t] * per_sample``
+        ON TOP of the already-weighted error — i.e.
+        ``w = p2 * min_snr * (1 + elbo_weight * lvlb)``). This is what lets
+        the 1F1B pipeline's per-microbatch loss head
+        (parallel/pipeline_train.py) train reweighted configs instead of
+        asserting them off (r4 weak #8); only self-conditioning remains
+        train_loss-exclusive (its second model pass is structural, not a
+        weight). Returns None when no reweighting is configured.
+        """
+        w = None
+        p2 = self._p2_weight(t)
+        if p2 is not None:
+            w = p2
+        snr = self._min_snr_weight(t)
+        if snr is not None:
+            w = snr if w is None else w * snr
+        if self.elbo_weight > 0.0:
+            vlb = 1.0 + self.elbo_weight * self._lvlb_weights()[t]
+            w = vlb if w is None else w * vlb
+        return w
 
     def train_loss(
         self,

@@ -319,6 +319,7 @@ def pp_dit_grads(
     n_micro: int = 4,
     data_axis: Optional[str] = None,
     virtual_chunks: int = 1,
+    weight: Optional[jax.Array] = None,
 ):
     """Full-model (loss, grads) for a DiT objective-MSE step under 1F1B.
 
@@ -329,6 +330,12 @@ def pp_dit_grads(
     FLOPs), the final layer + MSE is the pipeline's per-microbatch loss
     head, and the block gradients come back from the 1F1B engine and are
     unstacked into the flax param tree.
+
+    ``weight``: optional per-sample [N] loss weight
+    (``GaussianDiffusion.training_weight`` — p2/min-SNR/VLB reweighting
+    composed multiplicatively); it rides the aux pytree so each microbatch
+    head weights its own samples, and the microbatch mean of weighted
+    means equals the fused train_loss (equal-size microbatches).
     """
     from eo_diffusion_tpu.models.dit import DiT, torso_block
     from eo_diffusion_tpu.parallel.pipeline import stack_block_params
@@ -355,10 +362,16 @@ def pp_dit_grads(
     # into the head via aux and its cotangent comes back in d_aux["c"]
     def head_fn(p, y_tokens, aux_mb):
         out = model.apply(p, y_tokens, aux_mb["c"], method=DiT.final)
-        return jnp.mean((out.astype(jnp.float32)
-                         - aux_mb["target"].astype(jnp.float32)) ** 2)
+        err = (out.astype(jnp.float32)
+               - aux_mb["target"].astype(jnp.float32)) ** 2
+        if "weight" in aux_mb:
+            w = aux_mb["weight"].reshape((-1,) + (1,) * (err.ndim - 1))
+            err = err * w
+        return jnp.mean(err)
 
     aux = {"c": c, "target": target}
+    if weight is not None:
+        aux["weight"] = weight.astype(jnp.float32)
     # the loss head only reads the final layer: pass just that subtree so
     # the 1F1B scan doesn't carry (and psum) an f32 shadow of EVERY param
     inner_p = params["params"] if "params" in params else params

@@ -392,8 +392,9 @@ class Trainer:
         schedule (cfg.pp_micro microbatches over the mesh 'model' axis,
         parallel/pipeline_train.py) — same optimizer/EMA tail as the
         autodiff step. The loss decomposition rides
-        ``diffusion.training_tuple`` (plain objective-MSE; reweighted /
-        self-conditioned configs assert there)."""
+        ``diffusion.training_tuple`` + ``training_weight`` (any objective,
+        p2/min-SNR/VLB reweighting included; only self-conditioning still
+        asserts — its second model pass is structural)."""
         from eo_diffusion_tpu.models.dit import DiT
         from eo_diffusion_tpu.parallel.pipeline_train import pp_dit_grads
 
@@ -436,10 +437,15 @@ class Trainer:
             rng, t_rng = jax.random.split(rng)
             x_t, t_model, target = diffusion.training_tuple(
                 t_rng, batch["image"], batch.get("noise"))
+            # p2/min-SNR/VLB ride as one per-sample weight (the flow
+            # process has no reweighting and no training_weight attr)
+            w_fn = getattr(diffusion, "training_weight", None)
+            weight = w_fn(t_model) if w_fn is not None else None
             loss, grads = pp_dit_grads(
                 model, state.params, x_t, t_model, target, mesh,
                 y=y, cond=cond, axis="model", n_micro=cfg.pp_micro,
-                data_axis="data", virtual_chunks=cfg.pp_virtual)
+                data_axis="data", virtual_chunks=cfg.pp_virtual,
+                weight=weight)
             return apply_grads(state, loss, grads, tx, ema_decay, ema_every)
 
         return pp_step

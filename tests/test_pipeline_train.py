@@ -559,3 +559,97 @@ class TestInterleavedCLI:
         ckpt_root = os.path.join(str(tmp_path), "logs",
                                  os.path.basename(sample_dir))
         assert any(e.startswith("steps_") for e in os.listdir(ckpt_root))
+
+
+# ---------------------------------------------------------------------------
+# reweighted-loss support (r4 weak #8 lifted): p2/min-SNR/VLB under PP
+# ---------------------------------------------------------------------------
+
+
+class TestReweightedPP:
+    def test_training_weight_decomposition_matches_fused_loss(self):
+        """mean(w * (pred - target)^2) with (x_t, t, target) from
+        training_tuple and w from training_weight must equal the fused
+        train_loss for every reweighting combination (same rng -> same
+        (t, eps) draw: both split the key 3 ways in the same order)."""
+        from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+
+        x0 = jax.random.normal(jax.random.PRNGKey(7), (8, 8, 8, 3))
+        model_fn = lambda x, t, c, y: 0.3 * x  # deterministic stand-in
+        for kw in ({"p2_loss_weight_gamma": 1.0},
+                   {"min_snr_gamma": 5.0},
+                   {"elbo_weight": 0.01},
+                   {"p2_loss_weight_gamma": 0.5, "min_snr_gamma": 5.0,
+                    "elbo_weight": 0.001},
+                   {}):
+            diff = GaussianDiffusion.create(
+                timesteps=50, image_size=8, in_channels=3, **kw)
+            rng = jax.random.PRNGKey(11)
+            fused = float(diff.train_loss(model_fn, rng, x0))
+            x_t, t, target = diff.training_tuple(rng, x0)
+            pred = model_fn(x_t, t, None, None)
+            err = (pred.astype(jnp.float32) - target) ** 2
+            w = diff.training_weight(t)
+            if w is not None:
+                err = err * w[:, None, None, None]
+            np.testing.assert_allclose(float(jnp.mean(err)), fused,
+                                       rtol=1e-5, err_msg=str(kw))
+
+    def test_pp_dit_grads_weighted_parity(self):
+        """pp_dit_grads(weight=...) == jax.grad of the sequentially
+        weighted per-microbatch loss."""
+        mesh = stage_mesh(2)
+        model, params, x, t, target = make_dit()
+        n_micro = 4
+        weight = jnp.linspace(0.5, 2.0, x.shape[0])
+
+        def seq_loss(p):
+            mb = x.shape[0] // n_micro
+            losses = []
+            for m in range(n_micro):
+                sl = slice(m * mb, (m + 1) * mb)
+                out = model.apply(p, x[sl], t[sl])
+                err = (out.astype(jnp.float32) - target[sl]) ** 2
+                losses.append(jnp.mean(err * weight[sl][:, None, None, None]))
+            return sum(losses) / n_micro
+
+        ref_loss, ref_grads = jax.value_and_grad(seq_loss)(params)
+        loss, grads = jax.jit(lambda p: pp_dit_grads(
+            model, p, x, t, target, mesh, n_micro=n_micro,
+            weight=weight))(params)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        paths = [jax.tree_util.keystr(kp) for kp, _ in
+                 jax.tree_util.tree_flatten_with_path(ref_grads)[0]]
+        for pth, a, b in zip(paths, jax.tree.leaves(grads),
+                             jax.tree.leaves(ref_grads)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=5e-3, atol=5e-5, err_msg=pth)
+
+    def test_pp_trainer_accepts_reweighted_config(self):
+        """The Trainer PP path runs (and learns) with p2 + min-SNR on —
+        the configs the old assert rejected."""
+        from eo_diffusion_tpu.diffusion.gaussian import GaussianDiffusion
+        from eo_diffusion_tpu.parallel.mesh import make_mesh
+        from eo_diffusion_tpu.train.trainer import Trainer, TrainerConfig
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        cfg = DiTConfig(image_size=8, in_channels=3, out_channels=3,
+                        patch_size=4, hidden_size=32, depth=2, num_heads=2)
+        model = DiT(cfg)
+        diff = GaussianDiffusion.create(
+            timesteps=50, image_size=8, in_channels=3,
+            p2_loss_weight_gamma=1.0, min_snr_gamma=5.0)
+        mesh = make_mesh(model=2)
+        tcfg = TrainerConfig(lr=1e-3, batch_size=16, epochs=1, timesteps=50,
+                             pp_micro=2)
+        tr = Trainer(tcfg, model, diff, 50, mesh=mesh)
+        batch = {"image": np.random.default_rng(0).normal(
+            0, 0.5, (16, 8, 8, 3)).astype(np.float32)}
+        state = tr.init(jax.random.PRNGKey(0), batch)
+        losses = []
+        for _ in range(12):
+            state, m = tr.step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], losses
