@@ -219,7 +219,7 @@ def main():
     # rider: the latent256 production LDM config (f4 decode + DiT-B/4 flow
     # on the 64px latent grid — 256 tokens/call vs the pixel DiT's 1024;
     # trained-quality grounding in gallery/latent256_metrics.json)
-    latent_img_s = None
+    latent_img_s = latent1_img_s = None
     try:
         from eo_diffusion_tpu.models.autoencoder import (AutoencoderConfig,
                                                          ConvAutoencoder)
@@ -252,6 +252,22 @@ def main():
         for i in range(ITERS):
             float(flat(lparams, ae_params, jax.random.PRNGKey(i)))
         latent_img_s = BATCH / ((time.time() - t0) / ITERS)
+
+        # rider: the 1-NFE ReFlow-distilled corner of the same stack (one
+        # euler call + f4 decode — trained-quality grounding in
+        # gallery/latent256_distill_metrics.json, tools/capstone_latent_distill.py)
+        def sample_latent1(lp, ap, rng):
+            fn = lambda x, t, c, y: lmodel.apply(lp, x, t, cond=c, y=y)
+            z = lfm.sample(fn, rng, BATCH, num_steps=1, method="euler",
+                           dtype=jnp.bfloat16).x
+            return jnp.float32(jnp.sum(ae.apply(ap, z, method="decode")))
+
+        flat1 = jax.jit(sample_latent1)
+        float(flat1(lparams, ae_params, jax.random.PRNGKey(0)))
+        t0 = time.time()
+        for i in range(ITERS):
+            float(flat1(lparams, ae_params, jax.random.PRNGKey(i)))
+        latent1_img_s = BATCH / ((time.time() - t0) / ITERS)
     except Exception:
         pass
 
@@ -295,6 +311,7 @@ def main():
                 "dit_flow_heun8_img_s": None if flow_img_s is None else round(flow_img_s, 3),
                 "dit_flow_heun8_w8a8_img_s": None if w8a8_img_s is None else round(w8a8_img_s, 3),
                 "latent256_heun8_img_s": None if latent_img_s is None else round(latent_img_s, 3),
+                "latent256_euler1_img_s": None if latent1_img_s is None else round(latent1_img_s, 3),
                 "dit_tome375_img_s": None if tome_img_s is None else round(tome_img_s, 3),
             }
         )
