@@ -74,14 +74,22 @@ class DCtx:
             self.refit_steps, self.refit_mb, self.lr = 16000, 64, 1e-4
             self.teacher_name = "final24k"
         self.ckpt = cl.CKPT  # rebound after --smoke suffixing in main()
+        # --tag isolates a rerun at a different budget (e.g. round2: 2x
+        # pairs + 1.5x refit — the first round's student was refit-limited,
+        # KID flat ~0.55 across 1-8 NFE); couplings are a deterministic
+        # prefix-superset (generate_couplings folds the key per chunk), so
+        # a bigger tagged run reuses the round-1 transport plus fresh pairs
+        self.tag = ""
 
     @property
     def couplings_npz(self):
-        return os.path.join(self.ckpt, "couplings.npz")
+        sfx = f"_{self.tag}" if self.tag else ""
+        return os.path.join(self.ckpt, f"couplings{sfx}.npz")
 
     @property
     def student_dir(self):
-        return os.path.join(self.ckpt, "reflow")
+        sfx = f"_{self.tag}" if self.tag else ""
+        return os.path.join(self.ckpt, f"reflow{sfx}")
 
     def teacher(self):
         from eo_diffusion_tpu.train.checkpoint import restore_params
@@ -244,7 +252,8 @@ def stage_eval(ctx, results):
         print(f"eval {tag}: kid={k:.4g} grad={g:.4f} "
               f"{out[tag]['img_s'] or 0:.1f} img/s", flush=True)
         if n <= 2:
-            sfx = "_smoke" if ctx.smoke else ""
+            sfx = (f"_{ctx.tag}" if ctx.tag else "") + \
+                ("_smoke" if ctx.smoke else "")
             save_image_grid(np.clip((x[:16] + 1) / 2, 0, 1),
                             os.path.join(
                                 GALLERY,
@@ -263,8 +272,10 @@ def stage_eval(ctx, results):
 
 def stage_export(ctx, results):
     """1-NFE student -> StableHLO artifact + serving-engine smoke."""
-    out_dir = os.path.join(ROOT, "artifacts",
-                           "latent256_reflow" + ("_smoke" if ctx.smoke else ""))
+    out_dir = os.path.join(
+        ROOT, "artifacts",
+        "latent256_reflow" + (f"_{ctx.tag}" if ctx.tag else "")
+        + ("_smoke" if ctx.smoke else ""))
     preset = "tiny-latent-dit" if ctx.smoke else "latent256"
     env = dict(os.environ)
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
@@ -312,10 +323,16 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--refit_steps", type=int, default=0)
+    ap.add_argument("--n_pairs", type=int, default=0)
+    ap.add_argument("--tag", default="",
+                    help="isolated rerun (couplings/student/metrics "
+                         "suffixed), e.g. --tag round2 --n_pairs 32768 "
+                         "--refit_steps 24000")
     args = ap.parse_args()
 
     metrics_path = os.path.join(
         GALLERY, "latent256_distill_metrics"
+        + (f"_{args.tag}" if args.tag else "")
         + ("_smoke" if args.smoke else "") + ".json")
     if args.smoke:
         cl.METRICS = cl.METRICS.replace(".json", "_smoke.json")
@@ -324,8 +341,11 @@ def main():
 
     ctx = DCtx(args.smoke)
     ctx.ckpt = cl.CKPT
+    ctx.tag = args.tag
     if args.refit_steps:
         ctx.refit_steps = args.refit_steps
+    if args.n_pairs:
+        ctx.n_pairs = args.n_pairs
 
     results = {}
     if os.path.exists(metrics_path):

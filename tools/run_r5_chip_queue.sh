@@ -47,4 +47,8 @@ run_stage evalharden python tools/capstone_evalharden.py
 run_stage moe python tools/capstone_moe.py
 run_stage int8_attn python tools/probe_int8_attn.py
 run_stage mfcfg_offfloor python tools/capstone_meanflow_cfg.py --steps 8000 --tag budget8k
+# round-2 latent distillation: the round-1 student was refit-limited
+# (KID flat ~0.55 across 1-8 NFE); double the pairs, 1.5x the budget
+run_stage latent_distill2 python tools/capstone_latent_distill.py \
+  --tag round2 --n_pairs 32768 --refit_steps 24000
 echo "r5 queue complete (present stages)"
