@@ -56,7 +56,7 @@ import capstone_latent256 as cl  # shared Ctx: extractor, AE/DiT configs
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GALLERY = os.path.join(ROOT, "gallery")
 
-STAGES = ("encode", "dit", "eval")
+STAGES = ("encode", "dit", "eval", "serve")
 
 
 class CCtx:
@@ -276,6 +276,38 @@ def stage_eval(ctx, results):
     results["eval"] = out
 
 
+def stage_serve(ctx, results):
+    """Cloud removal as a service: the trained conditional latent256 model
+    behind the batching engine — the request carries the cloudy PIXEL view;
+    the engine first-stage-encodes it (cli/serve.py latent-concat path)."""
+    from eo_diffusion_tpu.cli import serve as serve_cli
+    from eo_diffusion_tpu.utils import metrics as M
+
+    preset = "tiny-latent-cr" if ctx.smoke else "latent256-cr"
+    sargs = serve_cli.parse_args([
+        "--preset", preset, "--ckpt", os.path.join(ctx.cond_dir, "final"),
+        "--ae_ckpt", os.path.join(ctx.ckpt, "ae"),
+        "--sampler", "flow", "--flow_method", "heun", "--sampler_steps",
+        "8" if not ctx.smoke else "2", "--batch_size", "4", "--seed", "0"]
+        + (["--no_bf16", "--image_size", "32"] if ctx.smoke else []))
+    _, batcher, _ = serve_cli.build_engine(sargs)
+    try:
+        clean, cloudy = ctx.paired_fixture(seed=9, n=4)
+        arr = np.asarray(batcher.submit(4, cond=cloudy, seed=1))
+        assert np.isfinite(arr).all() and arr.shape[0] == 4, arr.shape
+        dr = 2.0
+        ssim_out = float(M.ssim(jnp.asarray(arr), jnp.asarray(clean),
+                                data_range=dr))
+        ssim_id = float(M.ssim(jnp.asarray(cloudy), jnp.asarray(clean),
+                               data_range=dr))
+    finally:
+        batcher.shutdown()
+    results["serve"] = {"shape": list(arr.shape), "ssim": ssim_out,
+                        "identity_ssim": ssim_id}
+    print(f"serve: cloud removal over HTTP-engine path, ssim={ssim_out:.3f} "
+          f"(identity {ssim_id:.3f})", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all", choices=STAGES + ("all",))
@@ -301,7 +333,8 @@ def main():
     if os.path.exists(metrics_path):
         with open(metrics_path) as f:
             results = json.load(f)
-    fns = {"encode": stage_encode, "dit": stage_dit, "eval": stage_eval}
+    fns = {"encode": stage_encode, "dit": stage_dit, "eval": stage_eval,
+           "serve": stage_serve}
     for s in (STAGES if args.stage == "all" else (args.stage,)):
         if s in results and not args.force:
             print(f"stage {s}: already recorded, skipping")
