@@ -69,6 +69,12 @@ class CCtx:
         else:
             self.dit_steps, self.batch = 16000, 32
             self.n_eval, self.bs = 256, 32
+        # 3e-4: the first chip run at the unconditional stack's 1e-3 was
+        # healthy to 5k steps (loss 0.19) then blew up to ~1.6 and never
+        # recovered, WITH clip_by_global_norm(1.0) — the conditional
+        # (in 8ch) latent DiT needs the gentler peak (cf. CLAUDE.md's
+        # conditional-divergence gotcha for eps-DDPM at 64px)
+        self.lr = 3e-4
         self.ckpt = cl.CKPT
 
     @property
@@ -156,7 +162,7 @@ def stage_dit(ctx, results):
     print(f"cond latent DiT: {n_params/1e6:.1f} M params", flush=True)
 
     steps = ctx.dit_steps
-    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3,
+    sched = optax.warmup_cosine_decay_schedule(0.0, ctx.lr,
                                                min(500, steps // 4 or 1),
                                                steps, 1e-5)
     # conditional trainings at warmup peak need the global-norm clip
@@ -182,7 +188,7 @@ def stage_dit(ctx, results):
         state, m = jstep(state, z_clean, z_cloudy, idx, srng)
         if i == 0:
             t0 = time.time()
-        if (i + 1) % max(steps // 16, 1) == 0:
+        if (i + 1) % max(steps // 32, 1) == 0:
             print(f"dit {i+1}/{steps} loss={float(m['loss']):.4f} "
                   f"({(time.time()-t0)/max(i,1)*1e3:.0f} ms/step)",
                   flush=True)
@@ -314,6 +320,7 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--dit_steps", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=0.0)
     args = ap.parse_args()
 
     metrics_path = os.path.join(
@@ -328,6 +335,8 @@ def main():
     ctx.ckpt = cl.CKPT
     if args.dit_steps:
         ctx.dit_steps = args.dit_steps
+    if args.lr:
+        ctx.lr = args.lr
 
     results = {}
     if os.path.exists(metrics_path):
