@@ -294,7 +294,10 @@ def stage_serve(ctx, results):
         "--preset", preset, "--ckpt", os.path.join(ctx.cond_dir, "final"),
         "--ae_ckpt", os.path.join(ctx.ckpt, "ae"),
         "--sampler", "flow", "--flow_method", "heun", "--sampler_steps",
-        "8" if not ctx.smoke else "2", "--batch_size", "4", "--seed", "0"]
+        "8" if not ctx.smoke else "2", "--batch_size", "4", "--seed", "0",
+        # the first request pays the cold sampler compile (remote-compile
+        # service: minutes for the 256px conditional heun-8 + AE codecs)
+        "--request_timeout", "1200"]
         + (["--no_bf16", "--image_size", "32"] if ctx.smoke else []))
     _, batcher, _ = serve_cli.build_engine(sargs)
     try:
