@@ -206,15 +206,19 @@ def _sample_rows(ctx):
     flow = b.flow()
 
     def latent_runner(params, model, num_steps, method):
-        def run(r):
+        # params/ae_params THREADED as jit args — a closed-over tree becomes
+        # literal constants in the remote-compile payload (HTTP 413,
+        # CLAUDE.md machine gotchas)
+        def run(p, ap, r):
             z = flow.sample(
-                lambda x, t, c, y: model.apply(params, x, t, cond=c, y=y),
+                lambda x, t, c, y: model.apply(p, x, t, cond=c, y=y),
                 r, b.bs, num_steps=num_steps, method=method,
                 dtype=jnp.bfloat16).x
-            return ae_model.apply(ae_params, z / scale,
+            return ae_model.apply(ap, z / scale,
                                   method="decode").astype(jnp.float32)
 
-        return jax.jit(run)
+        j = jax.jit(run)
+        return lambda r: j(params, ae_params, r)
 
     # latent 24k teacher
     name24 = "final24k" if not ctx.smoke else "final"
@@ -261,14 +265,14 @@ def _sample_rows(ctx):
         pema = jax.tree.map(jnp.asarray, pema)
 
         def pixel_runner(nsteps, method):
-            def run(r):
+            def run(p, r):
                 return pflow.sample(
-                    lambda x, t, c, y: pmodel.apply(pema, x, t, cond=c,
-                                                    y=y),
+                    lambda x, t, c, y: pmodel.apply(p, x, t, cond=c, y=y),
                     r, b.bs, num_steps=nsteps, method=method,
                     dtype=jnp.bfloat16).x.astype(jnp.float32)
 
-            return jax.jit(run)
+            j = jax.jit(run)
+            return lambda r: j(pema, r)
 
         rows.append(("pixel256_heun16", pixel_runner(16, "heun")))
         rows.append(("pixel256_heun8", pixel_runner(8, "heun")))
@@ -322,19 +326,19 @@ def stage_rescore(ctx, results):
         ema = jax.tree.map(jnp.asarray, ema)
         flow = b.flow()
 
-        def run(zc, r):
+        def run(p, ap, zc, r):
             z = flow.sample(
-                lambda x, t, c, y: model.apply(ema, x, t, cond=c, y=y), r,
+                lambda x, t, c, y: model.apply(p, x, t, cond=c, y=y), r,
                 zc.shape[0], num_steps=8, method="heun", cond=zc,
                 dtype=jnp.bfloat16).x
-            return ae_model.apply(ae_params, z / scale,
+            return ae_model.apply(ap, z / scale,
                                   method="decode").astype(jnp.float32)
 
         j = jax.jit(run)
         xs = []
         for i in range(max(cctx.n_eval // cctx.bs, 1)):
             zc = jnp.asarray(z_cloudy[i * cctx.bs:(i + 1) * cctx.bs])
-            x = j(zc, jax.random.PRNGKey(1500 + i))
+            x = j(ema, ae_params, zc, jax.random.PRNGKey(1500 + i))
             _ = float(jnp.sum(x))
             xs.append(np.asarray(x))
         k, ks = ctx.kid_h(np.concatenate(xs), real_h)
