@@ -293,11 +293,12 @@ def stage_serve(ctx, results):
     sargs = serve_cli.parse_args([
         "--preset", preset, "--ckpt", os.path.join(ctx.cond_dir, "final"),
         "--ae_ckpt", os.path.join(ctx.ckpt, "ae"),
-        "--sampler", "flow", "--flow_method", "heun", "--sampler_steps",
-        "8" if not ctx.smoke else "2", "--batch_size", "4", "--seed", "0",
-        # the first request pays the cold sampler compile (remote-compile
-        # service: minutes for the 256px conditional heun-8 + AE codecs)
-        "--request_timeout", "1200"]
+        # euler-2 IS the production pick (best paired SSIM in the eval
+        # table) and keeps the cold sampler compile small; the heun-8
+        # engine program took >20 min through the remote-compile service
+        "--sampler", "flow", "--flow_method", "euler", "--sampler_steps",
+        "2", "--batch_size", "4", "--seed", "0",
+        "--request_timeout", "1800"]
         + (["--no_bf16", "--image_size", "32"] if ctx.smoke else []))
     _, batcher, _ = serve_cli.build_engine(sargs)
     try:
