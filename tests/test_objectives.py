@@ -440,10 +440,21 @@ class TestMinSNRWeight:
         l1 = float(d1.train_loss(model, jax.random.PRNGKey(0), x0))
         assert np.isfinite([l0, l1]).all() and l1 < l0  # down-weighted only
 
-    def test_training_tuple_rejects_weighting(self):
-        with pytest.raises(AssertionError, match="min-SNR"):
-            self._mk("eps").training_tuple(jax.random.PRNGKey(0),
-                                           jnp.zeros((4, SIZE, SIZE, 3)))
+    def test_training_tuple_carries_weighting(self):
+        """r5: reweighted configs decompose too — training_tuple +
+        training_weight reproduce the fused loss (the PP loss head's
+        contract; full parity in test_pipeline_train.TestReweightedPP)."""
+        d = self._mk("eps")
+        rng = jax.random.PRNGKey(0)
+        x0 = jnp.full((4, SIZE, SIZE, 3), 0.2)
+        x_t, t, target = d.training_tuple(rng, x0)
+        w = d.training_weight(t)
+        assert w is not None and w.shape == (4,)
+        model = lambda x, tt, c, y: 0.1 * x
+        err = (model(x_t, t, None, None).astype(jnp.float32) - target) ** 2
+        decomposed = float(jnp.mean(err * w[:, None, None, None]))
+        fused = float(d.train_loss(model, rng, x0))
+        np.testing.assert_allclose(decomposed, fused, rtol=1e-5)
 
     def test_ztsnr_v_composes(self):
         d = GaussianDiffusion.create(timesteps=100, image_size=SIZE,
